@@ -1,0 +1,269 @@
+"""Distributed sketch aggregation driver.
+
+Re-expresses the reference's build lifecycle (create -> insert* ->
+unsafeFreeze, /root/reference/Data/BloomFilter.hs:123-131) as Spark's
+partial-aggregate model (SURVEY.md §1.4, §3.1):
+
+  scan -> [JVM] xxhash64 hash column -> [Arrow] mapInPandas partial sketch
+  per partition -> two-level (treeAggregate-style) merge of serialized
+  partials -> final sketch (driver object or 1-row DataFrame).
+
+All per-row work is columnar: hashing happens JVM-side via
+``F.xxhash64`` (whole-stage codegen), kernels consume numpy arrays from
+Arrow batches. No per-row Python (BASELINE.json input_hint).
+
+Grouped sketches use the salted two-phase topology the north rule names:
+groupBy(keys + salt) partials -> groupBy(keys) merge, so one hot key
+(conv_id skew) fans out across `salt` tasks before the final merge.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from .config import DEFAULT_MERGE_PARTITIONS, DEFAULT_SEED
+from .sketches.base import Sketch
+from .util import to_u64
+
+SKETCH_SCHEMA = "sketch binary"
+
+# per-executor cache of deserialized broadcast sketches (avoids re-parsing
+# the sketch for every Arrow batch)
+_BC_CACHE: dict[int, Sketch] = {}
+
+
+def _cols(cols) -> list[Column]:
+    if isinstance(cols, (str, Column)):
+        cols = [cols]
+    return [F.col(c) if isinstance(c, str) else c for c in cols]
+
+
+def hash_col(cols, seed: int = DEFAULT_SEED) -> Column:
+    """Salted 64-bit hash of one or more columns, computed JVM-side.
+
+    Composite keys hash as the variadic form (tuple-instance analog,
+    reference Hash.hs:288-303). The salt rides as a leading literal since
+    Spark's xxhash64 has a fixed internal seed.
+    """
+    return F.xxhash64(F.lit(seed), *_cols(cols))
+
+
+def prepare_input(df: DataFrame, cols, proto: Sketch, seed: int = DEFAULT_SEED,
+                  weight_col=None) -> DataFrame:
+    """Project df down to the single column a sketch kernel consumes.
+
+    Hash-keyed sketches get an int64 hash column; value sketches get a
+    float64 column. NULL keys/values are dropped (documented deviation from
+    the reference, which hashes Nothing to the salt — SURVEY.md §2.3).
+    Column pruning means the parquet scan reads only the sketched columns.
+    """
+    cs = _cols(cols)
+    cond = cs[0].isNotNull()
+    for c in cs[1:]:
+        cond = cond & c.isNotNull()
+    out: list[Column] = []
+    if proto.HASH_KEYED:
+        out.append(hash_col(cs, seed).alias("__v"))
+    else:
+        if len(cs) != 1:
+            raise ValueError("value sketches take exactly one numeric column")
+        out.append(cs[0].cast("double").alias("__v"))
+    if weight_col is not None:
+        out.append(_cols(weight_col)[0].cast("double").alias("__w"))
+    return df.where(cond).select(*out)
+
+
+def _batch_values(pdf: pd.DataFrame, hash_keyed: bool) -> np.ndarray:
+    v = pdf["__v"].to_numpy()
+    return to_u64(v) if hash_keyed else np.asarray(v, dtype=np.float64)
+
+
+def build_partials(prepped: DataFrame, factory: Callable[[], Sketch]) -> DataFrame:
+    """One serialized partial sketch per input partition (the 'freeze' of
+    §1.4). Empty partitions yield the zero sketch (merge identity)."""
+    def fn(it: Iterable[pd.DataFrame]):
+        sk = factory()
+        weighted = False
+        for pdf in it:
+            v = _batch_values(pdf, sk.HASH_KEYED)
+            if "__w" in pdf.columns:
+                sk.update(v, pdf["__w"].to_numpy())
+                weighted = True
+            else:
+                sk.update(v)
+        del weighted
+        yield pd.DataFrame({"sketch": [sk.to_bytes()]})
+
+    return prepped.mapInPandas(fn, schema=SKETCH_SCHEMA)
+
+
+def merge_partials_df(partials: DataFrame, factory: Callable[[], Sketch],
+                      num_partitions: int) -> DataFrame:
+    """One merge level: shuffle partial rows into `num_partitions` tasks and
+    OR/max/add-merge within each."""
+    cls = type(factory())
+
+    def fn(it: Iterable[pd.DataFrame]):
+        sk = None
+        for pdf in it:
+            for buf in pdf["sketch"]:
+                s = cls.from_bytes(bytes(buf))
+                sk = s if sk is None else sk.merge(s)
+        if sk is None:
+            sk = factory()
+        yield pd.DataFrame({"sketch": [sk.to_bytes()]})
+
+    return partials.repartition(num_partitions).mapInPandas(fn, schema=SKETCH_SCHEMA)
+
+
+def sketch_df(df: DataFrame, cols, factory: Callable[[], Sketch],
+              seed: int = DEFAULT_SEED, weight_col=None,
+              merge_partitions: int = DEFAULT_MERGE_PARTITIONS,
+              two_level: bool = True) -> DataFrame:
+    """Fully in-plan build: returns a 1-row DataFrame with the final
+    serialized sketch. Lazy — composable inside larger query plans."""
+    proto = factory()
+    prepped = prepare_input(df, cols, proto, seed, weight_col)
+    partials = build_partials(prepped, factory)
+    if two_level:
+        partials = merge_partials_df(partials, factory, merge_partitions)
+    return merge_partials_df(partials, factory, 1)
+
+
+def build_sketch(df: DataFrame, cols, factory: Callable[[], Sketch],
+                 seed: int = DEFAULT_SEED, weight_col=None,
+                 merge_partitions: int = DEFAULT_MERGE_PARTITIONS,
+                 two_level: bool = True) -> Sketch:
+    """Eager build: run the plan and return the merged Sketch object.
+
+    Two-level topology: P partition partials -> `merge_partitions`
+    intermediate merge tasks -> driver merges the survivors (bounded
+    fan-in — at P=100k partitions the driver never sees more than
+    `merge_partitions` sketches)."""
+    proto = factory()
+    prepped = prepare_input(df, cols, proto, seed, weight_col)
+    partials = build_partials(prepped, factory)
+    if two_level:
+        partials = merge_partials_df(partials, factory, merge_partitions)
+    rows = partials.collect()
+    final = factory()
+    cls = type(proto)
+    for r in rows:
+        final.merge(cls.from_bytes(bytes(r["sketch"])))
+    return final
+
+
+def merge_sketches(sketches: Sequence[Sketch], factory: Callable[[], Sketch]) -> Sketch:
+    out = factory()
+    for s in sketches:
+        out.merge(s)
+    return out
+
+
+# --- grouped (per-key) sketches with salted two-phase merge --------------
+
+def grouped_sketch_df(df: DataFrame, keys: Sequence[str], cols,
+                      factory: Callable[[], Sketch],
+                      estimates: dict[str, Callable[[Sketch], float]],
+                      seed: int = DEFAULT_SEED, salt: int = 8) -> DataFrame:
+    """Per-key sketch estimates: (keys..., <estimate columns...>).
+
+    Phase 1 groups by (keys, salt) where salt = hash(value) % `salt`, so a
+    single hot key is built by `salt` parallel tasks; phase 2 merges the
+    salted partials per key and emits estimates. This is the north rule's
+    'salted repartitioning and two-level treeAggregate-style partial-sketch
+    merge' applied to grouped aggregation.
+    """
+    proto = factory()
+    cls = type(proto)
+    keys = list(keys)
+    cs = _cols(cols)
+    cond = cs[0].isNotNull()
+    for c in cs[1:]:
+        cond = cond & c.isNotNull()
+    if proto.HASH_KEYED:
+        val = hash_col(cs, seed).alias("__v")
+    else:
+        val = cs[0].cast("double").alias("__v")
+    prepped = (df.where(cond)
+                 .select(*[F.col(k) for k in keys], val)
+                 .withColumn("__salt", F.pmod(F.xxhash64(F.lit(seed + 1), F.col("__v")),
+                                              F.lit(salt))))
+
+    key_fields = [prepped.schema[k] for k in keys]
+    partial_schema = T.StructType(key_fields + [T.StructField("sketch", T.BinaryType())])
+
+    hash_keyed = proto.HASH_KEYED
+
+    def phase1(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = factory()
+        v = pdf["__v"].to_numpy()
+        sk.update(to_u64(v) if hash_keyed else np.asarray(v, dtype=np.float64))
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row["sketch"] = [sk.to_bytes()]
+        return pd.DataFrame(row)
+
+    partials = prepped.groupBy(*keys, "__salt").applyInPandas(phase1, schema=partial_schema)
+
+    est_fields = [T.StructField(name, T.DoubleType()) for name in estimates]
+    out_schema = T.StructType(key_fields + est_fields)
+
+    def phase2(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = None
+        for buf in pdf["sketch"]:
+            s = cls.from_bytes(bytes(buf))
+            sk = s if sk is None else sk.merge(s)
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        for name, fn in estimates.items():
+            row[name] = [float(fn(sk))]
+        return pd.DataFrame(row)
+
+    return partials.groupBy(*keys).applyInPandas(phase2, schema=out_schema)
+
+
+# --- membership / point queries over a broadcast sketch ------------------
+
+def _cached_sketch(bc, cls) -> Sketch:
+    key = id(bc)
+    sk = _BC_CACHE.get(key)
+    if sk is None or not isinstance(sk, cls):
+        sk = cls.from_bytes(bc.value)
+        _BC_CACHE[key] = sk
+    return sk
+
+
+def with_membership(df: DataFrame, bloom, cols, out_col: str = "is_member",
+                    seed: int = DEFAULT_SEED) -> DataFrame:
+    """Broadcast-sketch membership column (elem equivalent, §3.2): probe
+    hashes computed JVM-side, bit tests vectorized per Arrow batch."""
+    from .sketches.bloom import BloomFilter
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(bloom.to_bytes())
+
+    @F.pandas_udf("boolean")
+    def contains(h: pd.Series) -> pd.Series:
+        sk = _cached_sketch(bc, BloomFilter)
+        return pd.Series(sk.contains(to_u64(h.to_numpy())))
+
+    return df.withColumn(out_col, contains(hash_col(_cols(cols), seed)))
+
+
+def with_cms_count(df: DataFrame, cms, cols, out_col: str = "est_count",
+                   seed: int = DEFAULT_SEED) -> DataFrame:
+    """Broadcast-CMS point-frequency estimate column."""
+    from .sketches.cms import CountMinSketch
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(cms.to_bytes())
+
+    @F.pandas_udf("long")
+    def est(h: pd.Series) -> pd.Series:
+        sk = _cached_sketch(bc, CountMinSketch)
+        return pd.Series(sk.query(to_u64(h.to_numpy())))
+
+    return df.withColumn(out_col, est(hash_col(_cols(cols), seed)))

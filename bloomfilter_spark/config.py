@@ -1,0 +1,57 @@
+"""Engine-wide constants and SparkSession construction.
+
+Seed constants mirror the reference's salts (public values from
+/root/reference/Data/BloomFilter/Hash.hs:101-105,149-156) so the engine's
+default behavior is recognizably derived from the same scheme, while the
+actual base hash is Spark's built-in ``xxhash64`` (JVM-side, columnar).
+"""
+
+from __future__ import annotations
+
+import os
+
+# Reference salt for cheapHashes (Data/BloomFilter/Hash.hs:149: 0x9150a946c4a8966e).
+DEFAULT_SEED = 0x9150A946C4A8966E & 0x7FFFFFFFFFFFFFFF  # keep in int64 range for lit()
+
+# Default false-positive rate used by convenience builders (examples/Words.hs:33).
+DEFAULT_FPR = 0.01
+
+# Partial-sketch merge fan-in: number of intermediate merge tasks in the
+# two-level (treeAggregate-style) topology.
+DEFAULT_MERGE_PARTITIONS = 16
+
+# Broadcast budget: sketches larger than this should use the sharded path.
+BROADCAST_BUDGET_BYTES = 512 * 1024 * 1024
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "bloomfilter_spark", cores: int | None = None,
+              shuffle_partitions: int | None = None):
+    """Build a local SparkSession tuned for this engine.
+
+    On a real cluster these configs come from spark-submit; the session
+    builder only sets SQL-level knobs that matter at any scale (AQE on,
+    Arrow on, UTC timestamps).
+    """
+    from pyspark.sql import SparkSession
+
+    n = cores or default_parallelism()
+    sp = shuffle_partitions or n
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,63 @@
+"""Common sketch contract.
+
+Every sketch is a mergeable aggregation state:
+
+  zero (constructor) -> update(batch) [vectorized numpy] -> to_bytes()
+  from_bytes(b) ; merge(other) associative + commutative, zero is identity
+
+Serialization is a canonical little-endian layout (params header + packed
+payload) so serialized sketches ARE portable — improving on the reference's
+documented non-guarantee (Data/BloomFilter.hs:67-69). Hash-keyed sketches
+(Bloom, HLL, CMS) consume a pre-hashed uint64 column (Spark xxhash64, JVM
+side); value sketches (t-digest, KLL) consume float64 values.
+"""
+
+from __future__ import annotations
+
+import struct
+from abc import ABC, abstractmethod
+
+import numpy as np
+
+_MAGIC = b"SKCH"
+_VERSION = 1
+
+
+class Sketch(ABC):
+    #: subclass tag byte used in the serialized header
+    TYPE_TAG: int = 0
+    #: True if update() consumes uint64 hashes, False if float64 values
+    HASH_KEYED: bool = True
+
+    @abstractmethod
+    def update(self, data: np.ndarray) -> None: ...
+
+    @abstractmethod
+    def merge(self, other: "Sketch") -> "Sketch":
+        """In-place merge of ``other`` into self; returns self."""
+
+    @abstractmethod
+    def _payload(self) -> tuple[bytes, bytes]:
+        """Return (params_bytes, payload_bytes)."""
+
+    @classmethod
+    @abstractmethod
+    def _from_payload(cls, params: bytes, payload: bytes) -> "Sketch": ...
+
+    def to_bytes(self) -> bytes:
+        params, payload = self._payload()
+        header = struct.pack("<4sBBI", _MAGIC, _VERSION, self.TYPE_TAG, len(params))
+        return header + params + payload
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "Sketch":
+        magic, version, tag, plen = struct.unpack_from("<4sBBI", buf, 0)
+        if magic != _MAGIC or version != _VERSION:
+            raise ValueError("bad sketch serialization header")
+        if tag != cls.TYPE_TAG:
+            raise ValueError(f"sketch type mismatch: got {tag}, want {cls.TYPE_TAG}")
+        off = struct.calcsize("<4sBBI")
+        return cls._from_payload(buf[off:off + plen], buf[off + plen:])
+
+    def copy(self) -> "Sketch":
+        return type(self).from_bytes(self.to_bytes())

@@ -1,0 +1,135 @@
+"""Bloom filter over a packed uint64 bit array — the engine's center of
+gravity, re-expressing /root/reference/Data/BloomFilter.hs semantics as a
+vectorized, mergeable aggregation state.
+
+Semantics preserved from the reference:
+  - power-of-two geometry, mask addressing (Mutable.hs:81-94, BloomFilter.hs:349-357)
+  - Kirsch–Mitzenmacher double hashing, value inspected <= 2x for any k
+    (Hash.hs:131-156); default widened to 64-bit multiply form, `shift32`
+    variant reproduces the reference's exact probe scheme
+  - zero false negatives (BloomFilter.hs:16-18), FPR <= configured bound at
+    sized (m, k) (Easy.hs:62-77)
+  - insert/elem/notElem/length/empty/singleton/fromList equivalents
+
+Added beyond the reference (required by the merge-based distributed build):
+  - union/merge: bitwise OR of same-geometry arrays, associative/commutative
+    with empty as identity (SURVEY.md §2.1 note)
+  - intersect: bitwise AND (upper-bound semantics)
+  - canonical little-endian serialization
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..sizing import suggest_sizing
+from ..util import (U64, km_probes, km_probes_shift32, log2_power_of_two,
+                    next_power_of_two, or_into_bits, test_bits)
+from .base import Sketch
+
+_VARIANTS = {"km64": 0, "shift32": 1}
+_VARIANT_NAMES = {v: k for k, v in _VARIANTS.items()}
+
+
+class BloomFilter(Sketch):
+    TYPE_TAG = 1
+    HASH_KEYED = True
+
+    def __init__(self, num_bits: int, num_hashes: int, variant: str = "km64"):
+        if variant not in _VARIANTS:
+            raise ValueError(f"unknown probe variant {variant!r}")
+        m = max(64, next_power_of_two(num_bits))
+        if variant == "shift32" and m > (1 << 32):
+            raise ValueError("shift32 variant caps num_bits at 2^32 "
+                             "(reference Mutable.hs:96-101); use km64")
+        if num_hashes < 1:
+            raise ValueError("num_hashes must be >= 1")
+        self.num_bits = m
+        self.num_hashes = num_hashes
+        self.variant = variant
+        self.mask = m - 1
+        self.words = np.zeros(m // 64, dtype=U64)
+
+    @classmethod
+    def for_capacity(cls, capacity: int, fpr: float, variant: str = "km64") -> "BloomFilter":
+        m, k = suggest_sizing(capacity, fpr)
+        return cls(m, k, variant=variant)
+
+    # --- kernel ---------------------------------------------------------
+    def _probes(self, hashes: np.ndarray) -> np.ndarray:
+        if self.variant == "km64":
+            return km_probes(hashes, self.num_hashes, self.mask)
+        return km_probes_shift32(hashes, self.num_hashes, self.mask)
+
+    def update(self, hashes: np.ndarray) -> None:
+        """Insert a batch of pre-hashed uint64 keys (MB.insert equivalent,
+        batched: Mutable.hs:123-128)."""
+        h = np.ascontiguousarray(hashes, dtype=U64)
+        if h.size == 0:
+            return
+        or_into_bits(self.words, self._probes(h))
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership (elem equivalent, BloomFilter.hs:192-194).
+        Returns bool array; no false negatives."""
+        h = np.ascontiguousarray(hashes, dtype=U64)
+        if h.size == 0:
+            return np.zeros(0, dtype=bool)
+        return test_bits(self.words, self._probes(h))
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        """Union = bitwise OR; requires identical geometry (m, k, variant)."""
+        self._check_geometry(other)
+        np.bitwise_or(self.words, other.words, out=self.words)
+        return self
+
+    def intersect(self, other: "BloomFilter") -> "BloomFilter":
+        self._check_geometry(other)
+        np.bitwise_and(self.words, other.words, out=self.words)
+        return self
+
+    def _check_geometry(self, other: "BloomFilter") -> None:
+        if (self.num_bits, self.num_hashes, self.variant) != (
+                other.num_bits, other.num_hashes, other.variant):
+            raise ValueError("geometry mismatch: cannot merge bloom filters")
+
+    # --- stats ----------------------------------------------------------
+    def bit_count(self) -> int:
+        """Number of set bits (for load-factor / cardinality estimation)."""
+        return int(np.bitwise_count(self.words).sum()) if hasattr(np, "bitwise_count") \
+            else int(sum(bin(int(w)).count("1") for w in self.words))
+
+    def approx_cardinality(self) -> float:
+        """Swamidass–Baldi estimate: n ≈ -(m/k) ln(1 - X/m)."""
+        x = self.bit_count()
+        m, k = self.num_bits, self.num_hashes
+        if x >= m:
+            return float("inf")
+        return -(m / k) * np.log1p(-x / m)
+
+    def __len__(self) -> int:
+        """Size in bits (B.length, BloomFilter.hs:261-262)."""
+        return self.num_bits
+
+    # --- serialization --------------------------------------------------
+    def _payload(self) -> tuple[bytes, bytes]:
+        params = struct.pack("<QIB", self.num_bits, self.num_hashes,
+                             _VARIANTS[self.variant])
+        if self.words.dtype.byteorder == ">":  # canonical LE
+            payload = self.words.byteswap().tobytes()
+        else:
+            payload = self.words.tobytes()
+        return params, payload
+
+    @classmethod
+    def _from_payload(cls, params: bytes, payload: bytes) -> "BloomFilter":
+        num_bits, num_hashes, var = struct.unpack("<QIB", params)
+        f = cls(num_bits, num_hashes, variant=_VARIANT_NAMES[var])
+        f.words = np.frombuffer(payload, dtype="<u8").astype(U64, copy=True)
+        return f
+
+    def __repr__(self) -> str:
+        return (f"BloomFilter(m=2^{log2_power_of_two(self.num_bits)}, "
+                f"k={self.num_hashes}, variant={self.variant})")

@@ -1,0 +1,99 @@
+"""Count–Min sketch (Cormode & Muthukrishnan 2005).
+
+State: d x w uint64 counter matrix. Update: row j increments column
+g_j(x) = (h1 + (j+1)*h2) mod w (Kirsch–Mitzenmacher row derivation from one
+base hash — same 2-inspection economy as the reference's probe scheme,
+Hash.hs:131-156). Point query: min over rows; overcount <= eps*N with
+probability 1-delta for w = ceil(e/eps), d = ceil(ln(1/delta)). Merge:
+elementwise add — associative/commutative, zeros identity.
+
+Weighted updates supported (counts column); update uses np.bincount per row
+(vectorized histogram), not per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from ..util import U64, splitmix64
+from .base import Sketch
+
+
+class CountMinSketch(Sketch):
+    TYPE_TAG = 3
+    HASH_KEYED = True
+
+    def __init__(self, width: int | None = None, depth: int | None = None,
+                 eps: float | None = None, delta: float | None = None):
+        if width is None:
+            eps = eps or 1e-4
+            width = math.ceil(math.e / eps)
+        if depth is None:
+            delta = delta or 0.01
+            depth = max(1, math.ceil(math.log(1.0 / delta)))
+        self.width = int(width)
+        self.depth = int(depth)
+        self.table = np.zeros((self.depth, self.width), dtype=np.uint64)
+        self.total = 0  # N, for eps*N bound reporting
+
+    def _row_indices(self, h: np.ndarray) -> np.ndarray:
+        """(d, n) column indices; one base hash inspected, rows derived."""
+        h1 = h
+        h2 = splitmix64(h) | U64(1)
+        j = np.arange(1, self.depth + 1, dtype=U64)[:, None]
+        with np.errstate(over="ignore"):
+            g = h1[None, :] + j * h2[None, :]
+        return (g % U64(self.width)).astype(np.int64)
+
+    def update(self, hashes: np.ndarray, counts: np.ndarray | None = None) -> None:
+        h = np.ascontiguousarray(hashes, dtype=U64)
+        if h.size == 0:
+            return
+        idx = self._row_indices(h)
+        if counts is None:
+            w = None
+            self.total += h.size
+        else:
+            w = np.ascontiguousarray(counts, dtype=np.float64)
+            self.total += int(w.sum())
+        for j in range(self.depth):
+            binc = np.bincount(idx[j], weights=w, minlength=self.width)
+            self.table[j] += binc.astype(np.uint64)
+
+    def query(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized point-frequency estimates (min over rows)."""
+        h = np.ascontiguousarray(hashes, dtype=U64)
+        if h.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        idx = self._row_indices(h)
+        ests = self.table[np.arange(self.depth)[:, None], idx]
+        return ests.min(axis=0).astype(np.int64)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (self.width, self.depth) != (other.width, other.depth):
+            raise ValueError("geometry mismatch: cannot merge CMS")
+        self.table += other.table
+        self.total += other.total
+        return self
+
+    def error_bound(self) -> float:
+        """eps*N additive overcount bound for the current stream length."""
+        return math.e / self.width * self.total
+
+    def _payload(self) -> tuple[bytes, bytes]:
+        params = struct.pack("<IIQ", self.width, self.depth, self.total)
+        return params, self.table.astype("<u8").tobytes()
+
+    @classmethod
+    def _from_payload(cls, params: bytes, payload: bytes) -> "CountMinSketch":
+        width, depth, total = struct.unpack("<IIQ", params)
+        s = cls(width=width, depth=depth)
+        s.table = np.frombuffer(payload, dtype="<u8").astype(np.uint64).reshape(depth, width)
+        s.total = total
+        return s
+
+    def __repr__(self) -> str:
+        return f"CountMinSketch(w={self.width}, d={self.depth}, N={self.total})"

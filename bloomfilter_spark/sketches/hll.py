@@ -1,0 +1,87 @@
+"""HyperLogLog distinct-count sketch (Flajolet et al. 2007, with the
+small-range linear-counting and 64-bit large-range handling of the HLL++
+paper, Heule et al. 2013 — bias table omitted, documented).
+
+State: 2^p uint8 registers. Update: reg[h >> (64-p)] = max(reg, rho) where
+rho = (leading zeros of the remaining 64-p bits) + 1. Merge: elementwise max
+— associative, commutative, idempotent; zero registers are the identity.
+Error: ±1.04/sqrt(2^p) relative std (≈0.81% at default p=14).
+
+Cross-checked in tests against Spark's approx_count_distinct and exact
+count(distinct) (SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..util import U64, clz64
+from .base import Sketch
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+class HyperLogLog(Sketch):
+    TYPE_TAG = 2
+    HASH_KEYED = True
+
+    def __init__(self, p: int = 14):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def update(self, hashes: np.ndarray) -> None:
+        h = np.ascontiguousarray(hashes, dtype=U64)
+        if h.size == 0:
+            return
+        idx = (h >> U64(64 - self.p)).astype(np.int64)
+        rest = h << U64(self.p)  # remaining 64-p bits, top-aligned
+        rho = np.minimum(clz64(rest) + 1, 64 - self.p + 1).astype(np.uint8)
+        # segment max per register: sort by idx, maximum.reduceat
+        order = np.argsort(idx, kind="stable")
+        idx_s = idx[order]
+        rho_s = rho[order]
+        starts = np.flatnonzero(np.concatenate(([True], idx_s[1:] != idx_s[:-1])))
+        seg_max = np.maximum.reduceat(rho_s, starts)
+        tgt = idx_s[starts]
+        self.registers[tgt] = np.maximum(self.registers[tgt], seg_max)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if self.p != other.p:
+            raise ValueError("precision mismatch: cannot merge HLL sketches")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        regs = self.registers.astype(np.float64)
+        raw = _alpha(self.m) * m * m / np.sum(np.exp2(-regs))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if raw <= 2.5 * m and zeros > 0:
+            return m * np.log(m / zeros)  # linear counting, small range
+        return float(raw)
+
+    def _payload(self) -> tuple[bytes, bytes]:
+        return struct.pack("<B", self.p), self.registers.tobytes()
+
+    @classmethod
+    def _from_payload(cls, params: bytes, payload: bytes) -> "HyperLogLog":
+        (p,) = struct.unpack("<B", params)
+        s = cls(p)
+        s.registers = np.frombuffer(payload, dtype=np.uint8).copy()
+        return s
+
+    def __repr__(self) -> str:
+        return f"HyperLogLog(p={self.p})"

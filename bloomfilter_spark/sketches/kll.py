@@ -1,0 +1,179 @@
+"""KLL quantile sketch (Karnin, Lang & Liberty 2016).
+
+State: a list of level buffers; items at level l carry weight 2^l. Level
+capacities shrink geometrically from the top: cap(l) = max(2, k * c^(H-1-l))
+with c = 2/3. When total size exceeds the capacity budget, the lowest
+over-full level is compacted: sort, keep every other item (offset chosen by
+a deterministic counter-seeded coin — SURVEY.md §7 hard parts (a): seeded so
+resume and associativity tests are stable), promote to the next level.
+
+Merge: concatenate levels pairwise, then compact to budget — associative in
+distribution; estimates invariant within the published +/- eps*n rank bound
+(eps ~ 1.7/k at default k=200). Query: gather (value, 2^level) pairs, sort,
+cumulative weight -> rank interpolation.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..util import splitmix64_scalar
+from .base import Sketch
+
+_C = 2.0 / 3.0
+
+
+class KLL(Sketch):
+    TYPE_TAG = 5
+    HASH_KEYED = False
+
+    def __init__(self, k: int = 200, seed: int = 0x9150A946):
+        self.k = int(k)
+        self.seed = int(seed)
+        self.levels: list[np.ndarray] = [np.zeros(0, dtype=np.float64)]
+        self.n = 0
+        self._compactions = 0
+
+    # --- capacity machinery --------------------------------------------
+    def _cap(self, level: int) -> int:
+        height = len(self.levels)
+        return max(2, int(np.ceil(self.k * _C ** (height - 1 - level))))
+
+    def _budget(self) -> int:
+        return sum(self._cap(l) for l in range(len(self.levels)))
+
+    def _size(self) -> int:
+        return sum(buf.size for buf in self.levels)
+
+    def _coin(self) -> int:
+        self._compactions += 1
+        return splitmix64_scalar(self.seed + self._compactions) & 1
+
+    def _compact_level(self, l: int) -> None:
+        """Sort level l, keep any odd item in place, promote every other item
+        of the even remainder (offset = deterministic coin) to level l+1."""
+        buf = np.sort(self.levels[l], kind="stable")
+        if buf.size % 2 == 1:
+            keep_here, buf = buf[-1:], buf[:-1]
+        else:
+            keep_here = np.zeros(0, dtype=np.float64)
+        promoted = buf[self._coin()::2]
+        self.levels[l] = keep_here
+        if l + 1 == len(self.levels):
+            self.levels.append(np.zeros(0, dtype=np.float64))
+        self.levels[l + 1] = np.concatenate([self.levels[l + 1], promoted])
+
+    def _compact_once(self) -> None:
+        for l in range(len(self.levels)):
+            if self.levels[l].size > self._cap(l) and self.levels[l].size >= 2:
+                self._compact_level(l)
+                return
+        # total over budget without a single over-cap level: compact largest
+        l = int(np.argmax([buf.size for buf in self.levels]))
+        if self.levels[l].size >= 2:
+            self._compact_level(l)
+
+    def _compress(self) -> None:
+        while self._size() > self._budget():
+            before = self._size()
+            self._compact_once()
+            if self._size() >= before:
+                break
+
+    def update(self, values: np.ndarray) -> None:
+        v = np.ascontiguousarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return
+        self.n += v.size
+        # feed level 0 in capacity-sized chunks so compaction cadence matches
+        # single-item insertion semantics
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+
+    def merge(self, other: "KLL") -> "KLL":
+        if self.k != other.k:
+            raise ValueError("k mismatch: cannot merge KLL sketches")
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.zeros(0, dtype=np.float64))
+        for l, buf in enumerate(other.levels):
+            if buf.size:
+                self.levels[l] = np.concatenate([self.levels[l], buf])
+        self.n += other.n
+        self._compactions = max(self._compactions, other._compactions)
+        self._compress()
+        return self
+
+    # --- queries --------------------------------------------------------
+    def _weighted_items(self) -> tuple[np.ndarray, np.ndarray]:
+        vals, wts = [], []
+        for l, buf in enumerate(self.levels):
+            if buf.size:
+                vals.append(buf)
+                wts.append(np.full(buf.size, float(1 << l)))
+        if not vals:
+            return np.zeros(0), np.zeros(0)
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def quantile(self, q) -> np.ndarray | float:
+        qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        v, w = self._weighted_items()
+        if v.size == 0:
+            out = np.full(qs.shape, np.nan)
+            return out if np.ndim(q) else float(out[0])
+        cum = np.cumsum(w)
+        total = cum[-1]
+        ranks = np.clip(qs, 0.0, 1.0) * total
+        idx = np.searchsorted(cum - w / 2.0, ranks, side="left")
+        idx = np.clip(idx, 0, v.size - 1)
+        out = v[idx]
+        return out if np.ndim(q) else float(out[0])
+
+    def rank(self, x) -> np.ndarray | float:
+        xs = np.atleast_1d(np.asarray(x, dtype=np.float64))
+        v, w = self._weighted_items()
+        if v.size == 0:
+            out = np.full(xs.shape, np.nan)
+            return out if np.ndim(x) else float(out[0])
+        cum = np.concatenate(([0.0], np.cumsum(w)))
+        idx = np.searchsorted(v, xs, side="right")
+        out = cum[idx] / cum[-1]
+        return out if np.ndim(x) else float(out[0])
+
+    def rank_error_bound(self) -> float:
+        """Published normalized rank error ~1.7/k for the KLL default profile."""
+        return 1.7 / self.k
+
+    # --- serialization --------------------------------------------------
+    def _payload(self) -> tuple[bytes, bytes]:
+        sizes = np.array([buf.size for buf in self.levels], dtype="<u4")
+        params = struct.pack("<IQQII", self.k, self.n, self._compactions,
+                             self.seed & 0xFFFFFFFF, len(self.levels))
+        payload = sizes.tobytes() + b"".join(
+            buf.astype("<f8").tobytes() for buf in self.levels)
+        return params, payload
+
+    @classmethod
+    def _from_payload(cls, params: bytes, payload: bytes) -> "KLL":
+        k, n, comps, seed, nlevels = struct.unpack("<IQQII", params)
+        s = cls(k, seed)
+        s.n = n
+        s._compactions = comps
+        sizes = np.frombuffer(payload[:4 * nlevels], dtype="<u4")
+        off = 4 * nlevels
+        s.levels = []
+        for sz in sizes:
+            s.levels.append(np.frombuffer(
+                payload[off:off + 8 * int(sz)], dtype="<f8").astype(np.float64))
+            off += 8 * int(sz)
+        if not s.levels:
+            s.levels = [np.zeros(0, dtype=np.float64)]
+        return s
+
+    def __repr__(self) -> str:
+        return f"KLL(k={self.k}, n={self.n}, levels={len(self.levels)})"

@@ -1,0 +1,282 @@
+"""Pure-numpy kernel properties (no Spark): the engine analogs of the
+reference's QuickCheck suite (/root/reference/tests/QC.hs) at the state
+level — zero false negatives, FPR bound, merge algebra, serialization
+round-trips, estimate bounds."""
+
+import numpy as np
+import pytest
+
+from bloomfilter_spark.sizing import suggest_sizing
+from bloomfilter_spark.sketches import (KLL, BloomFilter, CountMinSketch,
+                                        HyperLogLog, TDigest)
+from bloomfilter_spark.util import clz64, next_power_of_two, splitmix64, to_u64
+
+
+def hashes(rng, n):
+    return rng.integers(0, 2**63, n, dtype=np.int64).view(np.uint64)
+
+
+# --- util ----------------------------------------------------------------
+
+def test_next_power_of_two():
+    assert [next_power_of_two(n) for n in (1, 2, 3, 63, 64, 65, 1000)] == \
+        [1, 2, 4, 64, 64, 128, 1024]
+
+
+def test_clz64_exact():
+    xs = np.array([0, 1, 2, 3, 2**31, 2**32, 2**63, 2**64 - 1], dtype=np.uint64)
+    expected = [64, 63, 62, 62, 32, 31, 0, 0]
+    assert clz64(xs).tolist() == expected
+
+
+def test_splitmix_is_bijective_sample(rng):
+    x = hashes(rng, 10000)
+    assert len(np.unique(splitmix64(x))) == len(np.unique(x))
+
+
+# --- bloom ---------------------------------------------------------------
+
+@pytest.mark.parametrize("variant", ["km64", "shift32"])
+@pytest.mark.parametrize("fpr", [1e-6, 1e-3, 0.01, 0.1, 0.5])
+def test_bloom_prop_pai_and_fpr(rng, variant, fpr):
+    """prop_pai (QC.hs:17-18): every inserted key is found; and observed FPR
+    on a disjoint probe set stays within ~2x the configured bound."""
+    n = 20000
+    m, k = suggest_sizing(n, fpr)
+    if variant == "shift32" and k > 32:
+        pytest.skip("shift32 degenerates beyond k=32 by design")
+    bf = BloomFilter(m, k, variant=variant)
+    h = hashes(rng, n)
+    bf.update(h)
+    assert bf.contains(h).all()
+    probes = hashes(rng, 50000)
+    # exclude accidental collisions with inserted keys
+    probes = np.setdiff1d(probes, h)
+    observed = bf.contains(probes).mean()
+    assert observed <= max(fpr * 2.0, 5e-4)
+
+
+def test_bloom_merge_algebra(rng):
+    m, k = 1 << 16, 5
+    h = hashes(rng, 9000)
+    parts = np.array_split(h, 3)
+    sk = [BloomFilter(m, k) for _ in range(3)]
+    for s, p in zip(sk, parts):
+        s.update(p)
+    a, b, c = sk
+    left = a.copy().merge(b).merge(c)
+    right = a.copy().merge(b.copy().merge(c))
+    swapped = c.copy().merge(a).merge(b)
+    whole = BloomFilter(m, k)
+    whole.update(h)
+    for other in (right, swapped, whole):
+        assert (left.words == other.words).all()
+    ident = BloomFilter(m, k).merge(left)
+    assert (ident.words == left.words).all()
+
+
+def test_bloom_geometry_mismatch_raises():
+    with pytest.raises(ValueError):
+        BloomFilter(1 << 10, 3).merge(BloomFilter(1 << 11, 3))
+    with pytest.raises(ValueError):
+        BloomFilter(1 << 10, 3).merge(BloomFilter(1 << 10, 4))
+
+
+def test_bloom_serialization_roundtrip(rng):
+    bf = BloomFilter(1 << 12, 4)
+    bf.update(hashes(rng, 1000))
+    b2 = BloomFilter.from_bytes(bf.to_bytes())
+    assert (b2.words == bf.words).all()
+    assert (b2.num_bits, b2.num_hashes, b2.variant) == (bf.num_bits, bf.num_hashes, bf.variant)
+    assert bf.to_bytes() == b2.to_bytes()
+
+
+def test_bloom_empty_and_singleton(rng):
+    """empty (BloomFilter.hs:155-159) has nothing; singleton (165-170) has
+    exactly its element (plus FPR-rate accidents)."""
+    bf = BloomFilter(1 << 10, 3)
+    assert not bf.contains(hashes(rng, 100)).any() or bf.bit_count() == 0
+    one = hashes(rng, 1)
+    bf.update(one)
+    assert bf.contains(one).all()
+
+
+def test_bloom_update_batch_equals_incremental(rng):
+    """Batched update == sequence of single inserts (the fusion-rule law,
+    BloomFilter.hs:229-251: chains collapse to one build)."""
+    h = hashes(rng, 500)
+    a = BloomFilter(1 << 12, 5)
+    a.update(h)
+    b = BloomFilter(1 << 12, 5)
+    for x in h:
+        b.update(np.array([x], dtype=np.uint64))
+    assert (a.words == b.words).all()
+
+
+def test_bloom_shift32_reference_semantics(rng):
+    """shift32 probes mirror Hash.hs:149-156: h1=high32, h2=low32,
+    probe_i = h1 + (h2 >> i), masked."""
+    from bloomfilter_spark.util import km_probes_shift32
+    h = hashes(rng, 10)
+    k, mask = 4, (1 << 20) - 1
+    probes = km_probes_shift32(h, k, mask)
+    for j, hv in enumerate(h.tolist()):
+        h1, h2 = hv >> 32, hv & 0xFFFFFFFF
+        for i in range(k):
+            assert probes[i, j] == ((h1 + (h2 >> i)) & mask)
+
+
+# --- hll -----------------------------------------------------------------
+
+def test_hll_accuracy_and_merge(rng):
+    p = 14
+    vals = rng.integers(0, 300000, 1000000, dtype=np.int64)
+    exact = len(np.unique(vals))
+    h = splitmix64(vals.view(np.uint64))
+    full = HyperLogLog(p)
+    full.update(h)
+    rel = abs(full.estimate() - exact) / exact
+    assert rel < 3 * 1.04 / np.sqrt(2**p)
+    parts = np.array_split(h, 7)
+    merged = HyperLogLog(p)
+    for chunk in parts:
+        s = HyperLogLog(p)
+        s.update(chunk)
+        merged.merge(s)
+    assert (merged.registers == full.registers).all()  # byte-exact merge
+    r2 = HyperLogLog.from_bytes(full.to_bytes())
+    assert (r2.registers == full.registers).all()
+
+
+def test_hll_small_range_linear_counting(rng):
+    s = HyperLogLog(12)
+    vals = np.arange(50, dtype=np.uint64)
+    s.update(splitmix64(vals))
+    assert abs(s.estimate() - 50) <= 2
+
+
+# --- cms -----------------------------------------------------------------
+
+def test_cms_bounds_and_merge(rng):
+    keys = rng.zipf(1.5, 500000).astype(np.int64) % 10000
+    h = splitmix64(keys.view(np.uint64))
+    cms = CountMinSketch(eps=1e-4, delta=1e-3)
+    cms.update(h)
+    uk, cnt = np.unique(keys, return_counts=True)
+    est = cms.query(splitmix64(uk.view(np.uint64)))
+    assert (est >= cnt).all()  # never undercounts
+    assert (est - cnt <= cms.error_bound() * 2).all()
+    # byte-exact merge
+    parts = np.array_split(h, 5)
+    merged = CountMinSketch(width=cms.width, depth=cms.depth)
+    for chunk in parts:
+        s = CountMinSketch(width=cms.width, depth=cms.depth)
+        s.update(chunk)
+        merged.merge(s)
+    assert (merged.table == cms.table).all()
+    assert merged.total == cms.total
+    r2 = CountMinSketch.from_bytes(cms.to_bytes())
+    assert (r2.table == cms.table).all() and r2.total == cms.total
+
+
+def test_cms_weighted_updates(rng):
+    cms = CountMinSketch(eps=1e-4, delta=1e-3)
+    keys = np.arange(100, dtype=np.uint64)
+    h = splitmix64(keys)
+    w = rng.integers(1, 50, 100).astype(np.float64)
+    cms.update(h, w)
+    est = cms.query(h)
+    assert (est >= w.astype(np.int64)).all()
+    assert cms.total == int(w.sum())
+
+
+# --- tdigest -------------------------------------------------------------
+
+def test_tdigest_quantiles_and_merge(rng):
+    x = rng.lognormal(3.0, 1.0, 300000)
+    td = TDigest(200)
+    td.update(x)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        est = td.quantile(q)
+        true_rank = (x <= est).mean()
+        assert abs(true_rank - q) < 0.01, (q, true_rank)
+    parts = np.array_split(x, 9)
+    merged = TDigest(200)
+    for chunk in parts:
+        s = TDigest(200)
+        s.update(chunk)
+        merged.merge(s)
+    for q in (0.01, 0.5, 0.99):
+        true_rank = (x <= merged.quantile(q)).mean()
+        assert abs(true_rank - q) < 0.015, (q, true_rank)
+    assert abs(merged.total_weight - x.size) < 1e-6
+    r2 = TDigest.from_bytes(td.to_bytes())
+    assert abs(r2.quantile(0.5) - td.quantile(0.5)) < 1e-12
+
+
+def test_tdigest_monotone_and_extremes(rng):
+    x = rng.normal(0, 1, 50000)
+    td = TDigest(100)
+    td.update(x)
+    qs = np.linspace(0, 1, 101)
+    est = td.quantile(qs)
+    assert (np.diff(est) >= -1e-12).all()
+    assert est[0] == pytest.approx(x.min())
+    assert est[-1] == pytest.approx(x.max())
+
+
+# --- kll -----------------------------------------------------------------
+
+def test_kll_rank_bound_and_merge(rng):
+    x = rng.lognormal(3.0, 1.0, 300000)
+    k = 200
+    sk = KLL(k)
+    sk.update(x)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        est = sk.quantile(q)
+        true_rank = (x <= est).mean()
+        assert abs(true_rank - q) <= 3 * sk.rank_error_bound(), (q, true_rank)
+    assert sk.n == x.size
+    parts = np.array_split(x, 6)
+    merged = KLL(k)
+    for chunk in parts:
+        s = KLL(k)
+        s.update(chunk)
+        merged.merge(s)
+    assert merged.n == x.size
+    for q in (0.1, 0.5, 0.9):
+        true_rank = (x <= merged.quantile(q)).mean()
+        assert abs(true_rank - q) <= 4 * merged.rank_error_bound(), (q, true_rank)
+    r2 = KLL.from_bytes(sk.to_bytes())
+    assert r2.n == sk.n
+    assert abs(r2.quantile(0.5) - sk.quantile(0.5)) < 1e-12
+
+
+def test_kll_deterministic(rng):
+    x = rng.normal(0, 1, 100000)
+    a = KLL(128)
+    a.update(x)
+    b = KLL(128)
+    b.update(x)
+    assert a.to_bytes() == b.to_bytes()
+
+
+def test_kll_weight_conservation(rng):
+    x = rng.normal(0, 1, 12345)
+    sk = KLL(64)
+    sk.update(x)
+    _, w = sk._weighted_items()
+    # compaction conserves weight to within the odd-item promotions
+    assert abs(w.sum() - x.size) / x.size < 0.05
+
+
+# --- null / nan handling -------------------------------------------------
+
+def test_value_sketches_skip_nan(rng):
+    x = np.array([1.0, np.nan, 2.0, np.nan, 3.0])
+    td = TDigest(50)
+    td.update(x)
+    assert td.total_weight == 3
+    sk = KLL(64)
+    sk.update(x)
+    assert sk.n == 3
