@@ -1,38 +1,381 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship bloom-accelerated dedup/semijoin pipeline
+on sf0.001. ``queries()`` exposes one entry per implemented operator family
+(SURVEY.md §2 / §2.6 / §2.7); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for every exactly-SQL-expressible query. Sketch-estimate queries
+(HLL/CMS/KLL/t-digest point estimates) have no SQL oracle — the driver
+records rows-only checks; their accuracy-vs-exact assertions live in
+tests/ (test_spark_agg.py, test_kernels.py).
+
+Determinism notes for the value-hash comparison:
+- float aggregates are computed per-row in IEEE double then floored into
+  integer micro-units before summing, so Spark and DuckDB sum identical
+  integers in any order;
+- every computed column is aliased identically in both dialects;
+- ordered limits always carry a unique tie-break key.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: bloom-prefiltered semi-join + aggregation on sf0.001
+    (exercises scan -> JVM hash -> partial sketches -> two-level merge ->
+    broadcast membership -> exact verification -> aggregate)."""
+    return _q_bloom_semijoin_agg(spark, "/root/testdata/sf0.001")
 
+
+# --------------------------------------------------------------------------
+# exact, oracle-checked queries
+# --------------------------------------------------------------------------
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(c * 100).cast("long")  # noqa: E731
+    return (li.where(F.col("l_shipdate") <= F.lit("1997-09-01").cast("timestamp"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.count("*").alias("n_rows"),
+                   F.sum(cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+                   F.sum(cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+                   F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                    .alias("sum_disc_price_cents")))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("total_docs"),
+        F.countDistinct("text").alias("distinct_texts"),
+        (F.count("*") - F.countDistinct("text")).alias("dup_docs"))
+
+
+def _q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/case-normalized content dedup (normalized_fingerprint
+    semantics, expressed portably for the oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(norm.alias("norm_text")).agg(
+        F.count("*").alias("total_docs"),
+        F.countDistinct("norm_text").alias("distinct_normalized"))
+
+
+def _q_bloom_semijoin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomfilter_spark.operators import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    hi = orders.where(F.col("o_totalprice") > 150000)
+    joined = bloom_semi_join(li, hi, ["l_orderkey"], dim_on=["o_orderkey"])
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return joined.agg(F.count("*").alias("n_rows"),
+                      F.sum(cents).alias("revenue_cents"))
+
+
+def _q_bloom_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hard guarantee as an oracle-checked query: every
+    inserted key is found, so found == inserted exactly (prop_pai at table
+    scale; QC.hs:17-18)."""
+    from bloomfilter_spark.agg import build_sketch, with_membership
+    from bloomfilter_spark.sizing import suggest_sizing
+    from bloomfilter_spark.sketches import BloomFilter
+
+    li = _t(spark, sf_dir, "lineitem")
+    n = li.count()
+    m, k = suggest_sizing(n, 0.01)
+    bf = build_sketch(li, ["l_orderkey", "l_linenumber"], lambda: BloomFilter(m, k))
+    mem = with_membership(li, bf, ["l_orderkey", "l_linenumber"])
+    return mem.agg(F.count("*").alias("n_inserted"),
+                   F.sum(F.col("is_member").cast("long")).alias("n_found"))
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomfilter_spark.operators import exact_top_k
+    return exact_top_k(_t(spark, sf_dir, "events"), "event_type", 10)
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rnk", F.row_number().over(w))
+                  .where(F.col("rnk") <= 3)
+                  .select("o_orderpriority", "rnk", "o_orderkey",
+                          F.floor(F.col("o_totalprice") * 100).cast("long")
+                           .alias("price_cents")))
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomfilter_spark.functions import token_count
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum(token_count("text").cast("long")).alias("total_tokens"),
+                     F.sum("n_chars").alias("total_chars")))
+
+
+def _q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row quality ratios floored to integer micro-units before summing
+    (IEEE-stable across engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    length = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    micro = lambda c: F.floor(c * 1000000).cast("long")  # noqa: E731
+    safe_len = F.greatest(length, F.lit(1))
+    return (docs.groupBy("source")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum(micro(alpha / safe_len)).alias("alpha_micro_sum"),
+                     F.sum(micro(digit / safe_len)).alias("digit_micro_sum")))
+
+
+def _q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user session count with a 30-minute gap rule."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0))
+    return (flagged.groupBy("user_id")
+                   .agg(F.count("*").alias("n_events"),
+                        F.sum("new_session").alias("n_sessions")))
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 of the first 3 vectors against the corpus;
+    returns ranks only (cosine floats differ in last ulps across engines)."""
+    import numpy as np
+    from bloomfilter_spark.operators import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float32)
+    top = brute_force_topk(emb.where(F.col("vec_id") >= 3), "vec_id", "embedding",
+                           queries, k=5)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.select("query_id", "vec_id",
+                      F.row_number().over(w).alias("rnk"))
+
+
+# --------------------------------------------------------------------------
+# sketch-estimate queries (rows-only driver check; bounds asserted in tests)
+# --------------------------------------------------------------------------
+
+def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomfilter_spark.agg import grouped_sketch_df
+    from bloomfilter_spark.sketches import HyperLogLog
+    ev = _t(spark, sf_dir, "events")
+    return grouped_sketch_df(
+        ev, ["event_type"], ["user_id"], lambda: HyperLogLog(14),
+        {"approx_users": lambda s: float(s.estimate())}, salt=4)
+
+
+def _q_cms_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomfilter_spark.agg import build_sketch, with_cms_count
+    from bloomfilter_spark.sketches import CountMinSketch
+    ev = _t(spark, sf_dir, "events")
+    cms = build_sketch(ev, ["event_type"], lambda: CountMinSketch(eps=1e-4, delta=1e-3))
+    keys = ev.select("event_type").distinct()
+    return with_cms_count(keys, cms, ["event_type"], out_col="est_count")
+
+
+def _q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomfilter_spark.agg import build_sketch
+    from bloomfilter_spark.sketches import KLL
+    ev = _t(spark, sf_dir, "events")
+    sk = build_sketch(ev, ["value"], lambda: KLL(200))
+    rows = [(float(sk.quantile(0.5)), float(sk.quantile(0.9)), float(sk.quantile(0.99)))]
+    return spark.createDataFrame(rows, "q50 double, q90 double, q99 double")
+
+
+def _q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomfilter_spark.agg import build_sketch
+    from bloomfilter_spark.sketches import TDigest
+    li = _t(spark, sf_dir, "lineitem")
+    sk = build_sketch(li, ["l_extendedprice"], lambda: TDigest(200))
+    rows = [(float(sk.quantile(0.5)), float(sk.quantile(0.9)), float(sk.quantile(0.99)))]
+    return spark.createDataFrame(rows, "q50 double, q90 double, q99 double")
+
+
+def _q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed FPR on a provably-disjoint probe set (prefix-disjoint
+    keyspace, FIXTURES.md §2): observed <= configured bound."""
+    from bloomfilter_spark.agg import build_sketch, with_membership
+    from bloomfilter_spark.sizing import suggest_sizing
+    from bloomfilter_spark.sketches import BloomFilter
+
+    li = _t(spark, sf_dir, "lineitem")
+    keyed = li.select(F.concat(F.lit("key:"), "l_orderkey", F.lit(":"),
+                               "l_linenumber").alias("key"))
+    n = keyed.count()
+    m, k = suggest_sizing(n, 0.01)
+    bf = build_sketch(keyed, ["key"], lambda: BloomFilter(m, k))
+    probes = spark.range(100000).select(F.concat(F.lit("probe:"), "id").alias("key"))
+    hits = with_membership(probes, bf, ["key"])
+    return hits.agg(F.count("*").alias("n_probes"),
+                    F.sum(F.col("is_member").cast("long")).alias("false_positives"))
+
+
+def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomfilter_spark.operators import minhash_lsh_dedup
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5,
+                              num_perm=64, bands=16)
+    return pairs.agg(F.count("*").alias("n_neardup_pairs"))
+
+
+def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomfilter_spark.operators import simhash_near_dups
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
+    return pairs.agg(F.count("*").alias("n_neardup_pairs"))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomfilter_spark.functions import lang_id
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(lang_id("text").alias("guessed_lang"))
+                .groupBy("guessed_lang").agg(F.count("*").alias("n_docs")))
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": _q_pricing_summary,
+        "q02_dedup_exact": _q_dedup_exact,
+        "q03_bloom_semijoin_agg": _q_bloom_semijoin_agg,
+        "q04_bloom_zero_fn": _q_bloom_zero_fn,
+        "q05_heavy_hitters": _q_heavy_hitters,
+        "q06_topk_per_group": _q_topk_per_group,
+        "q07_token_stats": _q_token_stats,
+        "q08_quality_by_source": _q_quality_by_source,
+        "q09_sessionization": _q_sessionization,
+        "q10_fingerprint_dedup": _q_fingerprint_dedup,
+        "q11_ann_cosine_topk": _q_ann_cosine_topk,
+        "q20_hll_distinct_users": _q_hll_distinct_users,
+        "q21_cms_type_counts": _q_cms_type_counts,
+        "q22_kll_value_quantiles": _q_kll_value_quantiles,
+        "q23_tdigest_price_quantiles": _q_tdigest_price_quantiles,
+        "q24_bloom_fpr": _q_bloom_fpr,
+        "q25_minhash_neardup": _q_minhash_neardup,
+        "q26_simhash_neardup": _q_simhash_neardup,
+        "q27_lang_id": _q_lang_id,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # DuckDB's sum(BIGINT) returns HUGEINT (-> float64 in pandas); every sum
+    # is therefore wrapped in CAST(... AS BIGINT) to match Spark's long.
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_disc_price_cents
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1997-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_dedup_exact": """
+            SELECT count(*) AS total_docs,
+                   count(DISTINCT text) AS distinct_texts,
+                   count(*) - count(DISTINCT text) AS dup_docs
+            FROM documents
+        """,
+        "q03_bloom_semijoin_agg": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_totalprice > 150000)
+        """,
+        "q04_bloom_zero_fn": """
+            SELECT count(*) AS n_inserted, count(*) AS n_found FROM lineitem
+        """,
+        "q05_heavy_hitters": """
+            SELECT event_type, count(*) AS cnt
+            FROM events GROUP BY event_type
+            ORDER BY cnt DESC, event_type ASC LIMIT 10
+        """,
+        "q06_topk_per_group": """
+            SELECT o_orderpriority, rnk, o_orderkey, price_cents FROM (
+                SELECT o_orderpriority,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk,
+                       o_orderkey,
+                       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+                FROM orders)
+            WHERE rnk <= 3
+        """,
+        "q07_token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                            END) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "q08_quality_by_source": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CAST(floor(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                        / greatest(length(text), 1) * 1000000) AS BIGINT)) AS BIGINT) AS alpha_micro_sum,
+                   CAST(sum(CAST(floor(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                        / greatest(length(text), 1) * 1000000) AS BIGINT)) AS BIGINT) AS digit_micro_sum
+            FROM documents GROUP BY source
+        """,
+        "q09_sessionization": """
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions
+            FROM (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) GROUP BY user_id
+        """,
+        "q10_fingerprint_dedup": """
+            SELECT count(*) AS total_docs,
+                   count(DISTINCT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS distinct_normalized
+            FROM documents
+        """,
+        "q11_ann_cosine_topk": """
+            SELECT query_id, vec_id, rnk FROM (
+                SELECT CAST(q.vec_id AS INT) AS query_id, c.vec_id AS vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                    c.vec_id ASC) AS rnk
+                FROM embeddings q CROSS JOIN embeddings c
+                WHERE q.vec_id < 3 AND c.vec_id >= 3)
+            WHERE rnk <= 5
+        """,
+    }
+
+if __name__ == "__main__":
+    from bloomfilter_spark.config import get_spark
+    s = get_spark(cores=8)
+    entry(s).show()
+    s.stop()

@@ -1,0 +1,113 @@
+"""Benchmark harness.
+
+Runs the flagship sketch builds over the deterministic synthetic transcript
+corpus (FIXTURES.md §1; size scaled to the sf of $SPARK_GRAFT_SF_DIR) plus
+the headline oracle queries on the driver-provided tables, then prints ONE
+JSON line:
+
+  {"metric": "sketch_build_turns_per_sec", "value": N, "unit": "turns/sec",
+   "queries": {name: seconds, ...}, "sf": 0.1, ...}
+
+Environment:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  SPARK_GRAFT_TURNS    override transcript row count
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q01_pricing_summary", "q02_dedup_exact", "q03_bloom_semijoin_agg",
+    "q05_heavy_hitters", "q09_sessionization", "q11_ann_cosine_topk",
+    "q20_hll_distinct_users", "q21_cms_type_counts", "q22_kll_value_quantiles",
+    "q25_minhash_neardup",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    n_turns = int(os.environ.get("SPARK_GRAFT_TURNS", str(int(10_000_000 * sf))))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from bloomfilter_spark.agg import build_sketch
+    from bloomfilter_spark.config import get_spark
+    from bloomfilter_spark.sizing import suggest_sizing
+    from bloomfilter_spark.sketches import KLL, BloomFilter, CountMinSketch, HyperLogLog
+    from bloomfilter_spark.sources.transcripts import load_transcripts
+
+    spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
+
+    tr = load_transcripts(spark, n_turns, partitions=cores * 2)
+    tr = tr.persist()
+    n_actual = tr.count()  # materialize cache so builds measure compute, not gen
+
+    # warm up the Python worker pool (full kernel code path: worker spawn,
+    # module imports, Arrow round-trip) so timings measure steady-state
+    # throughput, not interpreter startup
+    warm = spark.range(cores * 64).repartition(cores * 2)
+    build_sketch(warm, ["id"], lambda: BloomFilter(1 << 10, 3))
+
+    timings: dict[str, float] = {}
+
+    # flagship: Bloom over (conv_id, text) — the "seen this turn before?" set
+    m, k = suggest_sizing(n_actual, 0.01)
+    t0 = time.time()
+    bf = build_sketch(tr, ["conv_id", "text"], lambda: BloomFilter(m, k))
+    t_bloom = time.time() - t0
+    timings["build_bloom"] = round(t_bloom, 3)
+    assert bf.bit_count() > 0
+
+    t0 = time.time()
+    hll = build_sketch(tr, ["conv_id"], lambda: HyperLogLog(14))
+    timings["build_hll"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    build_sketch(tr, ["tool"], lambda: CountMinSketch(eps=1e-4, delta=1e-3))
+    timings["build_cms"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    build_sketch(tr.select(F.length("text").alias("len")), ["len"], lambda: KLL(200))
+    timings["build_kll"] = round(time.time() - t0, 3)
+    tr.unpersist()
+
+    qs = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    spark.stop()
+
+    total_sketch = sum(timings[k] for k in
+                       ("build_bloom", "build_hll", "build_cms", "build_kll"))
+    result = {
+        "metric": "sketch_build_turns_per_sec",
+        "value": round(n_actual / t_bloom, 1),
+        "unit": "turns/sec",
+        "queries": timings,
+        "sf": sf,
+        "n_turns": n_actual,
+        "cores": cores,
+        "hll_estimate_convs": round(hll.estimate(), 1),
+        "all_sketches_turns_per_sec": round(4 * n_actual / total_sketch, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Text-analysis column functions for large-scale corpus pipelines.
+
+Everything that can be a Catalyst expression is one (JVM-side, whole-stage
+codegen — token counts, quality ratios, fingerprints); language-ID is a
+vectorized pandas UDF (marker-word counting via pandas str ops, no per-row
+Python loops).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, functions as F
+
+from ..config import DEFAULT_SEED
+
+# --- token counting (JVM-side) -------------------------------------------
+
+def token_count(col) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+")))
+
+
+def word_token_count(col) -> Column:
+    """BPE-ish token proxy: count of letter/digit runs plus standalone
+    punctuation marks (closer to subword tokenizer output than whitespace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.regexp_replace(c, r"[^\p{L}\p{N}]+", " ")), r"\s+")))
+    punct = F.length(F.regexp_replace(c, r"[\p{L}\p{N}\s]", ""))
+    return (words + punct).cast("int")
+
+
+# --- quality scoring (JVM-side) ------------------------------------------
+
+def alpha_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(F.regexp_replace(c, r"[^a-zA-Z]", "")) /
+            F.greatest(F.length(c), F.lit(1))).cast("double")
+
+
+def digit_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(F.regexp_replace(c, r"[^0-9]", "")) /
+            F.greatest(F.length(c), F.lit(1))).cast("double")
+
+
+def punct_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", "")) /
+            F.greatest(F.length(c), F.lit(1))).cast("double")
+
+
+def mean_word_length(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(F.regexp_replace(c, r"\s+", "")) /
+            F.greatest(token_count(c), F.lit(1))).cast("double")
+
+
+def quality_score(col) -> Column:
+    """Heuristic [0,1] document quality: favors alphabetic text of sane
+    length with moderate punctuation (C4/Gopher-style length+symbol rules,
+    public recipe)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c)
+    len_ok = F.when((n >= 5) & (n <= 100000), F.lit(1.0)).otherwise(F.lit(0.2))
+    mwl = mean_word_length(c)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    score = (0.4 * alpha_ratio(c) + 0.2 * (1.0 - punct_ratio(c))
+             + 0.2 * len_ok + 0.2 * mwl_ok)
+    return F.round(score, 6).cast("double")
+
+
+# --- fingerprinting (JVM-side) -------------------------------------------
+
+def normalized_fingerprint(col, seed: int = DEFAULT_SEED) -> Column:
+    """64-bit content fingerprint invariant to case and whitespace runs —
+    the exact-dedup key for 'same document modulo formatting'."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.xxhash64(F.lit(seed), normalized)
+
+
+# --- language ID (vectorized pandas UDF) ---------------------------------
+
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " to ", " is ", " in ", " that "],
+    "de": [" der ", " die ", " und ", " ist ", " das ", " nicht ", " ein "],
+    "fr": [" le ", " la ", " et ", " les ", " des ", " est ", " une "],
+    "es": [" el ", " la ", " los ", " que ", " y ", " es ", " una "],
+    "it": [" il ", " di ", " che ", " la ", " per ", " sono ", " una "],
+    "pt": [" o ", " de ", " que ", " do ", " da ", " em ", " uma "],
+    "nl": [" de ", " het ", " een ", " van ", " en ", " niet ", " dat "],
+}
+
+
+def _lang_id_batch(texts: pd.Series) -> pd.Series:
+    """N-gram-marker language guesser: counts per-language stopword markers
+    with vectorized str.count, argmax wins; 'und' (undetermined) when no
+    marker fires."""
+    padded = (" " + texts.fillna("").str.lower()
+              .str.replace(r"[^\w\s]", " ", regex=True)
+              .str.replace(r"\s+", " ", regex=True) + " ")
+    best_lang = pd.Series(["und"] * len(texts), index=texts.index)
+    best_score = pd.Series([0] * len(texts), index=texts.index)
+    for lang, markers in _LANG_MARKERS.items():
+        score = sum(padded.str.count(m.replace(" ", r"\s")) for m in markers)
+        better = score > best_score
+        best_lang = best_lang.where(~better, lang)
+        best_score = best_score.where(~better, score)
+    return best_lang
+
+
+_LANG_ID_UDF = None
+
+
+def lang_id(col) -> Column:
+    """Language-ID column (vectorized pandas UDF; built lazily because
+    pandas_udf needs an active SparkSession)."""
+    global _LANG_ID_UDF
+    if _LANG_ID_UDF is None:
+        _LANG_ID_UDF = F.pandas_udf(_lang_id_batch, "string")
+    c = F.col(col) if isinstance(col, str) else col
+    return _LANG_ID_UDF(c)

@@ -1,0 +1,18 @@
+from .dedup import (dedup_exact, minhash_lsh_candidates, minhash_lsh_dedup,
+                    minhash_signatures, ngram_jaccard_pairs,
+                    simhash_near_dups, simhash_signatures)
+from .quantiles import grouped_quantiles, quantiles
+from .semijoin import (bloom_anti_join, bloom_prefilter, bloom_semi_join,
+                       build_key_bloom)
+from .similarity import (brute_force_topk, embedding_near_dups,
+                         hyperplane_signatures, lsh_ann_topk)
+from .topk import cms_heavy_hitters, exact_top_k, top_k_per_group
+
+__all__ = [
+    "dedup_exact", "minhash_signatures", "minhash_lsh_candidates",
+    "minhash_lsh_dedup", "simhash_signatures", "simhash_near_dups",
+    "ngram_jaccard_pairs", "quantiles", "grouped_quantiles",
+    "bloom_semi_join", "bloom_anti_join", "bloom_prefilter", "build_key_bloom",
+    "brute_force_topk", "lsh_ann_topk", "hyperplane_signatures",
+    "embedding_near_dups", "exact_top_k", "top_k_per_group", "cms_heavy_hitters",
+]

@@ -1,0 +1,75 @@
+"""Heavy hitters and top-k operators.
+
+Exact top-k by key is a partial-aggregated groupBy + ordered limit (shuffle
+carries one row per distinct key, not per input row — map-side combine is
+free from Catalyst). The CMS variant answers the same question with O(d*w)
+state when the key space itself is too large to shuffle: per-partition
+candidate top-k (bounded) + a merged CMS to score candidates.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..agg import build_sketch, with_cms_count
+from ..config import DEFAULT_SEED
+from ..sketches.cms import CountMinSketch
+
+
+def exact_top_k(df: DataFrame, key_cols, k: int, weight_col=None) -> DataFrame:
+    """Exact heavy hitters: groupBy(keys) count/sum, ordered limit with a
+    deterministic key tie-break."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    agg = (F.count("*") if weight_col is None else
+           F.sum(weight_col).cast("long")).alias("cnt")
+    out = df.groupBy(*keys).agg(agg)
+    return out.orderBy(F.desc("cnt"), *[F.asc(c) for c in keys]).limit(k)
+
+
+def top_k_per_group(df: DataFrame, group_cols, order_col, k: int,
+                    ascending: bool = False) -> DataFrame:
+    """Top-k rows per group via ranked window (common OLAP pattern)."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    order = F.asc(order_col) if ascending else F.desc(order_col)
+    w = Window.partitionBy(*groups).orderBy(order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= k).drop("__rn"))
+
+
+def cms_heavy_hitters(df: DataFrame, key_cols, k: int,
+                      candidates_per_partition: int = 256,
+                      eps: float = 1e-4, delta: float = 1e-3,
+                      seed: int = DEFAULT_SEED) -> DataFrame:
+    """Approximate heavy hitters at unbounded key cardinality.
+
+    1. per-partition exact local top candidates (bounded memory, mapInPandas)
+    2. global CMS over the full stream (two-level merged)
+    3. estimate candidate frequencies from the CMS, take global top-k.
+
+    A true global heavy hitter is a local heavy hitter in at least one
+    partition at this candidate width, so the candidate union covers the
+    answer with high probability; CMS never undercounts, so ranking errs
+    only by eps*N overcounts.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    keyed = df.select(F.concat_ws("\x1f", *keys).alias("key")).where(
+        F.col("key").isNotNull())
+
+    cms = build_sketch(keyed, ["key"], lambda: CountMinSketch(eps=eps, delta=delta),
+                       seed=seed)
+
+    def local_candidates(it: Iterable[pd.DataFrame]):
+        counts: dict[str, int] = {}
+        for pdf in it:
+            vc = pdf["key"].value_counts()
+            for key, c in vc.items():
+                counts[key] = counts.get(key, 0) + int(c)
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:candidates_per_partition]
+        yield pd.DataFrame({"key": [t[0] for t in top]})
+
+    cands = keyed.mapInPandas(local_candidates, schema="key string").distinct()
+    scored = with_cms_count(cands, cms, ["key"], out_col="est_cnt", seed=seed)
+    return scored.orderBy(F.desc("est_cnt"), F.asc("key")).limit(k)
