@@ -1,0 +1,230 @@
+"""Operator correctness: bloom joins vs exact joins, heavy hitters, dedup
+family, similarity search, text functions — all compared against exact
+Spark/DataFrame answers on the driver-provided tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloomfilter_spark.operators import (bloom_anti_join, bloom_semi_join,
+                                         brute_force_topk, cms_heavy_hitters,
+                                         dedup_exact, embedding_near_dups,
+                                         exact_top_k, lsh_ann_topk,
+                                         minhash_lsh_dedup, minhash_signatures,
+                                         ngram_jaccard_pairs, simhash_near_dups,
+                                         top_k_per_group)
+from bloomfilter_spark.functions import (alpha_ratio, lang_id,
+                                         normalized_fingerprint, quality_score,
+                                         token_count, word_token_count)
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- bloom joins ---------------------------------------------------------
+
+def test_bloom_semi_join_exact(spark, lineitem, orders):
+    hi = orders.where("o_totalprice > 200000")
+    got = bloom_semi_join(lineitem, hi, ["l_orderkey"], dim_on=["o_orderkey"])
+    want = lineitem.join(hi.select("o_orderkey").distinct(),
+                         lineitem.l_orderkey == hi.o_orderkey, "left_semi")
+    assert got.count() == want.count()
+    assert got.select(F.sum("l_orderkey")).first()[0] == \
+        want.select(F.sum("l_orderkey")).first()[0]
+
+
+def test_bloom_anti_join_exact(spark, lineitem, orders):
+    hi = orders.where("o_totalprice > 200000")
+    got = bloom_anti_join(lineitem, hi, ["l_orderkey"], dim_on=["o_orderkey"])
+    want = lineitem.join(hi.select("o_orderkey").distinct(),
+                         lineitem.l_orderkey == hi.o_orderkey, "left_anti")
+    assert got.count() == want.count()
+
+
+def test_bloom_semi_join_approximate_superset(spark, lineitem, orders):
+    """exact=False keeps all true matches (zero FN) plus <= fpr extras."""
+    hi = orders.where("o_totalprice > 200000")
+    approx = bloom_semi_join(lineitem, hi, ["l_orderkey"], dim_on=["o_orderkey"],
+                             exact=False, fpr=0.01)
+    exact = bloom_semi_join(lineitem, hi, ["l_orderkey"], dim_on=["o_orderkey"])
+    n_approx, n_exact, n_all = approx.count(), exact.count(), lineitem.count()
+    assert n_exact <= n_approx <= n_exact + int(0.05 * n_all) + 10
+
+
+# --- heavy hitters -------------------------------------------------------
+
+def test_exact_vs_cms_heavy_hitters(spark, events):
+    exact = [(r["event_type"], r["cnt"]) for r in
+             exact_top_k(events, "event_type", 5).collect()]
+    approx = [(r["key"], r["est_cnt"]) for r in
+              cms_heavy_hitters(events, "event_type", 5).collect()]
+    # small key space: CMS recovers the exact ranking and counts match
+    assert [k for k, _ in exact] == [k for k, _ in approx]
+    for (ek, ec), (ak, ac) in zip(exact, approx):
+        assert ac >= ec
+        assert ac - ec <= max(1, int(0.01 * ec) + 20)
+
+
+def test_top_k_per_group(spark, orders):
+    got = top_k_per_group(orders, "o_orderpriority", "o_totalprice", 2)
+    counts = got.groupBy("o_orderpriority").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+    max_by_group = {r["o_orderpriority"]: r["mx"] for r in
+                    orders.groupBy("o_orderpriority")
+                          .agg(F.max("o_totalprice").alias("mx")).collect()}
+    got_max = {r["o_orderpriority"]: r["mx"] for r in
+               got.groupBy("o_orderpriority")
+                  .agg(F.max("o_totalprice").alias("mx")).collect()}
+    assert got_max == max_by_group
+
+
+# --- dedup ---------------------------------------------------------------
+
+def test_dedup_exact_deterministic(spark, documents):
+    with_dups = documents.unionByName(documents.limit(50))
+    deduped = dedup_exact(with_dups, ["doc_id"], order_cols=["doc_id"])
+    assert deduped.count() == documents.count()
+
+
+def test_minhash_finds_injected_near_dups(spark, documents):
+    """Append lightly-mutated copies of 20 docs; LSH must pair each mutant
+    with its source at high estimated jaccard."""
+    base = documents.limit(20)
+    mutated = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xyzzy")).alias("text"))
+    corpus = documents.select("doc_id", "text").unionByName(mutated)
+    pairs = minhash_lsh_dedup(corpus, "doc_id", "text", threshold=0.5,
+                              num_perm=128, bands=32)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = {(r["doc_id"], r["doc_id"] + 100000) for r in base.collect()}
+    hit = sum(1 for p in want if p in found)
+    assert hit >= len(want) * 0.8, f"only {hit}/{len(want)} near-dup pairs found"
+
+
+def test_minhash_jaccard_estimate_calibrated(spark):
+    """Identical docs -> est ~1.0; disjoint docs -> est ~0."""
+    rows = [(1, "the quick brown fox jumps over the lazy dog " * 5),
+            (2, "the quick brown fox jumps over the lazy dog " * 5),
+            (3, "entirely different content with no overlap whatsoever " * 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", num_perm=128)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    from bloomfilter_spark.operators.dedup import minhash_jaccard_estimates
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in minhash_jaccard_estimates(sigs, pairs, "doc_id").collect()}
+    assert est[(1, 2)] == 1.0
+    assert est[(1, 3)] < 0.2
+
+
+def test_simhash_identical_and_mutated(spark, documents):
+    base = documents.limit(10)
+    mutated = base.select((F.col("doc_id") + 100000).alias("doc_id"),
+                          F.concat(F.col("text"), F.lit(" zz")).alias("text"))
+    corpus = documents.select("doc_id", "text").unionByName(mutated)
+    pairs = simhash_near_dups(corpus, "doc_id", "text", max_hamming=6)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = {(r["doc_id"], r["doc_id"] + 100000) for r in base.collect()}
+    hit = sum(1 for p in want if p in found)
+    assert hit >= 8, f"only {hit}/10 simhash near-dups found"
+
+
+def test_ngram_jaccard_exact_values(spark):
+    rows = [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, pairs, "doc_id", "text", n=2).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.0
+
+
+# --- similarity ----------------------------------------------------------
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    corpus = embeddings.toPandas()
+    mat = np.vstack([np.asarray(v, dtype=np.float32) for v in corpus["embedding"]])
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    queries = mat[:2]
+    sims = (matn @ (queries / np.linalg.norm(queries, axis=1, keepdims=True)).T)
+    ids = corpus["vec_id"].to_numpy()
+    got = brute_force_topk(embeddings, "vec_id", "embedding", queries, k=5)
+    for qid in (0, 1):
+        want_order = ids[np.lexsort((ids, -sims[:, qid]))][:5].tolist()
+        got_ids = [r["vec_id"] for r in
+                   got.where(F.col("query_id") == qid).orderBy(F.desc("cosine"),
+                                                               F.asc("vec_id")).collect()]
+        assert got_ids == want_order
+
+
+def test_lsh_ann_recall(spark, embeddings):
+    corpus = embeddings.limit(300)
+    pdf = corpus.toPandas()
+    queries = np.vstack([np.asarray(v, dtype=np.float32)
+                         for v in pdf["embedding"][:3]])
+    exact = brute_force_topk(corpus, "vec_id", "embedding", queries, k=3)
+    exact_ids = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ann = lsh_ann_topk(corpus, "vec_id", "embedding", queries, k=3,
+                       n_bits=6, n_tables=8)
+    ann_ids = {(r["query_id"], r["vec_id"]) for r in ann.collect()}
+    recall = len(exact_ids & ann_ids) / len(exact_ids)
+    assert recall >= 0.5, f"ANN recall {recall}"
+
+
+def test_embedding_near_dups_finds_duplicates(spark, embeddings):
+    dup = embeddings.limit(5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    corpus = embeddings.unionByName(dup)
+    pairs = embedding_near_dups(corpus, "vec_id", "embedding",
+                                threshold=0.999, n_bits=8)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = {(r["vec_id"], r["vec_id"] + 100000) for r in embeddings.limit(5).collect()}
+    assert want <= found
+
+
+# --- text functions ------------------------------------------------------
+
+def test_token_count_edge_cases(spark):
+    rows = [("",), ("   ",), ("one",), ("two words",), ("a  b   c",), (None,)]
+    df = spark.createDataFrame(rows, "t string")
+    got = df.select(token_count("t").alias("n")).collect()
+    assert [r["n"] for r in got] == [0, 0, 1, 2, 3, None]
+
+
+def test_word_token_count_counts_punct(spark):
+    df = spark.createDataFrame([("hello, world!",), ("abc",)], "t string")
+    got = [r["n"] for r in df.select(word_token_count("t").alias("n")).collect()]
+    assert got == [4, 1]  # hello , world !
+
+
+def test_quality_score_ranges(spark, documents):
+    scores = documents.select(quality_score("text").alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")).first()
+    assert 0.0 <= scores["lo"] <= scores["hi"] <= 1.0
+
+
+def test_normalized_fingerprint_invariance(spark):
+    rows = [("Hello   World",), ("hello world",), ("HELLO\tWORLD",),
+            ("different text",)]
+    df = spark.createDataFrame(rows, "t string")
+    fps = [r["fp"] for r in df.select(normalized_fingerprint("t").alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+    assert fps[3] != fps[0]
+
+
+def test_lang_id_detects_major_languages(spark):
+    rows = [("the cat is on the mat and the dog is in the house",),
+            ("der Hund ist nicht in das Haus und die Katze ist da",),
+            ("le chat est dans la maison et les chiens sont là",),
+            ("xqzt blorp fnord",)]
+    df = spark.createDataFrame(rows, "t string")
+    got = [r["l"] for r in df.select(lang_id("t").alias("l")).collect()]
+    assert got[0] == "en" and got[1] == "de" and got[2] == "fr"
+    assert got[3] == "und"
