@@ -1,0 +1,106 @@
+"""Structured Streaming sketch accumulation.
+
+Two patterns (SURVEY.md §2.6 streaming row):
+
+1. ``SketchAccumulator`` — foreachBatch: every micro-batch is folded into a
+   running sketch with the same two-level batch topology (merge is
+   associative, so batch boundaries are invisible — the streaming analog of
+   the chunking-invariance property, QC.hs:52-60). State is persisted per
+   epoch for exactly-once-ish resume.
+
+2. ``stateful_grouped_hll`` — applyInPandasWithState: one serialized HLL
+   per key held in Spark's state store; emits (key, approx_distinct,
+   n_updates) in update mode. Watermark-compatible: pass an event-time
+   watermarked stream for bounded state.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..agg import build_sketch
+from ..config import DEFAULT_SEED
+from ..sketches.base import Sketch
+from ..sketches.hll import HyperLogLog
+from ..util import to_u64
+
+
+class SketchAccumulator:
+    """Fold a stream into one sketch via foreachBatch.
+
+    >>> acc = SketchAccumulator(["conv_id", "text"], lambda: BloomFilter(m, k))
+    >>> q = stream.writeStream.foreachBatch(acc).start()
+    """
+
+    def __init__(self, cols, factory: Callable[[], Sketch],
+                 seed: int = DEFAULT_SEED, state_dir: str | None = None):
+        self.cols = cols
+        self.factory = factory
+        self.seed = seed
+        self.state_dir = state_dir
+        self.sketch = factory()
+        self.batches_seen: set[int] = set()
+        if state_dir:
+            os.makedirs(state_dir, exist_ok=True)
+            self._restore()
+
+    def _state_path(self) -> str:
+        return os.path.join(self.state_dir, "sketch_state.bin")
+
+    def _restore(self) -> None:
+        path = self._state_path()
+        if os.path.exists(path):
+            with open(path, "rb") as fh:
+                self.sketch = type(self.factory()).from_bytes(fh.read())
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in self.batches_seen:  # replayed epoch: merge is
+            return                         # idempotent for Bloom/HLL anyway
+        part = build_sketch(batch_df, self.cols, self.factory, seed=self.seed)
+        self.sketch.merge(part)
+        self.batches_seen.add(epoch_id)
+        if self.state_dir:
+            tmp = self._state_path() + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(self.sketch.to_bytes())
+            os.replace(tmp, self._state_path())
+
+
+def stateful_grouped_hll(stream_df: DataFrame, key_col: str, value_col: str,
+                         p: int = 12, seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-key running approx-distinct over a stream: HLL state per key in
+    the state store, updated vectorized per batch-group."""
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("approx_distinct", T.DoubleType()),
+        T.StructField("n_updates", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("registers", T.BinaryType()),
+        T.StructField("n_updates", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        sk = HyperLogLog(p)
+        n = 0
+        if state.exists:
+            regs, n = state.get
+            sk.registers = __import__("numpy").frombuffer(regs, dtype="uint8").copy()
+        for pdf in pdfs:
+            hashed = pd.util.hash_array(pdf[value_col].astype(str).to_numpy(dtype=object))
+            sk.update(to_u64(hashed.astype("int64")))
+            n += len(pdf)
+        state.update((sk.registers.tobytes(), n))
+        yield pd.DataFrame({key_col: [key[0]], "approx_distinct": [sk.estimate()],
+                            "n_updates": [n]})
+
+    hashed = stream_df.select(F.col(key_col).cast("string").alias(key_col),
+                              F.col(value_col))
+    return (hashed.groupBy(key_col)
+                  .applyInPandasWithState(fn, out_schema, state_schema,
+                                          "update", GroupStateTimeout.NoTimeout))

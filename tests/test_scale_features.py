@@ -1,0 +1,174 @@
+"""Scale-path features: sharded bloom (beyond-broadcast filters), scalable
+bloom (unknown capacity), streaming accumulation, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloomfilter_spark.operators.sharded import (build_sharded_bloom,
+                                                 shard_geometry,
+                                                 sharded_membership)
+from bloomfilter_spark.sketches.scalable import ScalableBloomFilter
+from bloomfilter_spark.util import splitmix64
+
+
+# --- sharded bloom -------------------------------------------------------
+
+def test_shard_geometry_preserves_total_bits():
+    m_shard, k = shard_geometry(100000, 0.01, 16)
+    assert m_shard * 16 >= 1048576  # total >= sized m
+    assert k == 7
+
+
+def test_sharded_bloom_zero_fn_and_fpr(spark, lineitem):
+    n = lineitem.count()
+    shards = build_sharded_bloom(lineitem, ["l_orderkey", "l_linenumber"],
+                                 capacity=n, fpr=0.01, n_shards=8).persist()
+    assert shards.count() == 8
+    mem = sharded_membership(lineitem, shards, ["l_orderkey", "l_linenumber"])
+    assert mem.where(~F.col("is_member")).count() == 0  # zero false negatives
+    probes = spark.range(50000).select(
+        F.concat(F.lit("absent:"), "id").alias("l_orderkey"),
+        F.lit(1).alias("l_linenumber"))
+    fp = sharded_membership(probes, shards, ["l_orderkey", "l_linenumber"]) \
+        .where("is_member").count()
+    assert fp / 50000 <= 0.02
+    shards.unpersist()
+
+
+def test_sharded_membership_preserves_columns(spark, lineitem):
+    shards = build_sharded_bloom(lineitem, ["l_orderkey"], capacity=2000,
+                                 n_shards=4)
+    out = sharded_membership(lineitem.select("l_orderkey", "l_quantity"),
+                             shards, ["l_orderkey"])
+    assert set(out.columns) == {"l_orderkey", "l_quantity", "is_member"}
+    assert out.count() == lineitem.count()
+
+
+# --- scalable bloom ------------------------------------------------------
+
+def test_scalable_bloom_grows_and_never_forgets(rng):
+    sbf = ScalableBloomFilter(0.01, initial_capacity=256)
+    h = rng.integers(0, 2**63, 10000, dtype=np.int64).view(np.uint64)
+    for chunk in np.array_split(h, 13):
+        sbf.update(chunk)
+    assert sbf.contains(h).all()
+    assert len(sbf.filters) > 1  # actually grew
+    assert sbf.count == 10000
+    probes = rng.integers(0, 2**63, 50000, dtype=np.int64).view(np.uint64)
+    probes = np.setdiff1d(probes, h)
+    fpr = sbf.contains(probes).mean()
+    assert fpr <= sbf.compound_error_bound() * 2 + 0.001
+
+
+def test_scalable_bloom_roundtrip_and_schedule(rng):
+    sbf = ScalableBloomFilter(0.05, initial_capacity=128, tightening=0.4)
+    h = rng.integers(0, 2**63, 3000, dtype=np.int64).view(np.uint64)
+    sbf.update(h)
+    r2 = ScalableBloomFilter.from_bytes(sbf.to_bytes())
+    assert r2.contains(h).all()
+    assert r2.count == sbf.count
+    assert len(r2.filters) == len(sbf.filters)
+    with pytest.raises(ValueError):
+        ScalableBloomFilter(0.5, tightening=1.5)
+
+
+def test_scalable_compound_bound_converges():
+    sbf = ScalableBloomFilter(0.01, tightening=0.5)
+    for _ in range(6):
+        sbf._grow()
+    assert sbf.compound_error_bound() < 0.01 / (1 - 0.5)
+
+
+# --- streaming -----------------------------------------------------------
+
+def test_stream_accumulator_matches_batch(spark, tmp_path, lineitem):
+    from bloomfilter_spark.agg import build_sketch
+    from bloomfilter_spark.sketches import HyperLogLog
+    from bloomfilter_spark.streaming import SketchAccumulator
+
+    src = str(tmp_path / "stream_src")
+    lineitem.repartition(4).write.parquet(src)
+
+    acc = SketchAccumulator(["l_orderkey"], lambda: HyperLogLog(12),
+                            state_dir=str(tmp_path / "state"))
+    stream = (spark.readStream.schema(lineitem.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = stream.writeStream.foreachBatch(acc).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    batch = build_sketch(spark.read.parquet(src), ["l_orderkey"],
+                         lambda: HyperLogLog(12))
+    # streaming fold == batch build, byte-exact (chunking invariance)
+    assert acc.sketch.to_bytes() == batch.to_bytes()
+    assert len(acc.batches_seen) >= 2  # actually saw multiple micro-batches
+
+    # resume from persisted state
+    acc2 = SketchAccumulator(["l_orderkey"], lambda: HyperLogLog(12),
+                             state_dir=str(tmp_path / "state"))
+    assert acc2.sketch.to_bytes() == batch.to_bytes()
+
+
+def test_stateful_grouped_hll_stream(spark, tmp_path, events):
+    from bloomfilter_spark.streaming import stateful_grouped_hll
+
+    src = str(tmp_path / "ev_src")
+    events.repartition(2).write.parquet(src)
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful_grouped_hll(stream, "event_type", "user_id", p=12)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("hll_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = spark.sql("""
+        SELECT event_type, max(n_updates) AS n, max(approx_distinct) AS est
+        FROM hll_stream GROUP BY event_type""").collect()
+    exact = {r["event_type"]: (r["n"], r["d"]) for r in
+             events.groupBy("event_type")
+                   .agg(F.count("*").alias("n"),
+                        F.countDistinct("user_id").alias("d")).collect()}
+    assert len(res) == len(exact)
+    for r in res:
+        n_exact, d_exact = exact[r["event_type"]]
+        assert r["n"] == n_exact
+        assert abs(r["est"] - d_exact) / max(d_exact, 1) < 0.15
+
+
+# --- multimodal ----------------------------------------------------------
+
+def test_multimodal_featurize_plumbing(spark):
+    from bloomfilter_spark.operators.multimodal import (decode_and_featurize,
+                                                        make_demo_media_df)
+    media = make_demo_media_df(spark, 30)
+    feats = decode_and_featurize(media, target=(8, 8))
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["features"]) == 3
+        assert 0 <= r["mean_intensity"] <= 255
+    # determinism across repartitions (stub decode is seeded by payload)
+    again = decode_and_featurize(media.repartition(7), target=(8, 8)).collect()
+    a = {r["media_id"]: r["mean_intensity"] for r in rows}
+    b = {r["media_id"]: r["mean_intensity"] for r in again}
+    assert a == b
+
+
+def test_multimodal_video_frame_sampling(spark):
+    from bloomfilter_spark.operators.multimodal import (make_demo_media_df,
+                                                        sample_video_frames)
+    media = make_demo_media_df(spark, 30)
+    frames = sample_video_frames(media, every_ms=1000)
+    n_videos = media.where(F.col("meta")["media_type"] == "video").count()
+    assert frames.count() == n_videos * 3  # 3000ms / 1000ms
+    assert frames.select("media_id").distinct().count() == n_videos
+
+
+def test_multimodal_strict_raises(spark):
+    from bloomfilter_spark.operators.multimodal import (HAVE_REAL_CODECS,
+                                                        decode_and_featurize,
+                                                        make_demo_media_df)
+    if HAVE_REAL_CODECS:
+        pytest.skip("real codecs present")
+    media = make_demo_media_df(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|decoding"):
+        decode_and_featurize(media, strict=True).collect()
