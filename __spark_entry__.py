@@ -245,6 +245,43 @@ def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.agg(F.count("*").alias("n_neardup_pairs"))
 
 
+def _q_sharded_bloom_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded (beyond-broadcast-path) bloom preserves zero false negatives
+    shard-wise — oracle: found == inserted exactly."""
+    from bloomfilter_spark.operators.sharded import (build_sharded_bloom,
+                                                     sharded_membership)
+    orders = _t(spark, sf_dir, "orders")
+    n = orders.count()
+    shards = build_sharded_bloom(orders, ["o_orderkey"], capacity=n,
+                                 fpr=0.01, n_shards=8)
+    mem = sharded_membership(orders, shards, ["o_orderkey"])
+    return mem.agg(F.count("*").alias("n_inserted"),
+                   F.sum(F.col("is_member").cast("long")).alias("n_found"))
+
+
+def _q_bloom_antijoin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomfilter_spark.operators import bloom_anti_join
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    hi = orders.where(F.col("o_totalprice") > 150000)
+    joined = bloom_anti_join(li, hi, ["l_orderkey"], dim_on=["o_orderkey"])
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    return joined.agg(F.count("*").alias("n_rows"),
+                      F.sum(cents).alias("price_cents"))
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing smoke: deterministic media table -> decode(stub)
+    -> resize -> features; aggregates are stable across partitionings."""
+    from bloomfilter_spark.operators.multimodal import (decode_and_featurize,
+                                                        make_demo_media_df)
+    media = make_demo_media_df(spark, 64)
+    feats = decode_and_featurize(media, target=(8, 8))
+    return feats.agg(F.count("*").alias("n_media"),
+                     F.floor(F.sum("mean_intensity")).cast("long")
+                      .alias("intensity_floor_sum"))
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomfilter_spark.functions import lang_id
     docs = _t(spark, sf_dir, "documents")
@@ -277,6 +314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_minhash_neardup": _q_minhash_neardup,
         "q26_simhash_neardup": _q_simhash_neardup,
         "q27_lang_id": _q_lang_id,
+        "q12_sharded_bloom_zero_fn": _q_sharded_bloom_zero_fn,
+        "q13_bloom_antijoin_agg": _q_bloom_antijoin_agg,
+        "q28_multimodal_features": _q_multimodal_features,
     }
 
 
@@ -360,6 +400,17 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                        AS distinct_normalized
             FROM documents
+        """,
+        "q12_sharded_bloom_zero_fn": """
+            SELECT count(*) AS n_inserted, count(*) AS n_found FROM orders
+        """,
+        "q13_bloom_antijoin_agg": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS price_cents
+            FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                     WHERE o_totalprice > 150000)
         """,
         "q11_ann_cosine_topk": """
             SELECT query_id, vec_id, rnk FROM (

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""spark-submit entry point: build the full sketch family over a transcript
+table with checkpoint/resume, per the north rule's deployment contract.
+
+    spark-submit --py-files bloomfilter_spark.zip jobs/build_sketches_job.py \\
+        --input '/data/transcripts/*.parquet' \\
+        --checkpoint-dir /data/ckpt/run1 \\
+        --fpr 0.01 [--capacity N] [--buckets 64]
+
+Package the library with:  python tools/make_pyfiles_zip.py
+(produces bloomfilter_spark.zip for --py-files).
+
+On the sandbox this runs with a local master; on a cluster, pass
+--master/--deploy-mode to spark-submit as usual — nothing here assumes
+local mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet glob of transcripts")
+    ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument("--fpr", type=float, default=0.01)
+    ap.add_argument("--capacity", type=int, default=None,
+                    help="expected distinct keys; derived by counting if absent")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--hll-p", type=int, default=14)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from bloomfilter_spark.checkpoint import checkpointed_build, read_lineage
+    from bloomfilter_spark.plans import plan_bloom
+    from bloomfilter_spark.sizing import suggest_sizing
+    from bloomfilter_spark.sketches import (KLL, BloomFilter, CountMinSketch,
+                                            HyperLogLog)
+
+    spark = SparkSession.builder.appName("build_sketches").getOrCreate()
+
+    capacity = args.capacity
+    if capacity is None:
+        capacity = spark.read.parquet(args.input).count()
+    plan = plan_bloom(capacity, args.fpr)
+    print(f"plan: {plan}", file=sys.stderr)
+    if not plan.broadcastable:
+        print("WARNING: sized filter exceeds broadcast budget; use "
+              "operators.sharded for the query path", file=sys.stderr)
+    m, k = suggest_sizing(capacity, args.fpr)
+
+    t0 = time.time()
+    bloom, rep = checkpointed_build(
+        spark, args.input, ["conv_id", "text"], lambda: BloomFilter(m, k),
+        checkpoint_dir=f"{args.checkpoint_dir}/bloom", n_buckets=args.buckets)
+    hll, _ = checkpointed_build(
+        spark, args.input, ["conv_id"], lambda: HyperLogLog(args.hll_p),
+        checkpoint_dir=f"{args.checkpoint_dir}/hll", n_buckets=args.buckets)
+    cms, _ = checkpointed_build(
+        spark, args.input, ["tool"], lambda: CountMinSketch(eps=1e-4, delta=1e-3),
+        checkpoint_dir=f"{args.checkpoint_dir}/cms", n_buckets=args.buckets)
+    elapsed = time.time() - t0
+
+    rows = sum(e["rows"] for e in read_lineage(f"{args.checkpoint_dir}/bloom"))
+    print(json.dumps({
+        "elapsed_sec": round(elapsed, 1),
+        "buckets_completed": rep.completed,
+        "buckets_resumed": rep.skipped,
+        "rows": rows,
+        "bloom_bits_set": bloom.bit_count(),
+        "hll_distinct_convs": round(hll.estimate(), 1),
+        "cms_total": cms.total,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,61 @@
+"""Planning arithmetic and the Easy convenience API."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomfilter_spark.easy import (approx_distinct, approx_quantiles,
+                                    bloom_fit, bloom_membership)
+from bloomfilter_spark.plans import (merge_partitions_for, plan_bloom,
+                                     scaling_efficiency,
+                                     shuffle_partitions_for)
+
+
+def test_plan_bloom_broadcastable_smallscale():
+    p = plan_bloom(100000, 0.01)
+    assert p.broadcastable and p.n_shards == 1
+    assert p.num_bits == 1048576 and p.num_hashes == 7
+
+
+def test_plan_bloom_sharded_at_web_scale():
+    """n=10^10 keys @1% -> ~2^37 bits = 16 GiB: not broadcastable, sharded
+    into ~64 MiB shards (SURVEY.md §4 cap-lift row)."""
+    p = plan_bloom(10**10, 0.01)
+    assert not p.broadcastable
+    assert p.n_shards >= 2 and (p.n_shards & (p.n_shards - 1)) == 0
+    assert p.filter_bytes / p.n_shards <= 128 << 20
+
+
+def test_merge_partitions_scale():
+    assert merge_partitions_for(1024, 1 << 20) >= 16
+    # 100k partitions of 1 GiB partials: width must cap task fan-in
+    w = merge_partitions_for(100_000, 1 << 30)
+    assert w >= 100_000 / 4  # <= 4 partials of 1GiB per task
+
+
+def test_shuffle_partitions_for():
+    assert shuffle_partitions_for(10 << 30) == 80
+    assert shuffle_partitions_for(1 << 20) == 32  # floor
+
+
+def test_scaling_efficiency_math():
+    assert scaling_efficiency(100.0, 400.0) == 1.0
+    assert scaling_efficiency(100.0, 320.0) == pytest.approx(0.8)
+    assert scaling_efficiency(0.0, 100.0) == 0.0
+
+
+def test_easy_bloom_fit_roundtrip(spark, lineitem):
+    bf = bloom_fit(lineitem, ["l_orderkey"], fpr=0.01)
+    out = bloom_membership(lineitem, bf, ["l_orderkey"])
+    assert out.where(~F.col("is_member")).count() == 0
+
+
+def test_easy_approx_distinct(spark, lineitem):
+    est = approx_distinct(lineitem, ["l_orderkey"])
+    exact = lineitem.select("l_orderkey").distinct().count()
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_easy_approx_quantiles(spark, lineitem):
+    for method in ("tdigest", "kll"):
+        q50, q99 = approx_quantiles(lineitem, "l_quantity", [0.5, 0.99], method)
+        assert q50 <= q99
