@@ -1,0 +1,113 @@
+"""Transcript-corpus invariants (FIXTURES.md §1, BASELINE.json input_hint):
+primary-key density, skew shape, duplicate injection rate, timestamp
+monotonicity, and the per-row text-equality invariant under stable
+(conv_id, turn_idx) ordering across materializations."""
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from bloomfilter_spark.operators.quantiles import grouped_quantiles
+from bloomfilter_spark.sources.transcripts import load_transcripts
+
+N = 30000
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tr"))
+    return load_transcripts(spark, N, root=root, partitions=8).persist()
+
+
+def test_schema_matches_input_hint(transcripts):
+    want = {"conv_id": "string", "turn_idx": "int", "role": "string",
+            "text": "string", "tool": "string", "ts": "timestamp"}
+    got = dict(transcripts.dtypes)
+    assert got == want
+
+
+def test_primary_key_unique_and_dense(transcripts):
+    n = transcripts.count()
+    assert n == N
+    assert transcripts.select("conv_id", "turn_idx").distinct().count() == n
+    # dense 0..len-1 per conversation: max(turn_idx) == count-1
+    bad = (transcripts.groupBy("conv_id")
+           .agg(F.max("turn_idx").alias("mx"), F.count("*").alias("cnt"))
+           .where(F.col("mx") != F.col("cnt") - 1).count())
+    assert bad == 0
+
+
+def test_conv_skew_is_zipfian(transcripts):
+    """A few hot conversations dominate (exercises salting): top conv must
+    hold >1% of all turns while the median conv is tiny."""
+    sizes = (transcripts.groupBy("conv_id").count()
+             .orderBy(F.desc("count")).limit(1).collect())
+    assert sizes[0]["count"] > N * 0.01
+
+
+def test_duplicate_injection_rate(transcripts):
+    n = transcripts.count()
+    dups = n - transcripts.select("text").distinct().count()
+    assert 0.01 < dups / n < 0.04  # ~2% injected
+
+
+def test_ts_monotone_within_conversation(transcripts):
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    bad = (transcripts
+           .withColumn("prev_ts", F.lag("ts").over(w))
+           .where(F.col("prev_ts").isNotNull() & (F.col("ts") <= F.col("prev_ts")))
+           .count())
+    assert bad == 0
+
+
+def test_tool_only_on_tool_turns(transcripts):
+    assert transcripts.where((F.col("role") != "tool")
+                             & F.col("tool").isNotNull()).count() == 0
+    assert transcripts.where((F.col("role") == "tool")
+                             & F.col("tool").isNull()).count() == 0
+
+
+def test_per_row_text_equality_invariant(spark, transcripts, tmp_path):
+    """input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering between the source and any materialized /
+    repartitioned view."""
+    out = str(tmp_path / "materialized")
+    (transcripts.repartition(13, "conv_id")
+                .write.mode("overwrite").parquet(out))
+    back = spark.read.parquet(out)
+    mismatches = (transcripts.alias("s")
+                  .join(back.alias("m"), ["conv_id", "turn_idx"], "full")
+                  .where((F.col("s.text") != F.col("m.text"))
+                         | F.col("s.text").isNull() | F.col("m.text").isNull())
+                  .count())
+    assert mismatches == 0
+
+
+def test_generation_deterministic(spark, tmp_path_factory):
+    from bloomfilter_spark.sources.transcripts import generate_pandas
+    a = generate_pandas(5000)
+    b = generate_pandas(5000)
+    assert a.equals(b)
+
+
+def test_grouped_quantiles_on_transcripts(spark, transcripts):
+    """Per-role text-length quantiles via the salted grouped sketch path vs
+    exact percentiles."""
+    df = transcripts.select("role", F.length("text").alias("len"))
+    got = grouped_quantiles(df, ["role"], "len", [0.5, 0.9], method="kll",
+                            salt=4)
+    est = {r["role"]: (r["q50"], r["q90"]) for r in got.collect()}
+    exact = {r["role"]: r["p"] for r in
+             df.groupBy("role").agg(F.expr(
+                 "percentile(len, array(0.5, 0.9))").alias("p")).collect()}
+    import bisect
+    for role, (e50, e90) in est.items():
+        lens = sorted(r["len"] for r in
+                      df.where(F.col("role") == role).collect())
+        n = len(lens)
+        for q, est_v in ((0.5, e50), (0.9, e90)):
+            # lengths are heavily tied, so a value covers a rank *interval*;
+            # the estimate is correct if q falls in that span (+/- eps)
+            lo = bisect.bisect_left(lens, est_v) / n
+            hi = bisect.bisect_right(lens, est_v) / n
+            assert lo - 0.05 <= q <= hi + 0.05, (role, q, est_v, lo, hi)
+    assert set(est) == set(exact)
