@@ -52,8 +52,19 @@ def hash_col(cols, seed: int = DEFAULT_SEED) -> Column:
     return F.xxhash64(F.lit(seed), *_cols(cols))
 
 
+def prehash(df: DataFrame, col_map: dict[str, list], seed: int = DEFAULT_SEED) -> DataFrame:
+    """Hash-once projection: one xxhash64 column per sketch input, computed
+    in a single scan. Persist the result and feed it to build_sketch with
+    prehashed=True — at 100 TB this reads the (wide, string-heavy) source
+    exactly once for the whole sketch family instead of once per sketch.
+
+    col_map: {out_name: [source cols...]}."""
+    out = [hash_col(_cols(cs), seed).alias(name) for name, cs in col_map.items()]
+    return df.select(*out)
+
+
 def prepare_input(df: DataFrame, cols, proto: Sketch, seed: int = DEFAULT_SEED,
-                  weight_col=None) -> DataFrame:
+                  weight_col=None, prehashed: bool = False) -> DataFrame:
     """Project df down to the single column a sketch kernel consumes.
 
     Hash-keyed sketches get an int64 hash column; value sketches get a
@@ -66,7 +77,11 @@ def prepare_input(df: DataFrame, cols, proto: Sketch, seed: int = DEFAULT_SEED,
     for c in cs[1:]:
         cond = cond & c.isNotNull()
     out: list[Column] = []
-    if proto.HASH_KEYED:
+    if prehashed:
+        if len(cs) != 1:
+            raise ValueError("prehashed input takes exactly one hash column")
+        out.append(cs[0].cast("long").alias("__v"))
+    elif proto.HASH_KEYED:
         out.append(hash_col(cs, seed).alias("__v"))
     else:
         if len(cs) != 1:
@@ -123,11 +138,24 @@ def merge_partials_df(partials: DataFrame, factory: Callable[[], Sketch],
 def sketch_df(df: DataFrame, cols, factory: Callable[[], Sketch],
               seed: int = DEFAULT_SEED, weight_col=None,
               merge_partitions: int = DEFAULT_MERGE_PARTITIONS,
-              two_level: bool = True) -> DataFrame:
+              two_level: bool = True, prehashed: bool = False) -> DataFrame:
     """Fully in-plan build: returns a 1-row DataFrame with the final
-    serialized sketch. Lazy — composable inside larger query plans."""
+    serialized sketch. Lazy — composable inside larger query plans.
+
+    Topology: P partition partials -> `merge_partitions` parallel merge
+    tasks -> 1 final merge task. All merging happens on executors; the
+    caller (or driver) only ever receives ONE serialized sketch — at
+    P=100k partitions of multi-MB partials, driver fan-in stays O(1)."""
     proto = factory()
-    prepped = prepare_input(df, cols, proto, seed, weight_col)
+    prepped = prepare_input(df, cols, proto, seed, weight_col, prehashed)
+    # Large-state sketches (bloom with big m, CMS): every partial costs
+    # O(state) bytes through Arrow + shuffle, and scan-split counts grow
+    # with parallelism — so cap the partial count at the core count via a
+    # narrow coalesce. Small-state sketches keep the scan's partitioning.
+    partial_bytes = len(proto.to_bytes())
+    if partial_bytes > (4 << 20):
+        target = df.sparkSession.sparkContext.defaultParallelism
+        prepped = prepped.coalesce(target)
     partials = build_partials(prepped, factory)
     if two_level:
         partials = merge_partials_df(partials, factory, merge_partitions)
@@ -137,23 +165,13 @@ def sketch_df(df: DataFrame, cols, factory: Callable[[], Sketch],
 def build_sketch(df: DataFrame, cols, factory: Callable[[], Sketch],
                  seed: int = DEFAULT_SEED, weight_col=None,
                  merge_partitions: int = DEFAULT_MERGE_PARTITIONS,
-                 two_level: bool = True) -> Sketch:
+                 two_level: bool = True, prehashed: bool = False) -> Sketch:
     """Eager build: run the plan and return the merged Sketch object.
-
-    Two-level topology: P partition partials -> `merge_partitions`
-    intermediate merge tasks -> driver merges the survivors (bounded
-    fan-in — at P=100k partitions the driver never sees more than
-    `merge_partitions` sketches)."""
-    proto = factory()
-    prepped = prepare_input(df, cols, proto, seed, weight_col)
-    partials = build_partials(prepped, factory)
-    if two_level:
-        partials = merge_partials_df(partials, factory, merge_partitions)
-    rows = partials.collect()
+    Collects exactly one serialized sketch row (see sketch_df)."""
+    row = sketch_df(df, cols, factory, seed, weight_col,
+                    merge_partitions, two_level, prehashed).collect()
     final = factory()
-    cls = type(proto)
-    for r in rows:
-        final.merge(cls.from_bytes(bytes(r["sketch"])))
+    final.merge(type(final).from_bytes(bytes(row[0]["sketch"])))
     return final
 
 

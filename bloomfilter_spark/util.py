@@ -110,11 +110,9 @@ def or_into_bits(words: np.ndarray, probes: np.ndarray) -> None:
     p = probes.ravel()
     if p.size == 0:
         return
-    w = (p >> U64(6)).astype(np.int64)
-    masks = U64(1) << (p & U64(63))
-    order = np.argsort(w, kind="stable")
-    w_sorted = w[order]
-    m_sorted = masks[order]
+    p = np.sort(p)  # sorting bit indices sorts their words (monotone >> 6)
+    w_sorted = (p >> U64(6)).astype(np.int64)
+    m_sorted = U64(1) << (p & U64(63))
     starts = np.flatnonzero(np.concatenate(([True], w_sorted[1:] != w_sorted[:-1])))
     ored = np.bitwise_or.reduceat(m_sorted, starts)
     words[w_sorted[starts]] |= ored
