@@ -268,7 +268,15 @@ def with_membership(df: DataFrame, bloom, cols, out_col: str = "is_member",
         sk = _cached_sketch(bc, BloomFilter)
         return pd.Series(sk.contains(to_u64(h.to_numpy())))
 
-    return df.withColumn(out_col, contains(hash_col(_cols(cols), seed)))
+    cs = _cols(cols)
+    any_null = cs[0].isNull()
+    for c in cs[1:]:
+        any_null = any_null | c.isNull()
+    # SQL semantics: membership of a NULL key is NULL, not a bit test on
+    # the salt (deviation from the reference's Nothing-hashing, SURVEY §2.3)
+    member = F.when(any_null, F.lit(None).cast("boolean")) \
+              .otherwise(contains(hash_col(cs, seed)))
+    return df.withColumn(out_col, member)
 
 
 def with_cms_count(df: DataFrame, cms, cols, out_col: str = "est_count",

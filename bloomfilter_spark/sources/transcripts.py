@@ -94,6 +94,33 @@ def generate_pandas(n_turns: int, seed: int = SEED) -> pd.DataFrame:
     return df.drop(columns=["step", "offset"])
 
 
+def generate_distributed(spark, n_turns: int, n_chunks: int = 64,
+                         seed: int = SEED):
+    """Distributed corpus generation for sizes beyond driver pandas: each
+    Spark task generates one deterministic chunk with a disjoint conv_id
+    namespace (chunk prefix), preserving every FIXTURES.md invariant —
+    dense unique (conv_id, turn_idx), Zipf skew, ~2% dups, monotone ts —
+    within and across chunks."""
+    import pandas as pd  # noqa: F811 (executor-side import)
+
+    per_chunk = -(-n_turns // n_chunks)
+
+    def gen(it):
+        for pdf in it:
+            for cid in pdf["id"]:
+                n = min(per_chunk, n_turns - int(cid) * per_chunk)
+                if n <= 0:
+                    continue
+                chunk = generate_pandas(n, seed=seed + int(cid))
+                chunk["conv_id"] = f"c{int(cid):03d}_" + chunk["conv_id"]
+                yield chunk
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    return (spark.range(n_chunks).repartition(n_chunks)
+            .mapInPandas(gen, schema=schema))
+
+
 def transcripts_path(n_turns: int, root: str = "/tmp/bloomfilter_spark_data") -> str:
     return os.path.join(root, f"transcripts_{n_turns}_s{SEED}.parquet")
 
@@ -104,9 +131,14 @@ def load_transcripts(spark, n_turns: int, root: str = "/tmp/bloomfilter_spark_da
     path = transcripts_path(n_turns, root)
     if not os.path.exists(path):
         os.makedirs(root, exist_ok=True)
-        pdf = generate_pandas(n_turns)  # single pass keeps (conv_id, turn_idx) dense+unique
-        sdf = spark.createDataFrame(pdf)
-        sdf = sdf.withColumn("turn_idx", sdf["turn_idx"].cast("int"))
+        if n_turns <= 10_000_000:
+            # single pandas pass: one global conv namespace
+            pdf = generate_pandas(n_turns)
+            sdf = spark.createDataFrame(pdf)
+            sdf = sdf.withColumn("turn_idx", sdf["turn_idx"].cast("int"))
+        else:
+            # beyond driver pandas: distributed chunked generation
+            sdf = generate_distributed(spark, n_turns)
         (sdf.repartition(partitions or spark.sparkContext.defaultParallelism)
             .write.mode("overwrite").parquet(path))
     return spark.read.parquet(path)
