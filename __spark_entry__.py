@@ -282,6 +282,17 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("intensity_floor_sum"))
 
 
+def _q_sketch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-order estimates over the full cube of (returnflag,
+    linestatus) grouping sets (rows-only; accuracy asserted in tests)."""
+    from bloomfilter_spark.operators import sketch_cube
+    from bloomfilter_spark.sketches import HyperLogLog
+    li = _t(spark, sf_dir, "lineitem")
+    return sketch_cube(li, ["l_returnflag", "l_linestatus"], ["l_orderkey"],
+                       lambda: HyperLogLog(14),
+                       {"approx_orders": lambda s: float(s.estimate())}, salt=2)
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomfilter_spark.functions import lang_id
     docs = _t(spark, sf_dir, "documents")
@@ -317,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_sharded_bloom_zero_fn": _q_sharded_bloom_zero_fn,
         "q13_bloom_antijoin_agg": _q_bloom_antijoin_agg,
         "q28_multimodal_features": _q_multimodal_features,
+        "q29_sketch_cube": _q_sketch_cube,
     }
 
 

@@ -1,9 +1,12 @@
+from .cube import sketch_cube, sketch_grouping_sets, sketch_rollup
 from .dedup import (dedup_exact, minhash_lsh_candidates, minhash_lsh_dedup,
                     minhash_signatures, ngram_jaccard_pairs,
                     simhash_near_dups, simhash_signatures)
+from .multimodal import decode_and_featurize, sample_video_frames
 from .quantiles import grouped_quantiles, quantiles
 from .semijoin import (bloom_anti_join, bloom_prefilter, bloom_semi_join,
                        build_key_bloom)
+from .sharded import build_sharded_bloom, shard_geometry, sharded_membership
 from .similarity import (brute_force_topk, embedding_near_dups,
                          hyperplane_signatures, lsh_ann_topk)
 from .topk import cms_heavy_hitters, exact_top_k, top_k_per_group
@@ -15,4 +18,7 @@ __all__ = [
     "bloom_semi_join", "bloom_anti_join", "bloom_prefilter", "build_key_bloom",
     "brute_force_topk", "lsh_ann_topk", "hyperplane_signatures",
     "embedding_near_dups", "exact_top_k", "top_k_per_group", "cms_heavy_hitters",
+    "build_sharded_bloom", "sharded_membership", "shard_geometry",
+    "sketch_cube", "sketch_rollup", "sketch_grouping_sets",
+    "decode_and_featurize", "sample_video_frames",
 ]

@@ -4,6 +4,7 @@ partition invariance (the distributed analog of prop_rechunked_eq,
 sketches vs exact answers, broadcast membership."""
 
 import datetime
+import decimal
 
 import numpy as np
 import pytest
@@ -21,11 +22,17 @@ TYPED_ROWS = {
     "int": ([(0,), (1,), (-1,), (2**31 - 1,), (-2**31,), (42,)], "v int"),
     "long": ([(0,), (1,), (-1,), (2**63 - 1,), (-2**63,), (123456789012345,)], "v long"),
     "double": ([(0.0,), (-0.0,), (1.5,), (float("inf"),), (float("-inf"),), (1e-300,)], "v double"),
+    "float": ([(0.0,), (3.5,), (-2.25,)], "v float"),
     "string": ([("",), ("a",), ("héllo wörld ✓",), ("x" * 5000,), ("tab\tnul\x00",)], "v string"),
     "boolean": ([(True,), (False,)], "v boolean"),
     "binary": ([(b"",), (b"\x00\x01\x02",), (bytes(range(256)),)], "v binary"),
     "timestamp": ([(datetime.datetime(1970, 1, 1),), (datetime.datetime(2026, 1, 1, 12, 30),),
                    (datetime.datetime(1900, 6, 15),)], "v timestamp"),
+    "date": ([(datetime.date(1970, 1, 1),), (datetime.date(2026, 8, 16),),
+              (datetime.date(1583, 1, 1),)], "v date"),
+    "decimal": ([(decimal.Decimal("0"),), (decimal.Decimal("123.45"),),
+                 (decimal.Decimal("-99999999.99"),)], "v decimal(10,2)"),
+    "array_int": ([([1, 2, 3],), ([],), ([0],), ([-1, 2**31 - 1],)], "v array<int>"),
 }
 
 
