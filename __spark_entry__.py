@@ -171,6 +171,156 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.row_number().over(w).alias("rnk"))
 
 
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join: broadcast the customer dim, let AQE pick
+    the orders-lineitem strategy; top-10 orders by revenue."""
+    cust = (_t(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING"))
+    orders = (_t(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")))
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+              .agg(F.sum(cents).alias("revenue_cents"))
+              .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+              .limit(10))
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent click at-or-before it
+    by the same user. Implemented scale-correct as a union + running-max
+    window (one shuffle by user_id, no per-key collects); lags summed in
+    integer microseconds."""
+    ev = _t(spark, sf_dir, "events")
+    p = (ev.where(F.col("event_type") == "purchase")
+           .select("user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts"),
+                   F.lit(1).alias("is_p")))
+    c = (ev.where(F.col("event_type") == "click")
+           .select("user_id", "ts", F.col("ts").alias("click_ts"),
+                   F.lit(0).alias("is_p")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "is_p")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (p.unionByName(c)
+                .withColumn("last_click", F.max("click_ts").over(w))
+                .where(F.col("is_p") == 1))
+    # parquet ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the LTZ cast
+    # below is deterministic
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    lag_us = us("ts") - us("last_click")
+    return matched.agg(
+        F.count("*").alias("n_purchases"),
+        F.count("last_click").alias("n_matched"),
+        F.sum(F.coalesce(lag_us, F.lit(0))).alias("lag_us_sum"))
+
+
+def _q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup over (returnflag, linestatus) with grouping level."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.count("*").alias("n_rows"), F.sum(cents).alias("price_cents"))
+              .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                      F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                      "n_rows", "price_cents"))
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style dim chain: region -> nation -> customer broadcast up
+    the star, fact joins shuffle-side."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+                .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey))
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+              .groupBy("r_name", "n_name")
+              .agg(F.count("*").alias("n_rows"), F.sum(cents).alias("revenue_cents")))
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set ops over distinct user sets (intersect/except/union)."""
+    ev = _t(spark, sf_dir, "events")
+    users = lambda t, v: (ev.where((F.col("event_type") == t) & (F.col("value") > v))  # noqa: E731
+                            .select("user_id").distinct())
+    buyers, errs, clickers = users("purchase", 150), users("error", 150), users("click", 300)
+    tagged = (buyers.intersect(errs).withColumn("set_op", F.lit("buyers_and_errors"))
+              .unionByName(buyers.exceptAll(clickers).withColumn("set_op", F.lit("buyers_never_click")))
+              .unionByName(buyers.union(errs).distinct().withColumn("set_op", F.lit("buyers_or_errors"))))
+    return tagged.groupBy("set_op").agg(F.count("*").alias("n_users"))
+
+
+def _q_price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: lineitem against a broadcast band dimension on an
+    interval predicate. At 100 TB one computes the band arithmetically
+    (constant-width bands fold to floor(price/width)); the explicit range
+    join form is kept because real band dims are irregular."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.range(6).select(
+        F.col("id").cast("int").alias("band"),
+        (F.col("id") * 20000.0).alias("lo"),
+        ((F.col("id") + 1) * 20000.0).alias("hi"))
+    j = li.join(F.broadcast(bands),
+                (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi))
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    return j.groupBy("band").agg(F.count("*").alias("n_rows"),
+                                 F.sum(cents).alias("price_cents"))
+
+
+def _q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine similarity join (float64, in-order reduction) —
+    the brute-force baseline the LSH path (embedding_near_dups) accelerates.
+    The synthetic corpus has no true near-dups (max pairwise cosine ~0.51),
+    so the threshold sits at the top ~0.1% of the pair distribution."""
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    cos = dot / (norm("v_a") * norm("v_b"))
+    return (pairs.where(cos >= 0.35).select("id_a", "id_b"))
+
+
+def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: tumbling 1-hour windowed aggregation over the
+    events table replayed as a stream (availableNow), complete-mode memory
+    sink. Same watermark-free semantics as the batch query the oracle runs."""
+    import os
+    ev_schema = _t(spark, sf_dir, "events").schema
+    # the file-stream source requires a directory; expose the single parquet
+    # file through a per-sf symlink dir (read-only testdata stays untouched)
+    key = os.path.basename(os.path.normpath(sf_dir))
+    stream_dir = f"/tmp/bloomfilter_spark_stream/{key}/events"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(ev_schema).parquet(stream_dir)
+    micro = F.floor(F.col("value") * 1000000).cast("long")
+    agg = (stream
+           .withColumn("value_micro", micro)
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.sum("value_micro").alias("value_micro_sum")))
+    name = "stream_win_" + str(abs(hash(sf_dir)) % 100000)
+    q = (agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.col("w.start").alias("win_start"), "event_type",
+                    "n_events", "value_micro_sum"))
+
+
 # --------------------------------------------------------------------------
 # sketch-estimate queries (rows-only driver check; bounds asserted in tests)
 # --------------------------------------------------------------------------
@@ -327,6 +477,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_lang_id": _q_lang_id,
         "q12_sharded_bloom_zero_fn": _q_sharded_bloom_zero_fn,
         "q13_bloom_antijoin_agg": _q_bloom_antijoin_agg,
+        "q14_shipping_priority": _q_shipping_priority,
+        "q15_asof_join": _q_asof_join,
+        "q16_rollup_pricing": _q_rollup_pricing,
+        "q17_revenue_by_nation": _q_revenue_by_nation,
+        "q18_set_ops": _q_set_ops,
+        "q19_price_band_range_join": _q_price_band_range_join,
+        "q30_embedding_neardup_exact": _q_embedding_neardup_exact,
+        "q31_streaming_window_counts": _q_streaming_window_counts,
         "q28_multimodal_features": _q_multimodal_features,
         "q29_sketch_cube": _q_sketch_cube,
     }
@@ -423,6 +581,95 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
                                      WHERE o_totalprice > 150000)
+        """,
+        "q14_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1996-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_cents DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q15_asof_join": """
+            SELECT count(*) AS n_purchases,
+                   count(click_ts) AS n_matched,
+                   CAST(coalesce(sum(epoch_us(p.ts) - epoch_us(click_ts)), 0) AS BIGINT)
+                       AS lag_us_sum
+            FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts AS click_ts FROM events
+                  WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        """,
+        "q16_rollup_pricing": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS price_cents
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q17_revenue_by_nation": """
+            SELECT r_name, n_name, count(*) AS n_rows,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name IN ('ASIA', 'EUROPE')
+            GROUP BY r_name, n_name
+        """,
+        "q18_set_ops": """
+            WITH buyers AS (SELECT DISTINCT user_id FROM events
+                            WHERE event_type = 'purchase' AND value > 150),
+                 errs AS (SELECT DISTINCT user_id FROM events
+                          WHERE event_type = 'error' AND value > 150),
+                 clickers AS (SELECT DISTINCT user_id FROM events
+                              WHERE event_type = 'click' AND value > 300)
+            SELECT 'buyers_and_errors' AS set_op,
+                   (SELECT count(*) FROM (SELECT * FROM buyers INTERSECT SELECT * FROM errs)) AS n_users
+            UNION ALL
+            SELECT 'buyers_never_click',
+                   (SELECT count(*) FROM (SELECT * FROM buyers EXCEPT SELECT * FROM clickers))
+            UNION ALL
+            SELECT 'buyers_or_errors',
+                   (SELECT count(*) FROM (SELECT * FROM buyers UNION SELECT * FROM errs))
+        """,
+        "q19_price_band_range_join": """
+            SELECT CAST(b.band AS INT) AS band, count(*) AS n_rows,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS price_cents
+            FROM lineitem
+            JOIN (SELECT r AS band, r * 20000.0 AS lo, (r + 1) * 20000.0 AS hi
+                  FROM range(6) t(r)) b
+              ON l_extendedprice >= b.lo AND l_extendedprice < b.hi
+            GROUP BY b.band
+        """,
+        "q30_embedding_neardup_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(
+                      list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),
+                      p -> p[1] * p[2]))
+                  / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))
+                     * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x))))
+                  >= 0.35
+        """,
+        "q31_streaming_window_counts": """
+            SELECT date_trunc('hour', ts) AS win_start, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                       AS value_micro_sum
+            FROM events GROUP BY 1, 2
         """,
         "q11_ann_cosine_topk": """
             SELECT query_id, vec_id, rnk FROM (

@@ -49,14 +49,9 @@ class HyperLogLog(Sketch):
         idx = (h >> U64(64 - self.p)).astype(np.int64)
         rest = h << U64(self.p)  # remaining 64-p bits, top-aligned
         rho = np.minimum(clz64(rest) + 1, 64 - self.p + 1).astype(np.uint8)
-        # segment max per register: sort by idx, maximum.reduceat
-        order = np.argsort(idx, kind="stable")
-        idx_s = idx[order]
-        rho_s = rho[order]
-        starts = np.flatnonzero(np.concatenate(([True], idx_s[1:] != idx_s[:-1])))
-        seg_max = np.maximum.reduceat(rho_s, starts)
-        tgt = idx_s[starts]
-        self.registers[tgt] = np.maximum(self.registers[tgt], seg_max)
+        # unbuffered scatter-max: the register array is small (2^p bytes)
+        # and cache-resident, so maximum.at beats sort-and-segment here
+        np.maximum.at(self.registers, idx, rho)
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         if self.p != other.p:

@@ -1,0 +1,50 @@
+"""Driver-contract parity: every oracle-backed ``__spark_entry__`` query
+must match its DuckDB oracle at sf0.001 (row count, sorted-column schema,
+order-insensitive value hash) — the same comparison the driver gate runs
+at sf0.01 (tools/check_oracle.py is the full-size replica)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tools.check_oracle import normalize, value_hash
+
+from bloomfilter_spark.sources.tables import TABLES
+
+# cheap-at-sf0.001 oracle-backed queries; the heavier sketch builds
+# (q04/q12/q24) have their guarantees covered in test_spark_agg.py
+CHECKED = [
+    "q01_pricing_summary", "q02_dedup_exact", "q03_bloom_semijoin_agg",
+    "q05_heavy_hitters", "q06_topk_per_group", "q07_token_stats",
+    "q08_quality_by_source", "q09_sessionization", "q10_fingerprint_dedup",
+    "q11_ann_cosine_topk", "q13_bloom_antijoin_agg", "q14_shipping_priority",
+    "q15_asof_join", "q16_rollup_pricing", "q17_revenue_by_nation",
+    "q18_set_ops", "q19_price_band_range_join", "q30_embedding_neardup_exact",
+    "q31_streaming_window_counts",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_contract_complete():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs), "oracle without a query"
+    for name in CHECKED:
+        assert name in qs and name in oracles
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    spdf = normalize(entry_mod.queries()[name](spark, sf_dir).toPandas())
+    opdf = normalize(duck.execute(entry_mod.oracle_sql()[name]).df())
+    assert len(spdf) == len(opdf)
+    assert sorted(spdf.columns) == sorted(opdf.columns)
+    assert value_hash(spdf) == value_hash(opdf)
