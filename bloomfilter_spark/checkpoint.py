@@ -28,9 +28,29 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable, Sequence
 
-from .agg import build_partials, prepare_input
+import pandas as pd
+
+from .agg import _batch_values, prepare_input
 from .config import DEFAULT_SEED
 from .sketches.base import Sketch
+
+
+def _counted_partials(prepped, factory: Callable[[], Sketch]):
+    """One (sketch, rows) partial per partition — the row count rides the
+    same pass, so lineage metrics never cost a second scan of the bucket."""
+    def fn(it):
+        sk = factory()
+        rows = 0
+        for pdf in it:
+            v = _batch_values(pdf, sk.HASH_KEYED)
+            if "__w" in pdf.columns:
+                sk.update(v, pdf["__w"].to_numpy())
+            else:
+                sk.update(v)
+            rows += len(pdf)
+        yield pd.DataFrame({"sketch": [sk.to_bytes()], "rows": [rows]})
+
+    return prepped.mapInPandas(fn, schema="sketch binary, rows long")
 
 
 @dataclass
@@ -99,9 +119,9 @@ def checkpointed_build(spark, input_glob: str | Sequence[str], cols,
         t0 = time.time()
         df = spark.read.parquet(*bucket_files)
         prepped = prepare_input(df, cols, factory(), seed, weight_col)
-        partial_rows = build_partials(prepped, factory).collect()
+        partial_rows = _counted_partials(prepped, factory).collect()
         merged = factory()
-        rows = df.count()
+        rows = sum(r["rows"] for r in partial_rows)
         for r in partial_rows:
             merged.merge(cls.from_bytes(bytes(r["sketch"])))
         payload = merged.to_bytes()

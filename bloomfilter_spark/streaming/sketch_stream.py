@@ -86,21 +86,23 @@ def stateful_grouped_hll(stream_df: DataFrame, key_col: str, value_col: str,
     ])
 
     def fn(key, pdfs, state: GroupState):
+        import numpy as np
         sk = HyperLogLog(p)
         n = 0
         if state.exists:
             regs, n = state.get
-            sk.registers = __import__("numpy").frombuffer(regs, dtype="uint8").copy()
+            sk.registers = np.frombuffer(regs, dtype="uint8").copy()
         for pdf in pdfs:
-            hashed = pd.util.hash_array(pdf[value_col].astype(str).to_numpy(dtype=object))
-            sk.update(to_u64(hashed.astype("int64")))
+            sk.update(to_u64(pdf["__h"].to_numpy()))
             n += len(pdf)
         state.update((sk.registers.tobytes(), n))
         yield pd.DataFrame({key_col: [key[0]], "approx_distinct": [sk.estimate()],
                             "n_updates": [n]})
 
+    # hash JVM-side with the engine's standard salted xxhash64 so streaming
+    # HLL state is merge-compatible with batch-built HLLs over the same column
     hashed = stream_df.select(F.col(key_col).cast("string").alias(key_col),
-                              F.col(value_col))
+                              F.xxhash64(F.lit(seed), F.col(value_col)).alias("__h"))
     return (hashed.groupBy(key_col)
                   .applyInPandasWithState(fn, out_schema, state_schema,
                                           "update", GroupStateTimeout.NoTimeout))

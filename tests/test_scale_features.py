@@ -133,6 +133,17 @@ def test_stateful_grouped_hll_stream(spark, tmp_path, events):
         assert r["n"] == n_exact
         assert abs(r["est"] - d_exact) / max(d_exact, 1) < 0.15
 
+    # streaming state hashes JVM-side with the engine's standard salted
+    # xxhash64, so it is merge-compatible with batch builds: the final
+    # streaming estimate must EQUAL the batch-built HLL's estimate exactly
+    from bloomfilter_spark.agg import build_sketch
+    from bloomfilter_spark.sketches import HyperLogLog
+    for r in res:
+        batch_sk = build_sketch(
+            events.where(F.col("event_type") == r["event_type"]),
+            ["user_id"], lambda: HyperLogLog(12))
+        assert r["est"] == batch_sk.estimate()
+
 
 # --- multimodal ----------------------------------------------------------
 
