@@ -5,12 +5,22 @@ At 10^12-turn scale, n=10^10 keys at eps=1% needs m ~ 2^37 bits = 16 GiB
 (SURVEY.md §4): too big to broadcast, bigger than one driver object should
 be. The sharded design keeps the *filter itself* distributed:
 
-  - routing: shard = pmod(xxhash64(seed+2, base_hash), S), JVM-side
+  - routing: shard = top log2(S) bits of the base hash (S a power of two) —
+    derivable JVM-side (shiftrightunsigned) AND numpy-side (h >> shift)
+    without re-hashing, so the build shuffle carries only the hash itself
   - state: a DataFrame (shard int, sketch binary), one row per shard, each
     an independent BloomFilter of total_bits/S bits — collectively the same
     (m, k) math, so the FPR bound is preserved per shard
-  - build: groupBy(shard, salt) partials -> groupBy(shard) merge (the same
-    salted two-phase topology as grouped_sketch_df; a hot shard fans out)
+  - build: ONE shuffle of just the 8-byte hash column, hash-partitioned by
+    shard id, then a single mapInPandas pass that numpy-buckets each
+    partition's rows by shard and builds every shard it owns exactly once.
+    A shard lives wholly inside one partition, so there is no merge stage
+    at all — and no salt phase either: shard ids are a hash of a hash, so
+    shard sizes are uniform by construction regardless of key skew (the
+    salted two-phase topology remains where skew is real: per-KEY sketches
+    in agg.grouped_sketch_df, where a key like a hot conv_id is the group).
+    Per task memory = total_bits/partitions (e.g. 16 GiB total across 1024
+    tasks = 16 MiB/task at the 10^12-turn sizing).
   - query: cogroup(probes by shard, shard table by shard) -> vectorized
     membership inside applyInPandas — probes shuffle by shard (small rows);
     each task deserializes exactly one shard once
@@ -28,7 +38,7 @@ from ..agg import hash_col
 from ..config import DEFAULT_SEED
 from ..sizing import suggest_sizing
 from ..sketches.bloom import BloomFilter
-from ..util import next_power_of_two, to_u64
+from ..util import log2_power_of_two, next_power_of_two, to_u64
 
 SHARD_TABLE_SCHEMA = T.StructType([
     T.StructField("shard", T.IntegerType(), False),
@@ -36,72 +46,124 @@ SHARD_TABLE_SCHEMA = T.StructType([
 ])
 
 
+def _shard_shift(n_shards: int) -> int:
+    """Routing: shard = top log2(S) bits of the base hash. Derivable from
+    the hash alone (JVM or numpy, no re-hash), so the build pipe ships ONE
+    column. Independent of the probe bits: probes use the low mask bits and
+    the splitmix64-mixed h2; FPR math is unaffected. Requires power-of-two
+    S (shard_geometry rounds the caller's S up)."""
+    if n_shards & (n_shards - 1):
+        raise ValueError("n_shards must be a power of two")
+    return 64 - log2_power_of_two(n_shards)
+
+
+def shard_of(h: np.ndarray, n_shards: int) -> np.ndarray:
+    """numpy-side shard id of base hashes (uint64) — mirrors _routed."""
+    if n_shards == 1:
+        return np.zeros(h.shape, dtype=np.int64)
+    return (h >> np.uint64(_shard_shift(n_shards))).astype(np.int64)
+
+
 def _routed(df: DataFrame, cols, n_shards: int, seed: int) -> DataFrame:
-    """(shard, h) projection: base hash + independent shard route."""
+    """(h, shard) projection: base hash + top-bits shard route."""
     from ..agg import _cols
     cs = _cols(cols)
     cond = cs[0].isNotNull()
     for c in cs[1:]:
         cond = cond & c.isNotNull()
     h = hash_col(cs, seed)
-    return (df.where(cond)
-              .select(h.alias("__h"))
-              .withColumn("__shard",
-                          F.pmod(F.xxhash64(F.lit(seed + 2), F.col("__h")),
-                                 F.lit(n_shards)).cast("int")))
+    base = df.where(cond).select(h.alias("__h"))
+    if n_shards == 1:
+        return base.withColumn("__shard", F.lit(0))
+    return base.withColumn(
+        "__shard",
+        F.shiftrightunsigned(F.col("__h"), _shard_shift(n_shards)).cast("int"))
 
 
 def shard_geometry(capacity: int, fpr: float, n_shards: int) -> tuple[int, int]:
     """Per-shard (m, k): size the whole filter, split bits evenly, round the
     shard up to a power of two (only lowers realized FPR)."""
     m_total, k = suggest_sizing(max(capacity, 1), fpr)
-    m_shard = max(64, next_power_of_two(-(-m_total // n_shards)))
+    m_shard = max(64, next_power_of_two(-(-m_total // max(n_shards, 1))))
     return m_shard, k
+
+
+def effective_shards(n_shards: int) -> int:
+    """Top-bits routing needs a power-of-two shard count."""
+    return next_power_of_two(max(n_shards, 1))
 
 
 def build_sharded_bloom(df: DataFrame, cols, capacity: int, fpr: float = 0.01,
                         n_shards: int = 32, salt: int = 4,
-                        seed: int = DEFAULT_SEED) -> DataFrame:
+                        seed: int = DEFAULT_SEED,
+                        build_partitions: int | None = None) -> DataFrame:
     """Returns the shard table (shard int, sketch binary), one row per
-    non-empty shard. Lazy — persist() it for repeated querying."""
+    non-empty shard. Lazy — persist() it for repeated querying.
+
+    ``salt`` is kept for API stability but unused: shard routing takes the
+    top bits of the base hash, so shard sizes are uniform even under
+    extreme key skew (see module docstring). ``n_shards`` is rounded up to
+    a power of two. ``build_partitions`` defaults to the session's shuffle
+    partitioning, capped at n_shards."""
+    del salt
+    n_shards = effective_shards(n_shards)
     m_shard, k = shard_geometry(capacity, fpr, n_shards)
-    routed = _routed(df, cols, n_shards, seed).withColumn(
-        "__salt", F.pmod(F.xxhash64(F.lit(seed + 3), F.col("__h")), F.lit(salt)))
+    routed = _routed(df, cols, n_shards, seed)
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    parts = min(n_shards, build_partitions or sp)
+    # hash-partition by shard id: every shard's rows land in exactly one
+    # partition, so each shard is built once, by one task — no merge stage.
+    # Only the 8-byte hash crosses the JVM->Python pipe (the dominant cost
+    # of any Python-side build); the shard id re-derives from its top bits.
+    routed = routed.repartition(parts, "__shard").select("__h")
 
-    def phase1(pdf: pd.DataFrame) -> pd.DataFrame:
-        bf = BloomFilter(m_shard, k)
-        bf.update(to_u64(pdf["__h"].to_numpy()))
-        return pd.DataFrame({"shard": [int(pdf["__shard"].iloc[0])],
-                             "sketch": [bf.to_bytes()]})
+    def build(it):
+        blooms: dict[int, BloomFilter] = {}
+        for pdf in it:
+            h = to_u64(pdf["__h"].to_numpy())
+            sh = shard_of(h, n_shards)
+            order = np.argsort(sh, kind="stable")
+            sh_s, h_s = sh[order], h[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], sh_s[1:] != sh_s[:-1])))
+            bounds = np.concatenate((starts, [sh_s.size]))
+            for i, s0 in enumerate(starts):
+                shard = int(sh_s[s0])
+                bf = blooms.get(shard)
+                if bf is None:
+                    bf = blooms[shard] = BloomFilter(m_shard, k)
+                bf.update(h_s[s0:bounds[i + 1]])
+        if blooms:
+            yield pd.DataFrame({
+                "shard": list(blooms.keys()),
+                "sketch": [bf.to_bytes() for bf in blooms.values()]})
 
-    partials = (routed.groupBy("__shard", "__salt")
-                      .applyInPandas(phase1, schema=SHARD_TABLE_SCHEMA))
-
-    def phase2(pdf: pd.DataFrame) -> pd.DataFrame:
-        merged = None
-        for buf in pdf["sketch"]:
-            s = BloomFilter.from_bytes(bytes(buf))
-            merged = s if merged is None else merged.merge(s)
-        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
-                             "sketch": [merged.to_bytes()]})
-
-    return partials.groupBy("shard").applyInPandas(phase2, schema=SHARD_TABLE_SCHEMA)
+    return routed.mapInPandas(build, schema=SHARD_TABLE_SCHEMA)
 
 
 def sharded_membership(df: DataFrame, shard_table: DataFrame, cols,
                        out_col: str = "is_member",
-                       seed: int = DEFAULT_SEED) -> DataFrame:
+                       seed: int = DEFAULT_SEED,
+                       n_shards: int | None = None) -> DataFrame:
     """Membership column against a sharded filter via cogroup-by-shard —
-    no broadcast; each task touches exactly one shard's bytes."""
-    n_shards = None  # routing derives from the same seed; shard ids align
+    no broadcast; each task touches exactly one shard's bytes.
+
+    ``n_shards`` defaults to the power of two covering the table's max
+    shard id (exact unless the corpus was so small a top shard stayed
+    empty — pass it explicitly in that case)."""
     from ..agg import _cols
     cs = _cols(cols)
-    # count shards from the table (cheap: one small agg) to route identically
-    n_shards = shard_table.agg(F.max("shard")).first()[0] + 1
+    if n_shards is None:
+        n_shards = effective_shards(
+            int(shard_table.agg(F.max("shard")).first()[0]) + 1)
 
-    withkeys = df.withColumn("__h", hash_col(cs, seed)).withColumn(
-        "__shard", F.pmod(F.xxhash64(F.lit(seed + 2), F.col("__h")),
-                          F.lit(n_shards)).cast("int"))
+    withkeys = df.withColumn("__h", hash_col(cs, seed))
+    if n_shards == 1:
+        withkeys = withkeys.withColumn("__shard", F.lit(0))
+    else:
+        withkeys = withkeys.withColumn(
+            "__shard",
+            F.shiftrightunsigned(F.col("__h"), _shard_shift(n_shards)).cast("int"))
 
     out_schema = T.StructType(list(withkeys.schema.fields)
                               + [T.StructField(out_col, T.BooleanType())])

@@ -1,0 +1,55 @@
+"""JVM-reduced builders must produce BIT-IDENTICAL state to the numpy
+kernel path — that is what makes them a physical optimization rather than a
+different sketch (jvm_build.py module doc)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bloomfilter_spark.agg import build_sketch
+from bloomfilter_spark.jvm_build import build_sharded_bloom_jvm, hll_build_jvm
+from bloomfilter_spark.operators.sharded import build_sharded_bloom, sharded_membership
+from bloomfilter_spark.sketches import HyperLogLog
+
+
+def test_hll_jvm_build_bit_identical(spark, events):
+    kernel = build_sketch(events, ["user_id"], lambda: HyperLogLog(12))
+    jvm = hll_build_jvm(events, ["user_id"], p=12)
+    assert np.array_equal(kernel.registers, jvm.registers)
+    assert kernel.estimate() == jvm.estimate()
+
+
+def test_hll_jvm_build_composite_key(spark, lineitem):
+    cols = ["l_orderkey", "l_linenumber"]
+    kernel = build_sketch(lineitem, cols, lambda: HyperLogLog(14))
+    jvm = hll_build_jvm(lineitem, cols, p=14)
+    assert kernel.to_bytes() == jvm.to_bytes()
+
+
+def test_sharded_bloom_jvm_byte_identical(spark, lineitem):
+    cols = ["l_orderkey", "l_linenumber"]
+    n = lineitem.count()
+    kernel = {r["shard"]: bytes(r["sketch"])
+              for r in build_sharded_bloom(lineitem, cols, capacity=n,
+                                           fpr=0.01, n_shards=8).collect()}
+    jvm_df = build_sharded_bloom_jvm(lineitem, cols, capacity=n,
+                                     fpr=0.01, n_shards=8)
+    jvm = {r["shard"]: bytes(r["sketch"]) for r in jvm_df.collect()}
+    assert kernel.keys() == jvm.keys()
+    for s in kernel:
+        assert kernel[s] == jvm[s], f"shard {s} differs"
+
+
+def test_sharded_bloom_jvm_zero_false_negatives(spark, lineitem):
+    cols = ["l_orderkey", "l_linenumber"]
+    n = lineitem.count()
+    shards = build_sharded_bloom_jvm(lineitem, cols, capacity=n,
+                                     fpr=0.01, n_shards=4)
+    mem = sharded_membership(lineitem, shards, cols)
+    assert mem.where(~F.col("is_member")).count() == 0
+
+
+def test_ansi_mode_restored_after_jvm_build(spark, lineitem):
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    build_sharded_bloom_jvm(lineitem, ["l_orderkey"], capacity=1000,
+                            fpr=0.05, n_shards=2)
+    assert spark.conf.get("spark.sql.ansi.enabled") == prev

@@ -64,10 +64,9 @@ RUNNER = r"""
 import json, sys, time
 sys.path.insert(0, {root!r})
 from pyspark.sql import functions as F
-from bloomfilter_spark.agg import build_sketch
 from bloomfilter_spark.config import get_spark
+from bloomfilter_spark.jvm_build import hll_build_jvm
 from bloomfilter_spark.operators.sharded import build_sharded_bloom
-from bloomfilter_spark.sketches import HyperLogLog
 from bloomfilter_spark.sources.transcripts import load_transcripts
 
 cores = {cores}
@@ -79,10 +78,12 @@ tr = load_transcripts(spark, n_turns, partitions=parts).repartition(parts).persi
 n = tr.count()
 
 def job():
+    # the engine's at-scale build pair: sharded Bloom (kernel path, one
+    # 8-byte column over the pipe) + HLL via the JVM-reduced aggregation
     shards = build_sharded_bloom(tr, ["conv_id", "text"], capacity=n,
-                                 fpr=0.01, n_shards=64, salt=4)
+                                 fpr=0.01, n_shards=64)
     assert shards.count() == 64
-    return build_sketch(tr, ["conv_id"], lambda: HyperLogLog(14))
+    return hll_build_jvm(tr, ["conv_id"], p=14)
 
 hll = job()  # full warm-up pass, untimed
 times = []
