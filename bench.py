@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "q01_pricing_summary", "q02_dedup_exact", "q03_bloom_semijoin_agg",
     "q05_heavy_hitters", "q09_sessionization", "q11_ann_cosine_topk",
+    "q14_shipping_priority", "q15_asof_join",
     "q20_hll_distinct_users", "q21_cms_type_counts", "q22_kll_value_quantiles",
     "q25_minhash_neardup",
 ]
@@ -48,6 +49,8 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from bloomfilter_spark.agg import build_sketch
     from bloomfilter_spark.config import get_spark
+    from bloomfilter_spark.jvm_build import hll_build_jvm
+    from bloomfilter_spark.operators.sharded import build_sharded_bloom
     from bloomfilter_spark.sizing import suggest_sizing
     from bloomfilter_spark.sketches import KLL, BloomFilter, CountMinSketch, HyperLogLog
     from bloomfilter_spark.sources.transcripts import load_transcripts
@@ -66,16 +69,26 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # flagship: Bloom over (conv_id, text) — the "seen this turn before?" set
+    # flagship: sharded Bloom over (conv_id, text) — the "seen this turn
+    # before?" set, built on the engine's at-scale path (top-bits routing,
+    # one hash column over the pipe, no merge stage)
+    t0 = time.time()
+    shards = build_sharded_bloom(tr, ["conv_id", "text"], capacity=n_actual,
+                                 fpr=0.01, n_shards=64)
+    n_shards_built = shards.count()
+    t_bloom = time.time() - t0
+    timings["build_bloom_sharded"] = round(t_bloom, 3)
+    assert n_shards_built > 0
+
+    # broadcast-path (mergeable-UDAF) bloom for comparison
     m, k = suggest_sizing(n_actual, 0.01)
     t0 = time.time()
     bf = build_sketch(tr, ["conv_id", "text"], lambda: BloomFilter(m, k))
-    t_bloom = time.time() - t0
-    timings["build_bloom"] = round(t_bloom, 3)
+    timings["build_bloom_broadcast"] = round(time.time() - t0, 3)
     assert bf.bit_count() > 0
 
     t0 = time.time()
-    hll = build_sketch(tr, ["conv_id"], lambda: HyperLogLog(14))
+    hll = hll_build_jvm(tr, ["conv_id"], p=14)
     timings["build_hll"] = round(time.time() - t0, 3)
     t0 = time.time()
     build_sketch(tr, ["tool"], lambda: CountMinSketch(eps=1e-4, delta=1e-3))
@@ -94,7 +107,8 @@ def main() -> None:
     spark.stop()
 
     total_sketch = sum(timings[k] for k in
-                       ("build_bloom", "build_hll", "build_cms", "build_kll"))
+                       ("build_bloom_sharded", "build_hll", "build_cms",
+                        "build_kll"))
     result = {
         "metric": "sketch_build_turns_per_sec",
         "value": round(n_actual / t_bloom, 1),

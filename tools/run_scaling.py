@@ -42,7 +42,7 @@ local[N]->local[4N] proxy actually exercises the scaling contract.
 
 Writes BENCH_SCALING.json; prints a markdown row for BASELINE.md.
 
-Usage: python tools/run_scaling.py [n_turns] [reps_per_arm_instance]
+Usage: python tools/run_scaling.py [n_turns] [reps_per_arm_instance] [rounds]
 """
 
 from __future__ import annotations
@@ -143,9 +143,10 @@ def cpu_calibration() -> dict:
 def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     calib = cpu_calibration()
     times: dict[int, list[float]] = {N_CORES: [], N4_CORES: []}
-    for _ in range(2):  # interleave arms: N, 4N, N, 4N
+    for _ in range(rounds):  # interleave arms: N, 4N, N, 4N, ...
         for cores in (N_CORES, N4_CORES):
             times[cores].extend(run_arm(cores, n_turns, reps))
     arms = {}
