@@ -42,7 +42,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_of(sf_dir)
-    n_turns = int(os.environ.get("SPARK_GRAFT_TURNS", str(int(10_000_000 * sf))))
+    # 100M x sf turns: big enough that the build measures steady-state
+    # compute rather than fixed per-pass costs (worker spawn, stage setup)
+    n_turns = int(os.environ.get("SPARK_GRAFT_TURNS", str(int(100_000_000 * sf))))
 
     from pyspark.sql import functions as F
 

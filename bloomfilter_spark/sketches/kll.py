@@ -35,6 +35,20 @@ class KLL(Sketch):
         self.levels: list[np.ndarray] = [np.zeros(0, dtype=np.float64)]
         self.n = 0
         self._compactions = 0
+        # raw values buffered ahead of level 0: folding them in lazily
+        # replaces many small per-batch sorts with one large one — same
+        # algorithm (level 0 receives the same multiset), same bounds
+        self._pending: list[np.ndarray] = []
+        self._pending_n = 0
+
+    _PENDING_CAP = 1 << 20
+
+    def _flush(self) -> None:
+        if self._pending:
+            self.levels[0] = np.concatenate([self.levels[0], *self._pending])
+            self._pending = []
+            self._pending_n = 0
+            self._compress()
 
     # --- capacity machinery --------------------------------------------
     def _cap(self, level: int) -> int:
@@ -88,14 +102,16 @@ class KLL(Sketch):
         if v.size == 0:
             return
         self.n += v.size
-        # feed level 0 in capacity-sized chunks so compaction cadence matches
-        # single-item insertion semantics
-        self.levels[0] = np.concatenate([self.levels[0], v])
-        self._compress()
+        self._pending.append(v)
+        self._pending_n += v.size
+        if self._pending_n >= self._PENDING_CAP:
+            self._flush()
 
     def merge(self, other: "KLL") -> "KLL":
         if self.k != other.k:
             raise ValueError("k mismatch: cannot merge KLL sketches")
+        self._flush()
+        other._flush()
         while len(self.levels) < len(other.levels):
             self.levels.append(np.zeros(0, dtype=np.float64))
         for l, buf in enumerate(other.levels):
@@ -108,6 +124,7 @@ class KLL(Sketch):
 
     # --- queries --------------------------------------------------------
     def _weighted_items(self) -> tuple[np.ndarray, np.ndarray]:
+        self._flush()
         vals, wts = [], []
         for l, buf in enumerate(self.levels):
             if buf.size:
@@ -151,6 +168,7 @@ class KLL(Sketch):
 
     # --- serialization --------------------------------------------------
     def _payload(self) -> tuple[bytes, bytes]:
+        self._flush()
         sizes = np.array([buf.size for buf in self.levels], dtype="<u4")
         params = struct.pack("<IQQII", self.k, self.n, self._compactions,
                              self.seed & 0xFFFFFFFF, len(self.levels))
