@@ -98,6 +98,17 @@ def main() -> None:
     t0 = time.time()
     build_sketch(tr.select(F.length("text").alias("len")), ["len"], lambda: KLL(200))
     timings["build_kll"] = round(time.time() - t0, 3)
+
+    # one-scan family build: every row crosses the pipe once for ALL sketches
+    from bloomfilter_spark.agg import multi_sketch_build
+    t0 = time.time()
+    fam = multi_sketch_build(
+        tr.withColumn("len", F.length("text")),
+        {"hll_conv": (["conv_id"], lambda: HyperLogLog(14)),
+         "cms_tool": (["tool"], lambda: CountMinSketch(eps=1e-4, delta=1e-3)),
+         "kll_len": (["len"], lambda: KLL(200))})
+    timings["build_family_one_scan"] = round(time.time() - t0, 3)
+    assert fam["hll_conv"].estimate() > 0
     tr.unpersist()
 
     qs = entry_mod.queries()

@@ -182,6 +182,78 @@ def merge_sketches(sketches: Sequence[Sketch], factory: Callable[[], Sketch]) ->
     return out
 
 
+def multi_sketch_build(df: DataFrame, specs: dict[str, tuple],
+                       seed: int = DEFAULT_SEED,
+                       merge_partitions: int = DEFAULT_MERGE_PARTITIONS
+                       ) -> dict[str, Sketch]:
+    """Build the WHOLE sketch family in ONE scan + ONE Arrow pass.
+
+    ``specs``: {name: (cols, factory)}. At 100 TB the (wide, string-heavy)
+    source scan and the JVM->Python pipe dominate; building Bloom + HLL +
+    CMS + KLL in separate jobs pays them once per sketch. Here each row
+    crosses once, carrying one prehashed int64 (or double) per spec, and
+    every kernel updates from the same batch.
+
+    NULL semantics per spec are preserved (rows with a NULL key are
+    skipped for that spec only) via a validity flag column — a NULL long
+    must never reach pandas, where it would become lossy float64.
+    """
+    names = list(specs)
+    protos = {n: specs[n][1]() for n in names}
+    proj: list[Column] = []
+    for n in names:
+        cs = _cols(specs[n][0])
+        notnull = cs[0].isNotNull()
+        for c in cs[1:]:
+            notnull = notnull & c.isNotNull()
+        if protos[n].HASH_KEYED:
+            v = hash_col(cs, seed)
+        else:
+            if len(cs) != 1:
+                raise ValueError("value sketches take exactly one column")
+            v = cs[0].cast("double")
+        fill = F.lit(0).cast("long") if protos[n].HASH_KEYED else F.lit(0.0)
+        proj.append(F.coalesce(v, fill).alias(f"__v_{n}"))
+        proj.append(notnull.alias(f"__ok_{n}"))
+    prepped = df.select(*proj)
+    factories = {n: specs[n][1] for n in names}
+    hash_keyed = {n: protos[n].HASH_KEYED for n in names}
+
+    def partials(it: Iterable[pd.DataFrame]):
+        sks = {n: factories[n]() for n in names}
+        for pdf in it:
+            for n in names:
+                ok = pdf[f"__ok_{n}"].to_numpy()
+                raw = pdf[f"__v_{n}"].to_numpy()
+                if hash_keyed[n]:
+                    sks[n].update(to_u64(raw[ok]))
+                else:
+                    sks[n].update(np.asarray(raw[ok], dtype=np.float64))
+        yield pd.DataFrame({"name": names,
+                            "sketch": [sks[n].to_bytes() for n in names]})
+
+    parts = prepped.mapInPandas(partials, schema="name string, sketch binary")
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = pdf["name"].iloc[0]
+        cls = type(factories[n]())
+        sk = None
+        for buf in pdf["sketch"]:
+            s = cls.from_bytes(bytes(buf))
+            sk = s if sk is None else sk.merge(s)
+        return pd.DataFrame({"name": [n], "sketch": [sk.to_bytes()]})
+
+    final = parts.groupBy("name").applyInPandas(
+        merge_group, schema="name string, sketch binary").collect()
+    out: dict[str, Sketch] = {}
+    for r in final:
+        cls = type(factories[r["name"]]())
+        out[r["name"]] = cls.from_bytes(bytes(r["sketch"]))
+    for n in names:  # empty input: every spec still yields its zero sketch
+        out.setdefault(n, factories[n]())
+    return out
+
+
 # --- grouped (per-key) sketches with salted two-phase merge --------------
 
 def grouped_sketch_df(df: DataFrame, keys: Sequence[str], cols,
