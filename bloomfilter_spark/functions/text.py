@@ -98,10 +98,15 @@ _LANG_MARKERS = {
 
 def _lang_id_batch(texts: pd.Series) -> pd.Series:
     """N-gram-marker language guesser: counts per-language stopword markers
-    with vectorized str.count, argmax wins; 'und' (undetermined) when no
-    marker fires."""
+    with vectorized str.count, argmax wins (first language in _LANG_MARKERS
+    order on ties); 'und' (undetermined) when no marker fires.
+
+    Normalization is deliberately ASCII-only ([^a-zA-Z0-9_\\s], not \\w) so
+    the computation is reproducible bit-for-bit in RE2-based engines
+    (DuckDB oracle in __spark_entry__._lang_id_oracle_sql) — the markers
+    themselves are ASCII stopwords, so this loses nothing."""
     padded = (" " + texts.fillna("").str.lower()
-              .str.replace(r"[^\w\s]", " ", regex=True)
+              .str.replace(r"[^a-zA-Z0-9_\s]", " ", regex=True)
               .str.replace(r"\s+", " ", regex=True) + " ")
     best_lang = pd.Series(["und"] * len(texts), index=texts.index)
     best_score = pd.Series([0] * len(texts), index=texts.index)

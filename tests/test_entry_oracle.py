@@ -21,7 +21,17 @@ CHECKED = [
     "q15_asof_join", "q16_rollup_pricing", "q17_revenue_by_nation",
     "q18_set_ops", "q19_price_band_range_join", "q30_embedding_neardup_exact",
     "q31_streaming_window_counts",
+    # bound-assertion sketch queries (exact column + within-bound flag)
+    "q20_hll_distinct_users", "q21_cms_type_counts", "q22_kll_value_quantiles",
+    "q23_tdigest_price_quantiles", "q25_minhash_neardup", "q26_simhash_neardup",
+    "q27_lang_id", "q28_multimodal_features", "q29_sketch_cube",
 ]
+
+
+def test_every_query_has_an_oracle():
+    """Round-2 bar: zero rows-only queries — every operator the contract
+    claims is oracle-checked by the driver."""
+    assert set(entry_mod.queries()) == set(entry_mod.oracle_sql())
 
 
 @pytest.fixture(scope="module")
