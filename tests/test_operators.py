@@ -109,6 +109,34 @@ def test_minhash_finds_injected_near_dups(spark, documents):
     assert hit >= len(want) * 0.8, f"only {hit}/{len(want)} near-dup pairs found"
 
 
+def test_minhash_batch_kernel_matches_per_doc_reference():
+    """The concatenated-buffer shingle hasher must produce byte-identical
+    hashes to the per-document reference, including boundary and padding
+    edge cases; OPH signatures must be invariant to chunk boundaries."""
+    from bloomfilter_spark.operators.dedup import (_char_shingle_hashes,
+                                                   _concat_shingle_hashes,
+                                                   _oph_signatures)
+    rng = np.random.default_rng(7)
+    texts = ["", "ab", "x" * 4, "hello world this is a document " * 9,
+             "überschrift mit ünïcode zeichen"]
+    texts += ["".join(rng.choice(list("abcdef ghij"), size=rng.integers(1, 300)))
+              for _ in range(100)]
+    k, seed = 5, 12345
+    enc = [t.encode("utf-8", "ignore").ljust(k, b" ") for t in texts]
+    lens = np.array([len(e) for e in enc])
+    h, counts = _concat_shingle_hashes(enc, lens, k, seed)
+    ref = np.concatenate([_char_shingle_hashes(t, k, seed) for t in texts])
+    assert np.array_equal(h, ref)
+    assert counts.sum() == ref.size
+    full = _oph_signatures(h, counts, 64)
+    n1 = 40
+    h1, c1 = _concat_shingle_hashes(enc[:n1], lens[:n1], k, seed)
+    h2, c2 = _concat_shingle_hashes(enc[n1:], lens[n1:], k, seed)
+    chunked = np.vstack([_oph_signatures(h1, c1, 64),
+                         _oph_signatures(h2, c2, 64)])
+    assert np.array_equal(full, chunked)
+
+
 def test_minhash_jaccard_estimate_calibrated(spark):
     """Identical docs -> est ~1.0; disjoint docs -> est ~0."""
     rows = [(1, "the quick brown fox jumps over the lazy dog " * 5),
