@@ -234,16 +234,33 @@ def multi_sketch_build(df: DataFrame, specs: dict[str, tuple],
 
     parts = prepped.mapInPandas(partials, schema="name string, sketch binary")
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = pdf["name"].iloc[0]
-        cls = type(factories[n]())
+    def _merged(pdf: pd.DataFrame) -> Sketch:
+        cls = type(factories[pdf["name"].iloc[0]]())
         sk = None
         for buf in pdf["sketch"]:
             s = cls.from_bytes(bytes(buf))
             sk = s if sk is None else sk.merge(s)
-        return pd.DataFrame({"name": [n], "sketch": [sk.to_bytes()]})
+        return sk
 
-    final = parts.groupBy("name").applyInPandas(
+    def merge_level1(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"name": [pdf["name"].iloc[0]],
+                             "__m": [pdf["__m"].iloc[0]],
+                             "sketch": [_merged(pdf).to_bytes()]})
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"name": [pdf["name"].iloc[0]],
+                             "sketch": [_merged(pdf).to_bytes()]})
+
+    # two-level (treeAggregate-style) merge: P partials per name first
+    # reduce in `merge_partitions` parallel tasks (salted by the emitting
+    # partition id), so the final per-name task deserializes
+    # <= merge_partitions partials instead of P — at P=100k scan splits a
+    # big-state Bloom would otherwise fan into one O(state x P) task.
+    lvl1 = (parts.withColumn("__m", F.spark_partition_id() % merge_partitions)
+                 .groupBy("name", "__m")
+                 .applyInPandas(merge_level1,
+                                schema="name string, __m int, sketch binary"))
+    final = lvl1.groupBy("name").applyInPandas(
         merge_group, schema="name string, sketch binary").collect()
     out: dict[str, Sketch] = {}
     for r in final:
@@ -262,11 +279,14 @@ def grouped_sketch_df(df: DataFrame, keys: Sequence[str], cols,
                       seed: int = DEFAULT_SEED, salt: int = 8) -> DataFrame:
     """Per-key sketch estimates: (keys..., <estimate columns...>).
 
-    Phase 1 groups by (keys, salt) where salt = hash(value) % `salt`, so a
-    single hot key is built by `salt` parallel tasks; phase 2 merges the
-    salted partials per key and emits estimates. This is the north rule's
-    'salted repartitioning and two-level treeAggregate-style partial-sketch
-    merge' applied to grouped aggregation.
+    Phase 1 repartitions by (keys, salt) where salt = hash(value) % `salt`,
+    so a single hot key is built by up to `salt` parallel tasks, each
+    streaming its partition's Arrow batches into per-key partials (memory
+    O(keys-in-partition x state), never O(rows) — see phase1 below);
+    phase 2 merges the <= salt partials per key and emits estimates. This
+    is the north rule's 'salted repartitioning and two-level
+    treeAggregate-style partial-sketch merge' applied to grouped
+    aggregation.
     """
     proto = factory()
     cls = type(proto)
@@ -289,15 +309,33 @@ def grouped_sketch_df(df: DataFrame, keys: Sequence[str], cols,
 
     hash_keyed = proto.HASH_KEYED
 
-    def phase1(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = factory()
-        v = pdf["__v"].to_numpy()
-        sk.update(to_u64(v) if hash_keyed else np.asarray(v, dtype=np.float64))
-        row = {k: [pdf[k].iloc[0]] for k in keys}
-        row["sketch"] = [sk.to_bytes()]
-        return pd.DataFrame(row)
+    # Phase 1 is a repartition by (keys, salt) + mapInPandas that folds
+    # Arrow batches into one partial per key seen in the partition — NOT a
+    # groupBy().applyInPandas, which would materialize a whole (key, salt)
+    # group as a single pandas frame (a hot key's salt-share can be 10^8
+    # rows). Streaming over batches keeps peak memory at
+    # O(distinct keys in partition x sketch state), independent of row
+    # counts; a partition holding several salt-shares of one key merges
+    # them early (fewer phase-2 partials, same result by associativity).
+    def phase1(it: Iterable[pd.DataFrame]):
+        sks: dict[tuple, Sketch] = {}
+        for pdf in it:
+            for kt, sub in pdf.groupby(keys, sort=False, dropna=False):
+                if not isinstance(kt, tuple):
+                    kt = (kt,)
+                sk = sks.get(kt)
+                if sk is None:
+                    sk = sks[kt] = factory()
+                v = sub["__v"].to_numpy()
+                sk.update(to_u64(v) if hash_keyed else np.asarray(v, dtype=np.float64))
+        if sks:
+            out = {k: [kt[i] for kt in sks] for i, k in enumerate(keys)}
+            out["sketch"] = [sk.to_bytes() for sk in sks.values()]
+            yield pd.DataFrame(out)
 
-    partials = prepped.groupBy(*keys, "__salt").applyInPandas(phase1, schema=partial_schema)
+    partials = (prepped.repartition(*keys, "__salt")
+                       .select(*keys, "__v")
+                       .mapInPandas(phase1, schema=partial_schema))
 
     est_fields = [T.StructField(name, T.DoubleType()) for name in estimates]
     out_schema = T.StructType(key_fields + est_fields)

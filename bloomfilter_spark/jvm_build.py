@@ -166,7 +166,8 @@ def build_sharded_bloom_jvm(df: DataFrame, cols, capacity: int,
             idx = pdf["w"].to_numpy(dtype=np.int64) & (wps - 1)
             bf.words[idx] = pdf["bits"].to_numpy(dtype=np.int64).view(U64)
             return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
-                                 "sketch": [bf.to_bytes()]})
+                                 "sketch": [bf.to_bytes()],
+                                 "n_shards": [n_shards]})
 
         out = (words.groupBy("shard")
                     .applyInPandas(assemble, schema=SHARD_TABLE_SCHEMA))

@@ -43,6 +43,11 @@ from ..util import log2_power_of_two, next_power_of_two, to_u64
 SHARD_TABLE_SCHEMA = T.StructType([
     T.StructField("shard", T.IntegerType(), False),
     T.StructField("sketch", T.BinaryType(), True),
+    # the build-time shard count rides WITH the table (every row) so query
+    # routing can never diverge from build routing — inferring it from
+    # max(shard)+1 silently breaks zero-false-negatives when a small corpus
+    # leaves the top shards empty
+    T.StructField("n_shards", T.IntegerType(), False),
 ])
 
 
@@ -96,26 +101,41 @@ def effective_shards(n_shards: int) -> int:
 def build_sharded_bloom(df: DataFrame, cols, capacity: int, fpr: float = 0.01,
                         n_shards: int = 32, salt: int = 4,
                         seed: int = DEFAULT_SEED,
-                        build_partitions: int | None = None) -> DataFrame:
-    """Returns the shard table (shard int, sketch binary), one row per
-    non-empty shard. Lazy — persist() it for repeated querying.
+                        build_partitions: int | None = None,
+                        pre_dedup: bool = False) -> DataFrame:
+    """Returns the shard table (shard int, sketch binary, n_shards int),
+    one row per non-empty shard. Lazy — persist() it for repeated querying.
 
     ``salt`` is kept for API stability but unused: shard routing takes the
-    top bits of the base hash, so shard sizes are uniform even under
-    extreme key skew (see module docstring). ``n_shards`` is rounded up to
-    a power of two. ``build_partitions`` defaults to the session's shuffle
-    partitioning, capped at n_shards."""
+    top bits of the base hash, so shard sizes are uniform over DISTINCT
+    keys even under extreme key skew. A duplicate-heavy single key (one
+    hot (conv_id, text) repeated billions of times) still hashes to one
+    shard and serializes into that shard's task; set ``pre_dedup=True`` to
+    collapse duplicates map-side (per-Arrow-batch np.unique before the
+    shuffle — one extra Python pass over the 8-byte hash column, bounding
+    the hot task's input to one row per key per source batch).
+    ``n_shards`` is rounded up to a power of two. ``build_partitions``
+    defaults to the session's shuffle partitioning, capped at n_shards."""
     del salt
     n_shards = effective_shards(n_shards)
     m_shard, k = shard_geometry(capacity, fpr, n_shards)
     routed = _routed(df, cols, n_shards, seed)
     sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     parts = min(n_shards, build_partitions or sp)
+    routed = routed.select("__h")
+    if pre_dedup:
+        def batch_unique(it):
+            for pdf in it:
+                yield pd.DataFrame({"__h": np.unique(pdf["__h"].to_numpy())})
+        routed = routed.mapInPandas(batch_unique, schema="__h long")
     # hash-partition by shard id: every shard's rows land in exactly one
     # partition, so each shard is built once, by one task — no merge stage.
     # Only the 8-byte hash crosses the JVM->Python pipe (the dominant cost
     # of any Python-side build); the shard id re-derives from its top bits.
-    routed = routed.repartition(parts, "__shard").select("__h")
+    shard_col = (F.lit(0) if n_shards == 1 else
+                 F.shiftrightunsigned(F.col("__h"), _shard_shift(n_shards)))
+    routed = (routed.repartition(parts, shard_col.cast("int").alias("__shard"))
+                    .select("__h"))
 
     def build(it):
         blooms: dict[int, BloomFilter] = {}
@@ -136,7 +156,8 @@ def build_sharded_bloom(df: DataFrame, cols, capacity: int, fpr: float = 0.01,
         if blooms:
             yield pd.DataFrame({
                 "shard": list(blooms.keys()),
-                "sketch": [bf.to_bytes() for bf in blooms.values()]})
+                "sketch": [bf.to_bytes() for bf in blooms.values()],
+                "n_shards": n_shards})
 
     return routed.mapInPandas(build, schema=SHARD_TABLE_SCHEMA)
 
@@ -148,14 +169,20 @@ def sharded_membership(df: DataFrame, shard_table: DataFrame, cols,
     """Membership column against a sharded filter via cogroup-by-shard —
     no broadcast; each task touches exactly one shard's bytes.
 
-    ``n_shards`` defaults to the power of two covering the table's max
-    shard id (exact unless the corpus was so small a top shard stayed
-    empty — pass it explicitly in that case)."""
+    ``n_shards`` defaults to the build-time count persisted in the shard
+    table's ``n_shards`` column, so query routing always matches build
+    routing (zero false negatives hold even when a small corpus left top
+    shards empty). Tables persisted without the column fall back to
+    max(shard)+1 inference; pass ``n_shards`` explicitly for those."""
     from ..agg import _cols
     cs = _cols(cols)
     if n_shards is None:
-        n_shards = effective_shards(
-            int(shard_table.agg(F.max("shard")).first()[0]) + 1)
+        if "n_shards" in shard_table.columns:
+            n_shards = int(shard_table.select("n_shards").first()[0])
+        else:
+            n_shards = effective_shards(
+                int(shard_table.agg(F.max("shard")).first()[0]) + 1)
+    shard_table = shard_table.select("shard", "sketch")
 
     withkeys = df.withColumn("__h", hash_col(cs, seed))
     if n_shards == 1:

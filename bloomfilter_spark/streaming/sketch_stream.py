@@ -45,6 +45,11 @@ class SketchAccumulator:
         self.state_dir = state_dir
         self.sketch = factory()
         self.batches_seen: set[int] = set()
+        # last epoch folded into the PERSISTED state: replayed epochs after
+        # a driver restart are skipped, which matters for counting sketches
+        # (a re-merged micro-batch double-counts CMS and corrupts KLL/
+        # t-digest weights; Bloom/HLL would merely re-OR/max)
+        self.last_epoch = -1
         if state_dir:
             os.makedirs(state_dir, exist_ok=True)
             self._restore()
@@ -56,17 +61,24 @@ class SketchAccumulator:
         path = self._state_path()
         if os.path.exists(path):
             with open(path, "rb") as fh:
-                self.sketch = type(self.factory()).from_bytes(fh.read())
+                raw = fh.read()
+            self.last_epoch = int.from_bytes(raw[:8], "little", signed=True)
+            self.sketch = type(self.factory()).from_bytes(raw[8:])
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id in self.batches_seen:  # replayed epoch: merge is
-            return                         # idempotent for Bloom/HLL anyway
+        if epoch_id in self.batches_seen or epoch_id <= self.last_epoch:
+            return  # replayed epoch (this process or a restart): skip
         part = build_sketch(batch_df, self.cols, self.factory, seed=self.seed)
         self.sketch.merge(part)
         self.batches_seen.add(epoch_id)
+        self.last_epoch = max(self.last_epoch, epoch_id)
         if self.state_dir:
+            # epoch rides WITH the sketch bytes in one atomic replace, so a
+            # crash between merge and persist replays that epoch (at-least-
+            # once fold) but a persisted state never re-merges it
             tmp = self._state_path() + ".tmp"
             with open(tmp, "wb") as fh:
+                fh.write(self.last_epoch.to_bytes(8, "little", signed=True))
                 fh.write(self.sketch.to_bytes())
             os.replace(tmp, self._state_path())
 
@@ -100,9 +112,13 @@ def stateful_grouped_hll(stream_df: DataFrame, key_col: str, value_col: str,
                             "n_updates": [n]})
 
     # hash JVM-side with the engine's standard salted xxhash64 so streaming
-    # HLL state is merge-compatible with batch-built HLLs over the same column
-    hashed = stream_df.select(F.col(key_col).cast("string").alias(key_col),
-                              F.xxhash64(F.lit(seed), F.col(value_col)).alias("__h"))
+    # HLL state is merge-compatible with batch-built HLLs over the same
+    # column; NULL values are dropped BEFORE hashing to match the batch
+    # builder's prepare_input semantics (xxhash64 would otherwise hash a
+    # NULL row to the seed-only value and insert a phantom element)
+    hashed = (stream_df.where(F.col(value_col).isNotNull())
+              .select(F.col(key_col).cast("string").alias(key_col),
+                      F.xxhash64(F.lit(seed), F.col(value_col)).alias("__h")))
     return (hashed.groupBy(key_col)
                   .applyInPandasWithState(fn, out_schema, state_schema,
                                           "update", GroupStateTimeout.NoTimeout))

@@ -36,6 +36,38 @@ def test_sharded_bloom_zero_fn_and_fpr(spark, lineitem):
     shards.unpersist()
 
 
+def test_sharded_membership_small_corpus_empty_top_shards(spark):
+    """Routing must use the PERSISTED build-time shard count: these five
+    keys all hash into shards <= 13 of 64 (deterministic xxhash64), so the
+    old max(shard)+1 inference would round to 16 shards and mis-route every
+    probe — breaking zero false negatives."""
+    df = spark.createDataFrame([(k,) for k in (6, 12, 14, 15, 23)], "k long")
+    shards = build_sharded_bloom(df, ["k"], capacity=5, fpr=0.01,
+                                 n_shards=64).persist()
+    tbl = shards.collect()
+    assert all(r["n_shards"] == 64 for r in tbl)
+    assert max(r["shard"] for r in tbl) < 16  # inference WOULD have diverged
+    mem = sharded_membership(df, shards, ["k"])
+    assert mem.where(~F.col("is_member")).count() == 0
+    shards.unpersist()
+
+
+def test_sharded_bloom_pre_dedup_identical(spark, lineitem):
+    """Map-side duplicate collapse must not change the built filter: a
+    duplicate-heavy corpus (every key x8) builds byte-identical shards
+    with and without pre_dedup."""
+    dup = lineitem.select("l_orderkey").crossJoin(
+        spark.range(8).select(F.lit(1).alias("__x"))).drop("__x")
+    plain = {r["shard"]: bytes(r["sketch"])
+             for r in build_sharded_bloom(dup, ["l_orderkey"], capacity=2000,
+                                          n_shards=8).collect()}
+    deduped = {r["shard"]: bytes(r["sketch"])
+               for r in build_sharded_bloom(dup, ["l_orderkey"], capacity=2000,
+                                            n_shards=8,
+                                            pre_dedup=True).collect()}
+    assert plain == deduped
+
+
 def test_sharded_membership_preserves_columns(spark, lineitem):
     shards = build_sharded_bloom(lineitem, ["l_orderkey"], capacity=2000,
                                  n_shards=4)
@@ -107,6 +139,53 @@ def test_stream_accumulator_matches_batch(spark, tmp_path, lineitem):
     acc2 = SketchAccumulator(["l_orderkey"], lambda: HyperLogLog(12),
                              state_dir=str(tmp_path / "state"))
     assert acc2.sketch.to_bytes() == batch.to_bytes()
+
+
+def test_stream_accumulator_replay_idempotent_for_cms(spark, tmp_path, events):
+    """A replayed micro-batch after a driver restart must NOT re-merge:
+    CMS counters would double-count (Bloom/HLL would merely re-OR). The
+    restored accumulator skips epochs <= the persisted last epoch and the
+    final state is byte-identical to a one-shot batch build."""
+    from bloomfilter_spark.agg import build_sketch
+    from bloomfilter_spark.sketches import CountMinSketch
+    from bloomfilter_spark.streaming import SketchAccumulator
+
+    factory = lambda: CountMinSketch(width=4096, depth=5)  # noqa: E731
+    parts = [events.where(F.col("event_id") % 3 == i) for i in range(3)]
+    state = str(tmp_path / "cms_state")
+
+    acc = SketchAccumulator(["event_type"], factory, state_dir=state)
+    acc(parts[0], 0)
+    acc(parts[1], 1)
+    # driver restart: epoch 1 is replayed (at-least-once), then epoch 2
+    acc2 = SketchAccumulator(["event_type"], factory, state_dir=state)
+    assert acc2.last_epoch == 1
+    acc2(parts[1], 1)   # replay — must be skipped
+    acc2(parts[2], 2)
+    batch = build_sketch(events, ["event_type"], factory)
+    assert acc2.sketch.to_bytes() == batch.to_bytes()
+
+
+def test_stateful_grouped_hll_skips_null_values(spark, tmp_path):
+    """Streaming per-key HLL must drop NULL values before hashing (batch
+    builds do): estimates over a nullable column equal the batch build."""
+    from bloomfilter_spark.agg import build_sketch
+    from bloomfilter_spark.sketches import HyperLogLog
+    from bloomfilter_spark.streaming import stateful_grouped_hll
+
+    rows = [("a", i if i % 3 else None) for i in range(300)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    src = str(tmp_path / "null_src")
+    df.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = stateful_grouped_hll(stream, "k", "v", p=12)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("hll_null_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    est = spark.sql("SELECT max(approx_distinct) AS e FROM hll_null_stream") \
+               .first()["e"]
+    batch = build_sketch(df, ["v"], lambda: HyperLogLog(12))
+    assert est == batch.estimate()
 
 
 def test_stateful_grouped_hll_stream(spark, tmp_path, events):

@@ -150,6 +150,26 @@ def test_grouped_sketch_salted_vs_exact(spark, lineitem):
         assert abs(est[flag] - n) / n < 0.05, (flag, est[flag], n)
 
 
+def test_grouped_sketch_hot_key_skew(spark):
+    """One key holds >60% of all rows (the hot-conv_id shape the salted
+    phase-1 exists for): the streaming per-partition partial build must
+    still produce within-bound estimates for every key, hot or cold."""
+    hot = spark.range(60000).select(F.lit("hot").alias("k"),
+                                    (F.col("id") % 9000).alias("v"))
+    cold = spark.range(30000).select(
+        F.concat(F.lit("cold"), (F.col("id") % 7).cast("string")).alias("k"),
+        (F.col("id") + 1_000_000).alias("v"))
+    df = hot.unionByName(cold).repartition(16)
+    g = grouped_sketch_df(df, ["k"], ["v"], lambda: HyperLogLog(14),
+                          {"est": lambda s: s.estimate()}, salt=8)
+    est = {r["k"]: r["est"] for r in g.collect()}
+    exact = {r["k"]: r["n"] for r in
+             df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
+
+
 def test_weighted_cms_preaggregated(spark, events):
     """CMS built from pre-aggregated (key, count) equals CMS over raw rows —
     the map-side-combine pattern for heavy keys."""
