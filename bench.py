@@ -51,7 +51,7 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from bloomfilter_spark.agg import build_sketch
     from bloomfilter_spark.config import get_spark
-    from bloomfilter_spark.jvm_build import hll_build_jvm
+    from bloomfilter_spark.jvm_build import cms_build_jvm, hll_build_jvm
     from bloomfilter_spark.operators.sharded import build_sharded_bloom
     from bloomfilter_spark.sizing import suggest_sizing
     from bloomfilter_spark.sketches import KLL, BloomFilter, CountMinSketch, HyperLogLog
@@ -95,6 +95,11 @@ def main() -> None:
     t0 = time.time()
     build_sketch(tr, ["tool"], lambda: CountMinSketch(eps=1e-4, delta=1e-3))
     timings["build_cms"] = round(time.time() - t0, 3)
+    # JVM-reduced CMS (d*w cells cross the pipe instead of every row) —
+    # the unweighted-build scale path; kernel build kept for comparison
+    t0 = time.time()
+    cms_build_jvm(tr, ["tool"], eps=1e-4, delta=1e-3)
+    timings["build_cms_jvm"] = round(time.time() - t0, 3)
     t0 = time.time()
     build_sketch(tr.select(F.length("text").alias("len")), ["len"], lambda: KLL(200))
     timings["build_kll"] = round(time.time() - t0, 3)
@@ -120,7 +125,7 @@ def main() -> None:
     spark.stop()
 
     total_sketch = sum(timings[k] for k in
-                       ("build_bloom_sharded", "build_hll", "build_cms",
+                       ("build_bloom_sharded", "build_hll", "build_cms_jvm",
                         "build_kll"))
     result = {
         "metric": "sketch_build_turns_per_sec",

@@ -28,13 +28,49 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def iceberg_configs(catalog: str = "local",
+                    warehouse: str = "/tmp/bloomfilter_spark_warehouse"
+                    ) -> dict[str, str]:
+    """Spark confs for an Iceberg Hadoop catalog (the north rule's table
+    format). Apply via spark-submit --conf or a session builder. Requires
+    the public iceberg-spark-runtime jar on the classpath, e.g.
+
+        spark-submit --packages \\
+            org.apache.iceberg:iceberg-spark-runtime-3.5_2.13:1.6.1 \\
+            --conf spark.sql.extensions=...IcebergSparkSessionExtensions ...
+
+    (the jar is absent in this sandbox; see tests/test_iceberg.py, which
+    skips when `has_iceberg` is false)."""
+    return {
+        "spark.sql.extensions":
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        f"spark.sql.catalog.{catalog}":
+            "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
+def has_iceberg(spark) -> bool:
+    """True when the Iceberg Spark runtime is on the session's classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:  # noqa: BLE001 - Py4J raises loader-specific errors
+        return False
+
+
 def get_spark(app_name: str = "bloomfilter_spark", cores: int | None = None,
-              shuffle_partitions: int | None = None):
+              shuffle_partitions: int | None = None,
+              iceberg_warehouse: str | None = None):
     """Build a local SparkSession tuned for this engine.
 
     On a real cluster these configs come from spark-submit; the session
     builder only sets SQL-level knobs that matter at any scale (AQE on,
-    Arrow on, UTC timestamps).
+    Arrow on, UTC timestamps). Pass ``iceberg_warehouse`` (or set
+    $SPARK_GRAFT_ICEBERG_WAREHOUSE) to wire an Iceberg Hadoop catalog named
+    ``local`` — only do so with the Iceberg runtime jar on the classpath,
+    since the SQL extension class must be loadable at session start.
     """
     from pyspark.sql import SparkSession
 
@@ -52,6 +88,11 @@ def get_spark(app_name: str = "bloomfilter_spark", cores: int | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     )
+    iceberg_warehouse = iceberg_warehouse or os.environ.get(
+        "SPARK_GRAFT_ICEBERG_WAREHOUSE")
+    if iceberg_warehouse:
+        for key, val in iceberg_configs(warehouse=iceberg_warehouse).items():
+            builder = builder.config(key, val)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

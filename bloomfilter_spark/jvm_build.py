@@ -144,6 +144,53 @@ def _bloom_word_updates(df: DataFrame, cols, n_shards: int, m_shard: int,
     return exploded.groupBy("w").agg(F.bit_or("m").alias("bits"))
 
 
+def cms_build_jvm(df: DataFrame, cols, width: int | None = None,
+                  depth: int | None = None, eps: float | None = None,
+                  delta: float | None = None,
+                  seed: int = DEFAULT_SEED) -> "CountMinSketch":
+    """Build a Count-Min sketch with the counting done JVM-side; bit-identical
+    to the kernel build (asserted in tests/test_jvm_build.py).
+
+    counter[j][g_j(x)] += 1  ==  explode d (row, col) pairs per input row
+    -> groupBy(row, col).count(): at most d*w rows cross the Arrow pipe
+    (e.g. 5 x 27183 at eps=1e-4), whatever n is; map-side partial counts
+    bound the shuffle by cells-touched-per-task, not rows.
+
+    The K-M column derivation g_j = (h1 + j*h2) mod w needs UNSIGNED mod by
+    the (non-power-of-two) width; long division is signed, so it uses the
+    halving trick: q = (g >>> 1) div w gives g_unsigned div w in {2q, 2q+1},
+    hence rem = g - 2qw lands in [0, 2w) after mod-2^64 wrap cancels, and
+    one conditional subtract finishes. Integer `div` throughout — float
+    division would lose bits above 2^53."""
+    from .sketches.cms import CountMinSketch
+    proto = CountMinSketch(width=width, depth=depth, eps=eps, delta=delta)
+    w, d = proto.width, proto.depth
+    cs = _cols(cols)
+    spark = df.sparkSession
+    with _wrap_arithmetic(spark):
+        base = (df.where(_notnull(cs))
+                  .select(hash_col(cs, seed).alias("__h"))
+                  .withColumn("__h2",
+                              _splitmix64_col(F.col("__h")).bitwiseOR(F.lit(1))))
+        structs = []
+        for j in range(1, d + 1):
+            base = base.withColumn(f"__g{j}", F.expr(f"__h + {j}L * __h2"))
+            rem = (f"(__g{j} - (shiftrightunsigned(__g{j}, 1) div {w}L)"
+                   f" * {2 * w}L)")
+            col = f"(CASE WHEN {rem} >= {w}L THEN {rem} - {w}L ELSE {rem} END)"
+            structs.append(f"struct({j - 1} AS r, {col} AS c)")
+        cells = (base.selectExpr(f"explode(array({', '.join(structs)})) AS p")
+                     .groupBy("p.r", "p.c").agg(F.count("*").alias("n")))
+        pdf = cells.toPandas()
+    sk = CountMinSketch(width=w, depth=d)
+    if len(pdf):
+        sk.table[pdf["r"].to_numpy(dtype=np.int64),
+                 pdf["c"].to_numpy(dtype=np.int64)] = \
+            pdf["n"].to_numpy(dtype=np.int64).view(U64)
+        sk.total = int(pdf.loc[pdf["r"] == 0, "n"].sum())
+    return sk
+
+
 def build_sharded_bloom_jvm(df: DataFrame, cols, capacity: int,
                             fpr: float = 0.01, n_shards: int = 32,
                             seed: int = DEFAULT_SEED) -> DataFrame:

@@ -6,9 +6,10 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from bloomfilter_spark.agg import build_sketch
-from bloomfilter_spark.jvm_build import build_sharded_bloom_jvm, hll_build_jvm
+from bloomfilter_spark.jvm_build import (build_sharded_bloom_jvm,
+                                         cms_build_jvm, hll_build_jvm)
 from bloomfilter_spark.operators.sharded import build_sharded_bloom, sharded_membership
-from bloomfilter_spark.sketches import HyperLogLog
+from bloomfilter_spark.sketches import CountMinSketch, HyperLogLog
 
 
 def test_hll_jvm_build_bit_identical(spark, events):
@@ -22,6 +23,25 @@ def test_hll_jvm_build_composite_key(spark, lineitem):
     cols = ["l_orderkey", "l_linenumber"]
     kernel = build_sketch(lineitem, cols, lambda: HyperLogLog(14))
     jvm = hll_build_jvm(lineitem, cols, p=14)
+    assert kernel.to_bytes() == jvm.to_bytes()
+
+
+def test_cms_jvm_build_bit_identical(spark, events):
+    kernel = build_sketch(events, ["event_type"],
+                          lambda: CountMinSketch(eps=1e-4, delta=1e-3))
+    jvm = cms_build_jvm(events, ["event_type"], eps=1e-4, delta=1e-3)
+    assert (kernel.table == jvm.table).all()
+    assert kernel.total == jvm.total
+    assert kernel.to_bytes() == jvm.to_bytes()
+
+
+def test_cms_jvm_build_composite_key_odd_width(spark, lineitem):
+    """Non-power-of-two width exercises the unsigned-mod halving trick on
+    every row; composite key exercises the variadic hash."""
+    cols = ["l_orderkey", "l_linenumber"]
+    kernel = build_sketch(lineitem, cols,
+                          lambda: CountMinSketch(width=12289, depth=7))
+    jvm = cms_build_jvm(lineitem, cols, width=12289, depth=7)
     assert kernel.to_bytes() == jvm.to_bytes()
 
 
