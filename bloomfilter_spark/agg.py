@@ -32,8 +32,11 @@ from .util import to_u64
 SKETCH_SCHEMA = "sketch binary"
 
 # per-executor cache of deserialized broadcast sketches (avoids re-parsing
-# the sketch for every Arrow batch)
-_BC_CACHE: dict[int, Sketch] = {}
+# the sketch for every Arrow batch). Keyed by an explicit unique token that
+# rides INSIDE the broadcast value — NEVER by id(bc): Python reuses freed
+# addresses, so a later broadcast can alias a dead one's id() and silently
+# serve a stale sketch (manifested as mass false negatives).
+_BC_CACHE: dict[tuple, Sketch] = {}
 
 
 def _cols(cols) -> list[Column]:
@@ -138,14 +141,17 @@ def merge_partials_df(partials: DataFrame, factory: Callable[[], Sketch],
 def sketch_df(df: DataFrame, cols, factory: Callable[[], Sketch],
               seed: int = DEFAULT_SEED, weight_col=None,
               merge_partitions: int = DEFAULT_MERGE_PARTITIONS,
-              two_level: bool = True, prehashed: bool = False) -> DataFrame:
+              two_level: bool | str = "auto", prehashed: bool = False) -> DataFrame:
     """Fully in-plan build: returns a 1-row DataFrame with the final
     serialized sketch. Lazy — composable inside larger query plans.
 
     Topology: P partition partials -> `merge_partitions` parallel merge
     tasks -> 1 final merge task. All merging happens on executors; the
     caller (or driver) only ever receives ONE serialized sketch — at
-    P=100k partitions of multi-MB partials, driver fan-in stays O(1)."""
+    P=100k partitions of multi-MB partials, driver fan-in stays O(1).
+    ``two_level="auto"`` inserts the intermediate level only when the
+    partial count is large enough to need it (> 4x merge_partitions);
+    for small inputs the extra shuffle+stage is pure latency."""
     proto = factory()
     prepped = prepare_input(df, cols, proto, seed, weight_col, prehashed)
     # Large-state sketches (bloom with big m, CMS): every partial costs
@@ -157,6 +163,8 @@ def sketch_df(df: DataFrame, cols, factory: Callable[[], Sketch],
         target = df.sparkSession.sparkContext.defaultParallelism
         prepped = prepped.coalesce(target)
     partials = build_partials(prepped, factory)
+    if two_level == "auto":
+        two_level = prepped.rdd.getNumPartitions() > 4 * merge_partitions
     if two_level:
         partials = merge_partials_df(partials, factory, merge_partitions)
     return merge_partials_df(partials, factory, 1)
@@ -165,7 +173,7 @@ def sketch_df(df: DataFrame, cols, factory: Callable[[], Sketch],
 def build_sketch(df: DataFrame, cols, factory: Callable[[], Sketch],
                  seed: int = DEFAULT_SEED, weight_col=None,
                  merge_partitions: int = DEFAULT_MERGE_PARTITIONS,
-                 two_level: bool = True, prehashed: bool = False) -> Sketch:
+                 two_level: bool | str = "auto", prehashed: bool = False) -> Sketch:
     """Eager build: run the plan and return the merged Sketch object.
     Collects exactly one serialized sketch row (see sketch_df)."""
     row = sketch_df(df, cols, factory, seed, weight_col,
@@ -355,11 +363,19 @@ def grouped_sketch_df(df: DataFrame, keys: Sequence[str], cols,
 
 # --- membership / point queries over a broadcast sketch ------------------
 
+def _broadcast_sketch(df: DataFrame, sketch: Sketch):
+    """Broadcast (unique-token, bytes); the token keys the executor cache."""
+    import uuid
+    sc = df.sparkSession.sparkContext
+    return sc.broadcast((uuid.uuid4().hex, sketch.to_bytes()))
+
+
 def _cached_sketch(bc, cls) -> Sketch:
-    key = id(bc)
+    token, raw = bc.value
+    key = (token, cls)
     sk = _BC_CACHE.get(key)
-    if sk is None or not isinstance(sk, cls):
-        sk = cls.from_bytes(bc.value)
+    if sk is None:
+        sk = cls.from_bytes(raw)
         _BC_CACHE[key] = sk
     return sk
 
@@ -370,8 +386,7 @@ def with_membership(df: DataFrame, bloom, cols, out_col: str = "is_member",
     hashes computed JVM-side, bit tests vectorized per Arrow batch."""
     from .sketches.bloom import BloomFilter
 
-    sc = df.sparkSession.sparkContext
-    bc = sc.broadcast(bloom.to_bytes())
+    bc = _broadcast_sketch(df, bloom)
 
     @F.pandas_udf("boolean")
     def contains(h: pd.Series) -> pd.Series:
@@ -394,8 +409,7 @@ def with_cms_count(df: DataFrame, cms, cols, out_col: str = "est_count",
     """Broadcast-CMS point-frequency estimate column."""
     from .sketches.cms import CountMinSketch
 
-    sc = df.sparkSession.sparkContext
-    bc = sc.broadcast(cms.to_bytes())
+    bc = _broadcast_sketch(df, cms)
 
     @F.pandas_udf("long")
     def est(h: pd.Series) -> pd.Series:

@@ -181,6 +181,23 @@ def test_weighted_cms_preaggregated(spark, events):
     assert raw.total == agg.total
 
 
+def test_broadcast_cache_no_stale_sketch_reuse(spark):
+    """Regression: the executor-side sketch cache must key by the unique
+    token inside the broadcast value, not id(bc) — Python reuses freed
+    addresses, so churned broadcasts could alias and serve a STALE filter
+    (observed as ~100% false negatives mid-suite)."""
+    import gc
+    from bloomfilter_spark.agg import with_membership
+    for i in range(6):
+        lo = i * 100000
+        df = spark.range(lo, lo + 2000).select(F.col("id").alias("k"))
+        bf = build_sketch(df, ["k"], lambda: BloomFilter(1 << 16, 5))
+        out = with_membership(df, bf, ["k"])
+        assert out.where(~F.col("is_member")).count() == 0, f"round {i}"
+        del bf, out
+        gc.collect()
+
+
 def test_nulls_are_skipped(spark):
     df = spark.createDataFrame([("a",), (None,), ("b",), (None,)], "v string")
     hll = build_sketch(df, ["v"], lambda: HyperLogLog(12))
