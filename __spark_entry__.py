@@ -337,6 +337,11 @@ def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # column is trivially true — so the driver's rows+schema+hash gate fully
 # covers every sketch operator (reference test philosophy: properties, not
 # golden values — tests/QC.hs:17-18).
+#
+# These are VERIFICATION queries: the exact side exists to judge the
+# estimate, so each runs both. Production callers use the sketch operator
+# alone (grouped_sketch_df / build_sketch / with_cms_count / sketch_cube);
+# at 10^12 rows the exact side is precisely what the sketch replaces.
 # --------------------------------------------------------------------------
 
 # 3-sigma HLL relative standard error at p=14 (Flajolet et al. 2007):
