@@ -570,6 +570,59 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("guessed_lang").agg(F.count("*").alias("n_docs")))
 
 
+def _q_grouped_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key KLL(200) median with exact-rank verification — the north
+    star's 'latency quantiles per group' as a grouped value sketch
+    (salted two-phase build). Emits the exact group size (oracle-
+    matchable) and a rank-of-median-within-bound flag."""
+    from bloomfilter_spark.agg import grouped_sketch_df
+    from bloomfilter_spark.sketches import KLL
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    est = grouped_sketch_df(ev, ["event_type"], ["value"], lambda: KLL(200),
+                            {"p50": lambda s: float(s.quantile(0.5))}, salt=4)
+    ranked = (ev.join(est, "event_type")
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n_rows"),
+                     F.sum((F.col("value") <= F.col("p50")).cast("long"))
+                      .alias("rank_le")))
+    bound = 4 * KLL(200).rank_error_bound()
+    ok = (F.abs(F.col("rank_le") / F.col("n_rows") - 0.5) <= F.lit(bound))
+    return ranked.select("event_type", "n_rows",
+                         ok.cast("int").alias("rank_ok"))
+
+
+def _q_streaming_stateful_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming per-key HLL (applyInPandasWithState): the final
+    streamed estimate per event_type must sit within the 3-sigma HLL bound
+    of the exact distinct (and, by merge-compatibility, equals the batch
+    build exactly — asserted in tests)."""
+    import os
+    from bloomfilter_spark.streaming import stateful_grouped_hll
+    ev_schema = _t(spark, sf_dir, "events").schema
+    key = os.path.basename(os.path.normpath(sf_dir))
+    stream_dir = f"/tmp/bloomfilter_spark_stream/{key}/events"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(ev_schema).parquet(stream_dir)
+    out = stateful_grouped_hll(stream, "event_type", "user_id", p=14)
+    name = "hll_state_" + str(abs(hash(sf_dir)) % 100000)
+    q = (out.writeStream.outputMode("update").format("memory")
+            .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    est = spark.sql(
+        f"SELECT event_type, max(approx_distinct) AS approx_users FROM {name} "
+        "GROUP BY event_type")
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    return (exact.join(est, "event_type")
+                 .select("event_type", "exact_users",
+                         _hll_within("exact_users", "approx_users")
+                         .cast("int").alias("within_bound")))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -607,6 +660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_streaming_window_counts": _q_streaming_window_counts,
         "q28_multimodal_features": _q_multimodal_features,
         "q29_sketch_cube": _q_sketch_cube,
+        "q32_grouped_kll_quantiles": _q_grouped_kll_quantiles,
+        "q33_streaming_stateful_hll": _q_streaming_stateful_hll,
     }
 
 
@@ -873,6 +928,15 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_orderkey) AS exact_orders,
                    1 AS within_bound
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "q32_grouped_kll_quantiles": """
+            SELECT event_type, count(*) AS n_rows, 1 AS rank_ok
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
+        """,
+        "q33_streaming_stateful_hll": """
+            SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                   1 AS within_bound
+            FROM events WHERE user_id IS NOT NULL GROUP BY event_type
         """,
     }
 

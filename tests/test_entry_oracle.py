@@ -25,6 +25,7 @@ CHECKED = [
     "q20_hll_distinct_users", "q21_cms_type_counts", "q22_kll_value_quantiles",
     "q23_tdigest_price_quantiles", "q25_minhash_neardup", "q26_simhash_neardup",
     "q27_lang_id", "q28_multimodal_features", "q29_sketch_cube",
+    "q32_grouped_kll_quantiles", "q33_streaming_stateful_hll",
 ]
 
 
