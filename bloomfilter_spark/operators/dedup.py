@@ -164,21 +164,33 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_lsh_candidates(signatures: DataFrame, id_col: str,
-                           bands: int = 16, seed: int = DEFAULT_SEED) -> DataFrame:
+                           bands: int = 16, seed: int = DEFAULT_SEED,
+                           sig_len: int | None = None) -> DataFrame:
     """Banded LSH: split each signature into `bands` bands, hash each band,
     self-join on (band_id, band_hash) -> candidate pairs (id_a < id_b).
 
-    The join key is a small long, so the shuffle moves signatures not
-    documents; Catalyst handles the equi-join strategy."""
-    sig_len_row = signatures.select(F.size("signature").alias("n")).first()
-    rows_per_band = max(1, sig_len_row["n"] // bands)
+    Band hashes come straight from order-preserving F.slice on the
+    signature array (one narrow projection + explode) — NOT from
+    groupBy + collect_list, whose element order is not guaranteed after a
+    shuffle (nondeterministic band hashes silently drop candidates) and
+    which costs an extra shuffle. The join key is a small long, so the
+    candidate shuffle moves band hashes, not documents; Catalyst handles
+    the equi-join strategy. Pass ``sig_len`` (= num_perm) to keep the plan
+    fully lazy; it is probed with one tiny job otherwise."""
+    if sig_len is None:
+        sig_len = signatures.select(F.size("signature").alias("n")).first()["n"]
+    rows_per_band = max(1, sig_len // bands)
 
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(F.col("signature")).alias("pos", "val"),
-    ).withColumn("band", (F.col("pos") / rows_per_band).cast("int")) \
-     .groupBy(id_col, "band") \
-     .agg(F.xxhash64(F.lit(seed), F.concat_ws(",", F.collect_list("val"))).alias("band_hash"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.lit(seed),
+                       F.slice("signature", b * rows_per_band + 1,
+                               rows_per_band)).alias("band_hash"))
+        for b in range(bands)]
+    banded = (signatures
+              .select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bh"))
+              .select(id_col, "bh.band", "bh.band_hash"))
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -215,7 +227,7 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
     """Near-duplicate pairs (id_a, id_b, est_jaccard >= threshold)."""
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
     sigs = sigs.persist()
-    pairs = minhash_lsh_candidates(sigs, id_col, bands, seed)
+    pairs = minhash_lsh_candidates(sigs, id_col, bands, seed, sig_len=num_perm)
     est = minhash_jaccard_estimates(sigs, pairs, id_col)
     return est.where(F.col("est_jaccard") >= threshold)
 
