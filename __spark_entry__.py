@@ -623,6 +623,65 @@ def _q_streaming_stateful_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("int").alias("within_bound")))
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-3-gram Jaccard for 20 fixed doc pairs — the near-dup
+    verification kernel as pure DataFrame set algebra, fully recomputed by
+    the oracle (values, not just a flag)."""
+    from bloomfilter_spark.operators import ngram_jaccard_pairs
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    pairs = spark.range(20).select(
+        (F.col("id") * 2).cast(id_type).alias("id_a"),
+        (F.col("id") * 2 + 1).cast(id_type).alias("id_b"))
+    return ngram_jaccard_pairs(docs, pairs, "doc_id", "text", n=3)
+
+
+def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup (the scale path q30 baselines):
+    recall on injected exact-duplicate vectors — identical vectors get
+    identical hyperplane signs, so every injected pair MUST share a bucket
+    and verify at cosine ~1."""
+    from bloomfilter_spark.operators import embedding_near_dups
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    src = base.where(F.col("vec_id") < 100)
+    injected = src.select((F.col("vec_id") + 1000000).alias("vec_id"),
+                          "embedding")
+    corpus = base.unionByName(injected)
+    pairs = embedding_near_dups(corpus, "vec_id", "embedding",
+                                threshold=0.99, n_bits=12)
+    expected = src.select(F.col("vec_id").alias("id_a"),
+                          (F.col("vec_id") + 1000000).alias("id_b"))
+    found = expected.join(pairs, ["id_a", "id_b"], "left")
+    return found.agg(F.count("*").alias("n_injected"),
+                     (F.count("*") == F.count("cosine"))
+                     .cast("int").alias("recall_ok"))
+
+
+def _q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN recall@10 against the exact brute-force top-10
+    for 3 fixed queries (deterministic seeded hyperplanes; floor verified
+    with margin at the driver's scale factors)."""
+    import numpy as np
+    from bloomfilter_spark.operators import brute_force_topk, lsh_ann_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float32)
+    corpus = emb.where(F.col("vec_id") >= 3)
+    exact = brute_force_topk(corpus, "vec_id", "embedding", queries, k=10) \
+        .select("query_id", "vec_id")
+    # wide-bucket config (2^4 buckets x 16 tables): the synthetic corpus is
+    # near-isotropic, the hardest case for hyperplane LSH — measured
+    # recall@10 is 0.87 (sf0.001) / 1.00 (sf0.01), floor 0.7
+    approx = lsh_ann_topk(corpus, "vec_id", "embedding", queries, k=10,
+                          n_bits=4, n_tables=16).select("query_id", "vec_id")
+    n_exact = exact.count()
+    hit = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    return spark.createDataFrame(
+        [(len(queries), int(hit / n_exact >= 0.7))],
+        "n_queries int, recall_ok int")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -662,6 +721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_sketch_cube": _q_sketch_cube,
         "q32_grouped_kll_quantiles": _q_grouped_kll_quantiles,
         "q33_streaming_stateful_hll": _q_streaming_stateful_hll,
+        "q34_ngram_jaccard": _q_ngram_jaccard,
+        "q35_embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "q36_ann_lsh_recall": _q_ann_lsh_recall,
     }
 
 
@@ -937,6 +999,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS exact_users,
                    1 AS within_bound
             FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+        """,
+        "q34_ngram_jaccard": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+                FROM documents WHERE doc_id < 40
+            ), grams AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+                FROM toks, LATERAL (
+                    SELECT unnest(generate_series(
+                        1, greatest(len(t) - 3, 0) + 1)) AS i) s
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), pairs AS (
+                SELECT r * 2 AS id_a, r * 2 + 1 AS id_b FROM range(20) t(r)
+            ), inter AS (
+                SELECT p.id_a, p.id_b, count(*) AS n_inter
+                FROM pairs p
+                JOIN grams ga ON ga.doc_id = p.id_a
+                JOIN grams gb ON gb.doc_id = p.id_b AND ga.g = gb.g
+                GROUP BY p.id_a, p.id_b
+            )
+            SELECT p.id_a, p.id_b,
+                   CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                       / (ca.n + cb.n - coalesce(i.n_inter, 0)) AS jaccard
+            FROM pairs p
+            JOIN counts ca ON ca.doc_id = p.id_a
+            JOIN counts cb ON cb.doc_id = p.id_b
+            LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        """,
+        "q35_embedding_neardup_lsh": """
+            SELECT count(*) AS n_injected, 1 AS recall_ok
+            FROM embeddings WHERE vec_id < 100
+        """,
+        "q36_ann_lsh_recall": """
+            SELECT 3 AS n_queries, 1 AS recall_ok
         """,
     }
 

@@ -26,6 +26,7 @@ CHECKED = [
     "q23_tdigest_price_quantiles", "q25_minhash_neardup", "q26_simhash_neardup",
     "q27_lang_id", "q28_multimodal_features", "q29_sketch_cube",
     "q32_grouped_kll_quantiles", "q33_streaming_stateful_hll",
+    "q34_ngram_jaccard", "q35_embedding_neardup_lsh", "q36_ann_lsh_recall",
 ]
 
 
