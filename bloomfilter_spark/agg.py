@@ -281,23 +281,23 @@ def multi_sketch_build(df: DataFrame, specs: dict[str, tuple],
 
 # --- grouped (per-key) sketches with salted two-phase merge --------------
 
-def grouped_sketch_df(df: DataFrame, keys: Sequence[str], cols,
-                      factory: Callable[[], Sketch],
-                      estimates: dict[str, Callable[[Sketch], float]],
-                      seed: int = DEFAULT_SEED, salt: int = 8) -> DataFrame:
-    """Per-key sketch estimates: (keys..., <estimate columns...>).
+def grouped_sketch_table(df: DataFrame, keys: Sequence[str], cols,
+                         factory: Callable[[], Sketch],
+                         seed: int = DEFAULT_SEED, salt: int = 8) -> DataFrame:
+    """Per-key SERIALIZED sketches: (keys..., sketch binary), one row per
+    key — the mergeable form. Coarser groupings derive from this table by
+    re-grouping + merging (merge_grouped_sketches) WITHOUT rescanning the
+    input; grouped_sketch_df / sketch_cube build on it.
 
     Phase 1 repartitions by (keys, salt) where salt = hash(value) % `salt`,
     so a single hot key is built by up to `salt` parallel tasks, each
     streaming its partition's Arrow batches into per-key partials (memory
     O(keys-in-partition x state), never O(rows) — see phase1 below);
-    phase 2 merges the <= salt partials per key and emits estimates. This
-    is the north rule's 'salted repartitioning and two-level
-    treeAggregate-style partial-sketch merge' applied to grouped
-    aggregation.
+    phase 2 merges the <= salt partials per key. This is the north rule's
+    'salted repartitioning and two-level treeAggregate-style partial-sketch
+    merge' applied to grouped aggregation.
     """
     proto = factory()
-    cls = type(proto)
     keys = list(keys)
     cs = _cols(cols)
     cond = cs[0].isNotNull()
@@ -344,21 +344,61 @@ def grouped_sketch_df(df: DataFrame, keys: Sequence[str], cols,
     partials = (prepped.repartition(*keys, "__salt")
                        .select(*keys, "__v")
                        .mapInPandas(phase1, schema=partial_schema))
+    return merge_grouped_sketches(partials, keys, factory)
 
-    est_fields = [T.StructField(name, T.DoubleType()) for name in estimates]
-    out_schema = T.StructType(key_fields + est_fields)
 
-    def phase2(pdf: pd.DataFrame) -> pd.DataFrame:
+def merge_grouped_sketches(sketch_table: DataFrame, keys: Sequence[str],
+                           factory: Callable[[], Sketch]) -> DataFrame:
+    """Merge a (keys+..., sketch) table down to one sketch row per `keys`
+    group (keys may be any subset of the table's non-sketch columns) —
+    the rollup step of the single-scan cube: sketches are mergeable, so
+    coarser groupings never rescan the input."""
+    keys = list(keys)
+    cls = type(factory())
+    key_fields = [sketch_table.schema[k] for k in keys]
+    out_schema = T.StructType(key_fields + [T.StructField("sketch", T.BinaryType())])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = None
         for buf in pdf["sketch"]:
             s = cls.from_bytes(bytes(buf))
             sk = s if sk is None else sk.merge(s)
         row = {k: [pdf[k].iloc[0]] for k in keys}
-        for name, fn in estimates.items():
-            row[name] = [float(fn(sk))]
+        row["sketch"] = [sk.to_bytes()]
         return pd.DataFrame(row)
 
-    return partials.groupBy(*keys).applyInPandas(phase2, schema=out_schema)
+    return sketch_table.groupBy(*keys).applyInPandas(merge, schema=out_schema)
+
+
+def estimate_grouped(sketch_table: DataFrame, keys: Sequence[str],
+                     factory: Callable[[], Sketch],
+                     estimates: dict[str, Callable[[Sketch], float]]) -> DataFrame:
+    """(keys..., <estimate columns...>) from a (keys..., sketch) table."""
+    keys = list(keys)
+    cls = type(factory())
+    key_fields = [sketch_table.schema[k] for k in keys]
+    est_fields = [T.StructField(name, T.DoubleType()) for name in estimates]
+    out_schema = T.StructType(key_fields + est_fields)
+
+    def est(it: Iterable[pd.DataFrame]):
+        for pdf in it:
+            row = {k: pdf[k] for k in keys}
+            sks = [cls.from_bytes(bytes(b)) for b in pdf["sketch"]]
+            for name, fn in estimates.items():
+                row[name] = [float(fn(s)) for s in sks]
+            yield pd.DataFrame(row)
+
+    return sketch_table.mapInPandas(est, schema=out_schema)
+
+
+def grouped_sketch_df(df: DataFrame, keys: Sequence[str], cols,
+                      factory: Callable[[], Sketch],
+                      estimates: dict[str, Callable[[Sketch], float]],
+                      seed: int = DEFAULT_SEED, salt: int = 8) -> DataFrame:
+    """Per-key sketch estimates: (keys..., <estimate columns...>). See
+    grouped_sketch_table for the build topology."""
+    table = grouped_sketch_table(df, keys, cols, factory, seed, salt)
+    return estimate_grouped(table, keys, factory, estimates)
 
 
 # --- membership / point queries over a broadcast sketch ------------------

@@ -43,6 +43,23 @@ def test_sketch_rollup_levels(spark, events):
     assert sum(1 for r in rows if r["event_type"] is None) == 1
 
 
+def test_sketch_cube_single_scan_equals_per_set(spark, lineitem):
+    """The single-scan cube (finest sketch table merged upward) must give
+    IDENTICAL estimates to independent per-set builds: HLL merge is
+    commutative/associative and byte-exact, so any merge order of the same
+    inserted set yields the same registers."""
+    kwargs = dict(cols=["l_orderkey"], factory=lambda: HyperLogLog(14),
+                  estimates={"nd": lambda s: s.estimate()}, salt=2)
+    one = sketch_cube(lineitem, ["l_returnflag", "l_linestatus"],
+                      single_scan=True, **kwargs)
+    per = sketch_cube(lineitem, ["l_returnflag", "l_linestatus"],
+                      single_scan=False, **kwargs)
+    key = lambda r: (r["l_returnflag"], r["l_linestatus"], r["gid"])  # noqa: E731
+    a = {key(r): r["nd"] for r in one.collect()}
+    b = {key(r): r["nd"] for r in per.collect()}
+    assert a == b
+
+
 # --- cross-checks vs Spark built-ins -------------------------------------
 
 def test_hll_vs_spark_approx_count_distinct(spark, lineitem):
