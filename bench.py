@@ -113,6 +113,21 @@ def main() -> None:
           lambda: build_sketch(tr.select(F.length("text").alias("len")),
                                ["len"], lambda: KLL(200)))
 
+    # pipeline-kernel throughput: near-dup signatures over 1M transcript
+    # texts (OPH minhash; JVM-tokenized simhash) — the per-document cost a
+    # 10^9-doc dedup pays
+    from bloomfilter_spark.operators.dedup import (minhash_signatures,
+                                                   simhash_signatures)
+    sub = (tr.sample(fraction=min(1.0, 1_000_000 / max(n_actual, 1)), seed=7)
+             .withColumn("doc_id", F.monotonically_increasing_id())
+             .persist())
+    n_docs = sub.count()
+    timed("sig_minhash_1m", lambda: minhash_signatures(sub, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save())
+    timed("sig_simhash_1m", lambda: simhash_signatures(sub, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save())
+    sub.unpersist()
+
     # one-scan family build: every row crosses the pipe once for ALL sketches
     from bloomfilter_spark.agg import multi_sketch_build
     t0 = time.time()
@@ -146,6 +161,8 @@ def main() -> None:
         "cores": cores,
         "hll_estimate_convs": round(hll.estimate(), 1),
         "all_sketches_turns_per_sec": round(4 * n_actual / total_sketch, 1),
+        "minhash_docs_per_sec": round(n_docs / timings["sig_minhash_1m"], 1),
+        "simhash_docs_per_sec": round(n_docs / timings["sig_simhash_1m"], 1),
     }
     print(json.dumps(result))
 

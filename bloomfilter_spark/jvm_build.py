@@ -146,7 +146,7 @@ def _bloom_word_updates(df: DataFrame, cols, n_shards: int, m_shard: int,
 
 def cms_build_jvm(df: DataFrame, cols, width: int | None = None,
                   depth: int | None = None, eps: float | None = None,
-                  delta: float | None = None,
+                  delta: float | None = None, weight_col: str | None = None,
                   seed: int = DEFAULT_SEED) -> "CountMinSketch":
     """Build a Count-Min sketch with the counting done JVM-side; bit-identical
     to the kernel build (asserted in tests/test_jvm_build.py).
@@ -161,15 +161,20 @@ def cms_build_jvm(df: DataFrame, cols, width: int | None = None,
     halving trick: q = (g >>> 1) div w gives g_unsigned div w in {2q, 2q+1},
     hence rem = g - 2qw lands in [0, 2w) after mod-2^64 wrap cancels, and
     one conditional subtract finishes. Integer `div` throughout — float
-    division would lose bits above 2^53."""
+    division would lose bits above 2^53.
+
+    ``weight_col``: pre-aggregated counts per key (the map-side-combine
+    pattern) — cells accumulate sum(weight) instead of count."""
     from .sketches.cms import CountMinSketch
     proto = CountMinSketch(width=width, depth=depth, eps=eps, delta=delta)
     w, d = proto.width, proto.depth
     cs = _cols(cols)
     spark = df.sparkSession
     with _wrap_arithmetic(spark):
-        base = (df.where(_notnull(cs))
-                  .select(hash_col(cs, seed).alias("__h"))
+        proj = [hash_col(cs, seed).alias("__h")]
+        if weight_col is not None:
+            proj.append(F.floor(F.col(weight_col)).cast("long").alias("__w"))
+        base = (df.where(_notnull(cs)).select(*proj)
                   .withColumn("__h2",
                               _splitmix64_col(F.col("__h")).bitwiseOR(F.lit(1))))
         structs = []
@@ -179,8 +184,12 @@ def cms_build_jvm(df: DataFrame, cols, width: int | None = None,
                    f" * {2 * w}L)")
             col = f"(CASE WHEN {rem} >= {w}L THEN {rem} - {w}L ELSE {rem} END)"
             structs.append(f"struct({j - 1} AS r, {col} AS c)")
-        cells = (base.selectExpr(f"explode(array({', '.join(structs)})) AS p")
-                     .groupBy("p.r", "p.c").agg(F.count("*").alias("n")))
+        wsel = ["__w"] if weight_col is not None else []
+        cells = (base.selectExpr(
+                     f"explode(array({', '.join(structs)})) AS p", *wsel)
+                     .groupBy("p.r", "p.c")
+                     .agg((F.sum("__w") if weight_col is not None
+                           else F.count("*")).alias("n")))
         pdf = cells.toPandas()
     sk = CountMinSketch(width=w, depth=d)
     if len(pdf):

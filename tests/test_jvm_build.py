@@ -45,6 +45,18 @@ def test_cms_jvm_build_composite_key_odd_width(spark, lineitem):
     assert kernel.to_bytes() == jvm.to_bytes()
 
 
+def test_cms_jvm_build_weighted_preaggregated(spark, events):
+    """JVM CMS over pre-aggregated (key, count) rows equals the kernel
+    weighted build (map-side-combine pattern; integral weights)."""
+    pre = events.groupBy("event_type").agg(F.count("*").cast("double").alias("cnt"))
+    kernel = build_sketch(pre, ["event_type"],
+                          lambda: CountMinSketch(width=4096, depth=5),
+                          weight_col="cnt")
+    jvm = cms_build_jvm(pre, ["event_type"], width=4096, depth=5,
+                        weight_col="cnt")
+    assert kernel.to_bytes() == jvm.to_bytes()
+
+
 def test_sharded_bloom_jvm_byte_identical(spark, lineitem):
     cols = ["l_orderkey", "l_linenumber"]
     n = lineitem.count()

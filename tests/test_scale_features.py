@@ -68,6 +68,19 @@ def test_sharded_bloom_pre_dedup_identical(spark, lineitem):
     assert plain == deduped
 
 
+def test_shard_table_parquet_roundtrip(spark, tmp_path, lineitem):
+    """The distributed filter persists as a plain parquet table (shard,
+    sketch, n_shards) and reloads with routing intact — the resume story
+    for the beyond-broadcast path."""
+    shards = build_sharded_bloom(lineitem, ["l_orderkey"], capacity=2000,
+                                 fpr=0.01, n_shards=8)
+    path = str(tmp_path / "shard_table")
+    shards.write.parquet(path)
+    back = spark.read.parquet(path)
+    mem = sharded_membership(lineitem, back, ["l_orderkey"])
+    assert mem.where(~F.col("is_member")).count() == 0
+
+
 def test_sharded_membership_preserves_columns(spark, lineitem):
     shards = build_sharded_bloom(lineitem, ["l_orderkey"], capacity=2000,
                                  n_shards=4)
