@@ -152,6 +152,79 @@ def checkpointed_build(spark, input_glob: str | Sequence[str], cols,
     return final, report
 
 
+def checkpointed_sharded_build(spark, input_glob: str | Sequence[str], cols,
+                               capacity: int, checkpoint_dir: str,
+                               fpr: float = 0.01, n_shards: int = 32,
+                               n_buckets: int = 8,
+                               seed: int = DEFAULT_SEED):
+    """Checkpointed build of the DISTRIBUTED (sharded) filter — the resume
+    story for filters too big to broadcast or to hold as one driver object.
+
+    Per bucket, the shard table (shard, sketch, n_shards [, n_rows]) is
+    written to ``<dir>/shards/bucket-NNNN/`` as parquet (Spark's _SUCCESS
+    marker is the completion record); a resumed build skips completed
+    buckets without opening their input files. The final shard table is
+    the per-shard OR-merge of all bucket tables — byte-identical to a
+    one-shot build over all files (OR commutes; asserted in
+    test_checkpoint). Returns (shard_table DataFrame, CheckpointReport).
+
+    Geometry is fixed once from the TOTAL ``capacity``, so every bucket
+    builds compatible (m_shard, k) filters."""
+    from pyspark.sql import functions as F
+
+    from .operators.sharded import build_sharded_bloom, merge_shard_tables
+
+    if isinstance(input_glob, str):
+        files = sorted(glob.glob(input_glob))
+    else:
+        files = sorted(input_glob)
+    if not files:
+        raise ValueError(f"no input files match {input_glob}")
+
+    lineage_path = os.path.join(checkpoint_dir, "lineage.jsonl")
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    buckets = _assign_buckets(files, n_buckets)
+    report = CheckpointReport(checkpoint_dir)
+
+    bucket_dirs = []
+    for i, bucket_files in enumerate(buckets):
+        out_dir = os.path.join(checkpoint_dir, "shards", f"bucket-{i:04d}")
+        bucket_dirs.append(out_dir)
+        if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+            report.buckets.append(BucketResult(i, bucket_files, -1, 0.0, True))
+            continue
+        t0 = time.time()
+        df = spark.read.parquet(*bucket_files)
+        tbl = build_sharded_bloom(df, cols, capacity=capacity, fpr=fpr,
+                                  n_shards=n_shards, seed=seed,
+                                  with_counts=True)
+        tbl.write.mode("overwrite").parquet(out_dir)
+        # metrics read back from the tiny shard table, never the input
+        stats = spark.read.parquet(out_dir).agg(
+            F.sum("n_rows").alias("rows"), F.count("*").alias("shards")).first()
+        rows = int(stats["rows"] or 0)
+        dt = time.time() - t0
+        with open(lineage_path, "a") as fh:
+            fh.write(json.dumps({
+                "bucket": i,
+                "files": bucket_files,
+                "rows": rows,
+                "n_shards_nonempty": int(stats["shards"]),
+                "seconds": round(dt, 3),
+                "seed": seed,
+                "cols": [str(c) for c in (cols if isinstance(cols, list) else [cols])],
+                "sketch": "ShardedBloom",
+                "capacity": capacity,
+                "fpr": fpr,
+                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }) + "\n")
+        report.buckets.append(BucketResult(i, bucket_files, rows, dt, False))
+
+    tables = [spark.read.parquet(d).select("shard", "sketch", "n_shards")
+              for d in bucket_dirs]
+    return merge_shard_tables(tables), report
+
+
 def read_lineage(checkpoint_dir: str) -> list[dict]:
     path = os.path.join(checkpoint_dir, "lineage.jsonl")
     if not os.path.exists(path):

@@ -6,7 +6,8 @@ from .multimodal import decode_and_featurize, sample_video_frames
 from .quantiles import grouped_quantiles, quantiles
 from .semijoin import (bloom_anti_join, bloom_prefilter, bloom_semi_join,
                        build_key_bloom)
-from .sharded import build_sharded_bloom, shard_geometry, sharded_membership
+from .sharded import (build_sharded_bloom, merge_shard_tables, shard_geometry,
+                      sharded_membership)
 from .similarity import (brute_force_topk, embedding_near_dups,
                          hyperplane_signatures, lsh_ann_topk)
 from .topk import cms_heavy_hitters, exact_top_k, top_k_per_group
@@ -19,6 +20,7 @@ __all__ = [
     "brute_force_topk", "lsh_ann_topk", "hyperplane_signatures",
     "embedding_near_dups", "exact_top_k", "top_k_per_group", "cms_heavy_hitters",
     "build_sharded_bloom", "sharded_membership", "shard_geometry",
+    "merge_shard_tables",
     "sketch_cube", "sketch_rollup", "sketch_grouping_sets",
     "decode_and_featurize", "sample_video_frames",
 ]

@@ -102,7 +102,8 @@ def build_sharded_bloom(df: DataFrame, cols, capacity: int, fpr: float = 0.01,
                         n_shards: int = 32, salt: int = 4,
                         seed: int = DEFAULT_SEED,
                         build_partitions: int | None = None,
-                        pre_dedup: bool = False) -> DataFrame:
+                        pre_dedup: bool = False,
+                        with_counts: bool = False) -> DataFrame:
     """Returns the shard table (shard int, sketch binary, n_shards int),
     one row per non-empty shard. Lazy — persist() it for repeated querying.
 
@@ -139,6 +140,7 @@ def build_sharded_bloom(df: DataFrame, cols, capacity: int, fpr: float = 0.01,
 
     def build(it):
         blooms: dict[int, BloomFilter] = {}
+        rows: dict[int, int] = {}
         for pdf in it:
             h = to_u64(pdf["__h"].to_numpy())
             sh = shard_of(h, n_shards)
@@ -152,14 +154,44 @@ def build_sharded_bloom(df: DataFrame, cols, capacity: int, fpr: float = 0.01,
                 bf = blooms.get(shard)
                 if bf is None:
                     bf = blooms[shard] = BloomFilter(m_shard, k)
+                    rows[shard] = 0
                 bf.update(h_s[s0:bounds[i + 1]])
+                rows[shard] += int(bounds[i + 1] - s0)
         if blooms:
-            yield pd.DataFrame({
-                "shard": list(blooms.keys()),
-                "sketch": [bf.to_bytes() for bf in blooms.values()],
-                "n_shards": n_shards})
+            out = {"shard": list(blooms.keys()),
+                   "sketch": [bf.to_bytes() for bf in blooms.values()],
+                   "n_shards": n_shards}
+            if with_counts:
+                out["n_rows"] = [rows[s] for s in blooms]
+            yield pd.DataFrame(out)
 
-    return routed.mapInPandas(build, schema=SHARD_TABLE_SCHEMA)
+    schema = SHARD_TABLE_SCHEMA
+    if with_counts:  # lineage metrics ride the build pass — no second scan
+        schema = T.StructType(list(SHARD_TABLE_SCHEMA.fields)
+                              + [T.StructField("n_rows", T.LongType())])
+    return routed.mapInPandas(build, schema=schema)
+
+
+def merge_shard_tables(tables) -> DataFrame:
+    """Union + per-shard OR-merge of shard tables built with identical
+    geometry (same capacity/fpr/n_shards) — e.g. per-bucket checkpointed
+    builds. OR is commutative/associative, so the merged table is
+    byte-identical to a one-shot build over the union of the inputs."""
+    import functools
+    df = functools.reduce(lambda a, b: a.unionByName(b),
+                          [t.select("shard", "sketch", "n_shards")
+                           for t in tables])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        bf = None
+        for buf in pdf["sketch"]:
+            s = BloomFilter.from_bytes(bytes(buf))
+            bf = s if bf is None else bf.merge(s)
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                             "sketch": [bf.to_bytes()],
+                             "n_shards": [int(pdf["n_shards"].iloc[0])]})
+
+    return df.groupBy("shard").applyInPandas(merge, schema=SHARD_TABLE_SCHEMA)
 
 
 def sharded_membership(df: DataFrame, shard_table: DataFrame, cols,

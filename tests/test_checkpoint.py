@@ -54,6 +54,43 @@ def test_resume_skips_completed_buckets(spark, corpus, tmp_path):
     assert len(read_lineage(ck)) == 6
 
 
+def test_checkpointed_sharded_build_resume_and_parity(spark, corpus, tmp_path):
+    """The DISTRIBUTED filter's resume story: per-bucket shard tables
+    persist as parquet; a resumed build skips completed buckets; the
+    merged table is byte-identical per shard to a one-shot sharded build
+    (OR commutes) and preserves zero false negatives."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bloomfilter_spark.checkpoint import checkpointed_sharded_build
+    from bloomfilter_spark.operators.sharded import (build_sharded_bloom,
+                                                     sharded_membership)
+
+    df, pattern = corpus
+    n = df.count()
+    ck = str(tmp_path / "ck_sharded")
+    tbl, report = checkpointed_sharded_build(
+        spark, pattern, ["conv_id", "text"], capacity=n,
+        checkpoint_dir=ck, fpr=0.01, n_shards=8, n_buckets=4)
+    assert report.completed == 4 and report.skipped == 0
+    oneshot = {r["shard"]: bytes(r["sketch"]) for r in
+               build_sharded_bloom(df, ["conv_id", "text"], capacity=n,
+                                   fpr=0.01, n_shards=8).collect()}
+    merged = {r["shard"]: bytes(r["sketch"]) for r in tbl.collect()}
+    assert merged == oneshot
+    # crash after 3 of 4 buckets -> resume redoes exactly one
+    shutil.rmtree(os.path.join(ck, "shards", "bucket-0002"))
+    tbl2, report2 = checkpointed_sharded_build(
+        spark, pattern, ["conv_id", "text"], capacity=n,
+        checkpoint_dir=ck, fpr=0.01, n_shards=8, n_buckets=4)
+    assert report2.skipped == 3 and report2.completed == 1
+    mem = sharded_membership(df, tbl2, ["conv_id", "text"])
+    assert mem.where(~F.col("is_member")).count() == 0
+    lineage = [e for e in read_lineage(ck) if e["sketch"] == "ShardedBloom"]
+    assert len(lineage) == 5 and all(e["rows"] > 0 for e in lineage)
+
+
 def test_resume_noop_when_complete(spark, corpus, tmp_path):
     df, pattern = corpus
     ck = str(tmp_path / "ck3")
