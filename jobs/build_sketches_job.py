@@ -12,7 +12,11 @@ Package the library with:  python tools/make_pyfiles_zip.py
 
 On the sandbox this runs with a local master; on a cluster, pass
 --master/--deploy-mode to spark-submit as usual — nothing here assumes
-local mode.
+local mode. When the plan exceeds the broadcast budget the job switches
+to the checkpointed SHARDED build and writes the final shard table to
+<checkpoint-dir>/bloom/final_shard_table (query with
+operators.sharded.sharded_membership); size --driver-memory for
+n_shards x 64 MiB of concurrent shard state in local smoke runs.
 """
 
 from __future__ import annotations
@@ -49,15 +53,27 @@ def main(argv=None) -> int:
         capacity = spark.read.parquet(args.input).count()
     plan = plan_bloom(capacity, args.fpr)
     print(f"plan: {plan}", file=sys.stderr)
-    if not plan.broadcastable:
-        print("WARNING: sized filter exceeds broadcast budget; use "
-              "operators.sharded for the query path", file=sys.stderr)
     m, k = suggest_sizing(capacity, args.fpr)
 
     t0 = time.time()
-    bloom, rep = checkpointed_build(
-        spark, args.input, ["conv_id", "text"], lambda: BloomFilter(m, k),
-        checkpoint_dir=f"{args.checkpoint_dir}/bloom", n_buckets=args.buckets)
+    if plan.broadcastable:
+        bloom, rep = checkpointed_build(
+            spark, args.input, ["conv_id", "text"], lambda: BloomFilter(m, k),
+            checkpoint_dir=f"{args.checkpoint_dir}/bloom",
+            n_buckets=args.buckets)
+        bloom_bits = bloom.bit_count()
+    else:
+        # beyond the broadcast budget: build the DISTRIBUTED filter with
+        # per-bucket shard-table checkpoints; query via sharded_membership
+        from bloomfilter_spark.checkpoint import checkpointed_sharded_build
+        shard_table, rep = checkpointed_sharded_build(
+            spark, args.input, ["conv_id", "text"], capacity=capacity,
+            checkpoint_dir=f"{args.checkpoint_dir}/bloom",
+            fpr=args.fpr, n_shards=plan.n_shards, n_buckets=args.buckets)
+        out = f"{args.checkpoint_dir}/bloom/final_shard_table"
+        shard_table.write.mode("overwrite").parquet(out)
+        print(f"sharded filter written to {out}", file=sys.stderr)
+        bloom_bits = -1  # distributed; per-shard bits live in the table
     hll, _ = checkpointed_build(
         spark, args.input, ["conv_id"], lambda: HyperLogLog(args.hll_p),
         checkpoint_dir=f"{args.checkpoint_dir}/hll", n_buckets=args.buckets)
@@ -72,7 +88,7 @@ def main(argv=None) -> int:
         "buckets_completed": rep.completed,
         "buckets_resumed": rep.skipped,
         "rows": rows,
-        "bloom_bits_set": bloom.bit_count(),
+        "bloom_bits_set": bloom_bits,
         "hll_distinct_convs": round(hll.estimate(), 1),
         "cms_total": cms.total,
     }))
