@@ -58,7 +58,15 @@ def dedup_exact(df: DataFrame, key_cols, order_cols=None) -> DataFrame:
 # O(shingles*P) — ~20x faster at P=128 — with the same coordinate-collision
 # Jaccard estimator and banding behavior.
 
-_MINHASH_CHUNK_BYTES = 4 << 20  # bound kernel temporaries to ~O(chunk * 8)
+# Chunk size tuned for CACHE RESIDENCY, not batch amortization: the kernel
+# inflates chunk bytes 8x to u64 and makes ~k+3 passes, so temporaries are
+# ~chunk*24 live bytes. At 4 MiB chunks, 32 concurrent kernels thrash the
+# shared LLC and aggregate throughput COLLAPSES ~12x (measured on this
+# host: 42k docs/s at 4 MiB vs ~500k at <=64 KiB, 32 procs); at 32 KiB the
+# working set fits a per-core L2 slice on any modern server and throughput
+# is near-flat from 1 to 32 concurrent kernels. Per-chunk Python overhead
+# is ~50us — negligible beside the passes it saves.
+_MINHASH_CHUNK_BYTES = 32 << 10
 _EMPTY_BIN = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
