@@ -261,6 +261,13 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
     th_arr = F.coalesce(th_arr, F.array().cast("array<bigint>"))  # NULL text
     prepped = df.select(id_col, th_arr.alias("__th"))
 
+    # Cache residency bound (same lesson as _MINHASH_CHUNK_BYTES): the bit
+    # plane is 64 bytes/token, so a whole 65k-row Arrow batch (~1M tokens)
+    # materializes ~70 MB and thrashes the shared LLC under concurrent
+    # kernels — measured 100-300x slower than L2-resident chunks. 8192
+    # tokens -> 512 KiB bit plane.
+    tok_chunk = 8192
+
     def fn(it: Iterable[pd.DataFrame]):
         bit_idx = np.arange(64, dtype=U64)
         for pdf in it:
@@ -270,16 +277,29 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
             if nz.size:
                 flat = np.concatenate(
                     [np.asarray(a, dtype=np.int64) for a in pdf["__th"].iloc[nz]])
-                # bit expansion via unpackbits on the raw little-endian bytes
-                # (one uint8 plane, ~12x cheaper than 64 shift-and-mask
-                # passes); sign(sum(+/-1)) == 2*popcount-sum > n_tokens
-                bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8),
-                                     axis=1, bitorder="little")
-                starts = np.concatenate(([0], np.cumsum(lengths[nz])[:-1]))
-                bitsum = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
-                sim_bits = (2 * bitsum > lengths[nz, None]).astype(np.uint64)
-                out[nz] = (sim_bits << bit_idx[None, :]).sum(axis=1) \
-                    .astype(np.uint64).view(np.int64)
+                lens_nz = lengths[nz]
+                ends = np.cumsum(lens_nz)
+                starts = ends - lens_nz
+                # doc-aligned token chunks of <= tok_chunk tokens (>= 1 doc)
+                cuts = np.searchsorted(ends, np.arange(tok_chunk, ends[-1],
+                                                       tok_chunk))
+                edges = np.r_[0, cuts + 1, nz.size]
+                sims = np.empty(nz.size, dtype=np.int64)
+                for lo, hi in zip(edges[:-1], edges[1:]):
+                    if hi <= lo:
+                        continue
+                    seg = flat[starts[lo]:ends[hi - 1]]
+                    # unpackbits on raw LE bytes: one uint8 plane, ~12x
+                    # cheaper than 64 shift-and-mask passes;
+                    # sign(sum(+/-1)) == 2*popcount-sum > n_tokens
+                    bits = np.unpackbits(seg.view(np.uint8).reshape(-1, 8),
+                                         axis=1, bitorder="little")
+                    st = starts[lo:hi] - starts[lo]
+                    bitsum = np.add.reduceat(bits, st, axis=0, dtype=np.int64)
+                    sim_bits = (2 * bitsum > lens_nz[lo:hi, None]).astype(np.uint64)
+                    sims[lo:hi] = (sim_bits << bit_idx[None, :]).sum(axis=1) \
+                        .astype(np.uint64).view(np.int64)
+                out[nz] = sims
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
     return prepped.mapInPandas(fn, schema=schema)
