@@ -23,8 +23,6 @@ def grouped_quantiles(df: DataFrame, keys: Sequence[str], col,
                       salt: int = 8, **kwargs) -> DataFrame:
     """Per-key quantile estimates: (keys..., q50, q90, ...) via the salted
     two-phase grouped sketch topology."""
-    ests = {f"q{int(q * 100):02d}": (lambda q=q: None) for q in qs}
-    # build estimate closures binding each q
     ests = {name: (lambda s, q=q: float(s.quantile(q)))
             for name, q in zip([f"q{int(q * 100):02d}" for q in qs], qs)}
     return grouped_sketch_df(df, keys, [col], _factory(method, kwargs), ests,

@@ -62,13 +62,13 @@ def cms_heavy_hitters(df: DataFrame, key_cols, k: int,
                        seed=seed)
 
     def local_candidates(it: Iterable[pd.DataFrame]):
-        counts: dict[str, int] = {}
+        counts = pd.Series(dtype="int64")
         for pdf in it:
-            vc = pdf["key"].value_counts()
-            for key, c in vc.items():
-                counts[key] = counts.get(key, 0) + int(c)
-        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:candidates_per_partition]
-        yield pd.DataFrame({"key": [t[0] for t in top]})
+            counts = counts.add(pdf["key"].value_counts(), fill_value=0)
+        top = (counts.sort_index()
+                     .sort_values(ascending=False, kind="stable")
+                     .head(candidates_per_partition))
+        yield pd.DataFrame({"key": top.index.to_numpy(dtype=object)})
 
     cands = keyed.mapInPandas(local_candidates, schema="key string").distinct()
     scored = with_cms_count(cands, cms, ["key"], out_col="est_cnt", seed=seed)
