@@ -172,21 +172,41 @@ def build_sharded_bloom(df: DataFrame, cols, capacity: int, fpr: float = 0.01,
     return routed.mapInPandas(build, schema=schema)
 
 
-def merge_shard_tables(tables) -> DataFrame:
-    """Union + per-shard OR-merge of shard tables built with identical
+def merge_shard_tables(tables, mode: str = "union") -> DataFrame:
+    """Per-shard set algebra over shard tables built with identical
     geometry (same capacity/fpr/n_shards) — e.g. per-bucket checkpointed
-    builds. OR is commutative/associative, so the merged table is
-    byte-identical to a one-shot build over the union of the inputs."""
+    builds or per-day corpus filters.
+
+    mode="union": bitwise OR; commutative/associative, so the merged table
+    is byte-identical to a one-shot build over the union of the inputs.
+    mode="intersect": bitwise AND (the reference-absent intersection the
+    driver-object BloomFilter.intersect provides, distributed): membership
+    then approximates "in EVERY input" — no false negatives for true
+    common elements, FPR bounded by each input's bound. A shard missing
+    from any input intersects to absent and is dropped."""
     import functools
+    if mode not in ("union", "intersect"):
+        raise ValueError(f"unknown mode {mode!r}")
+    tables = list(tables)
+    n_tables = len(tables)
     df = functools.reduce(lambda a, b: a.unionByName(b),
                           [t.select("shard", "sketch", "n_shards")
                            for t in tables])
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        if mode == "intersect" and len(pdf) < n_tables:
+            return pd.DataFrame({"shard": pd.Series([], dtype="int32"),
+                                 "sketch": pd.Series([], dtype=object),
+                                 "n_shards": pd.Series([], dtype="int32")})
         bf = None
         for buf in pdf["sketch"]:
             s = BloomFilter.from_bytes(bytes(buf))
-            bf = s if bf is None else bf.merge(s)
+            if bf is None:
+                bf = s
+            elif mode == "union":
+                bf.merge(s)
+            else:
+                bf.intersect(s)
         return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
                              "sketch": [bf.to_bytes()],
                              "n_shards": [int(pdf["n_shards"].iloc[0])]})

@@ -68,6 +68,30 @@ def test_sharded_bloom_pre_dedup_identical(spark, lineitem):
     assert plain == deduped
 
 
+def test_merge_shard_tables_intersect(spark, lineitem):
+    """Distributed intersect: common keys stay members (zero FN on the true
+    intersection); keys unique to one side mostly drop (AND of independent
+    bit sets)."""
+    from bloomfilter_spark.operators.sharded import merge_shard_tables
+    lo = lineitem.where(F.col("l_orderkey") % 3 != 0)   # keys 1,2 mod 3
+    hi = lineitem.where(F.col("l_orderkey") % 3 != 1)   # keys 0,2 mod 3
+    n = lineitem.count()
+    t1 = build_sharded_bloom(lo, ["l_orderkey"], capacity=n, fpr=0.01,
+                             n_shards=8)
+    t2 = build_sharded_bloom(hi, ["l_orderkey"], capacity=n, fpr=0.01,
+                             n_shards=8)
+    both = merge_shard_tables([t1, t2], mode="intersect").persist()
+    common = lineitem.where(F.col("l_orderkey") % 3 == 2)
+    mem = sharded_membership(common, both, ["l_orderkey"])
+    assert mem.where(~F.col("is_member")).count() == 0  # zero FN on A∩B
+    only_lo = lineitem.where(F.col("l_orderkey") % 3 == 1) \
+                      .select("l_orderkey").distinct()
+    fp = sharded_membership(only_lo, both, ["l_orderkey"]) \
+        .where("is_member").count()
+    assert fp <= max(0.05 * only_lo.count(), 5)
+    both.unpersist()
+
+
 def test_shard_table_parquet_roundtrip(spark, tmp_path, lineitem):
     """The distributed filter persists as a plain parquet table (shard,
     sketch, n_shards) and reloads with routing intact — the resume story
