@@ -138,6 +138,14 @@ def main() -> None:
          "kll_len": (["len"], lambda: KLL(200))})
     timings["build_family_one_scan"] = round(time.time() - t0, 3)
     assert fam["hll_conv"].estimate() > 0
+
+    # JVM-reduced one-scan family (HLL + CMS tagged cells, one shuffle,
+    # zero per-row Arrow traffic) — the at-scale family path
+    from bloomfilter_spark.jvm_build import multi_sketch_build_jvm
+    timed("build_family_jvm_one_scan",
+          lambda: multi_sketch_build_jvm(tr, {
+              "hll_conv": ("hll", ["conv_id"], 14),
+              "cms_tool": ("cms", ["tool"], 1e-4, 1e-3)}))
     tr.unpersist()
 
     qs = entry_mod.queries()

@@ -113,6 +113,96 @@ def hll_build_jvm(df: DataFrame, cols, p: int = 14,
 
 
 # --------------------------------------------------------------------------
+# one-scan JVM-reduced family build (HLL + CMS)
+# --------------------------------------------------------------------------
+
+def multi_sketch_build_jvm(df: DataFrame, specs: dict,
+                           seed: int = DEFAULT_SEED) -> dict:
+    """Build a FAMILY of HLL/CMS sketches in ONE scan and ONE shuffle,
+    entirely JVM-side — bit-identical to the individual hll_build_jvm /
+    cms_build_jvm results (tested).
+
+    ``specs``: {name: ("hll", cols, p) | ("cms", cols, eps, delta)}.
+
+    Every row explodes into its tagged cell updates — (tag, cell, value)
+    for the HLL register minima plus d (tag, cell) pairs per CMS — and a
+    single groupBy(tag, cell) computes min(value) AND count(*); each
+    sketch reads its own aggregate. Map-side combine bounds the shuffle by
+    cells-touched-per-task and at most sum(2^p + d*w) rows reach Python,
+    whatever n is. At 10^12 rows this is the family build: the (wide,
+    string-heavy) transcript scan happens once, and no per-row data ever
+    crosses the Arrow pipe. NULL keys skip only their spec (null struct
+    elements are filtered after the explode)."""
+    from .sketches.cms import CountMinSketch
+    spark = df.sparkSession
+    names = list(specs)
+    metas = []
+    with _wrap_arithmetic(spark):
+        base = df
+        structs = []
+        for tag, name in enumerate(names):
+            spec = specs[name]
+            kind = spec[0]
+            if kind == "hll":
+                _, cols, p = spec
+                cs = _cols(cols)
+                h = hash_col(cs, seed)
+                reg = F.shiftrightunsigned(h, 64 - p).cast("long")
+                key = F.shiftleft(h, p).bitwiseXOR(F.lit(_MIN64))
+                structs.append(F.when(_notnull(cs), F.struct(
+                    F.lit(tag).alias("t"), reg.alias("c"), key.alias("v"))))
+                metas.append(("hll", p, None))
+            elif kind == "cms":
+                _, cols, eps, delta = spec
+                proto = CountMinSketch(eps=eps, delta=delta)
+                w, d = proto.width, proto.depth
+                cs = _cols(cols)
+                hname = f"__h_{tag}"
+                base = base.withColumn(hname, hash_col(cs, seed))
+                h2 = _splitmix64_col(F.col(hname)).bitwiseOR(F.lit(1))
+                base = base.withColumn(f"__h2_{tag}", h2)
+                for j in range(1, d + 1):
+                    g = f"({hname} + {j}L * __h2_{tag})"
+                    rem = (f"({g} - (shiftrightunsigned({g}, 1) div {w}L)"
+                           f" * {2 * w}L)")
+                    col = (f"(CASE WHEN {rem} >= {w}L THEN {rem} - {w}L "
+                           f"ELSE {rem} END)")
+                    structs.append(F.when(_notnull(cs), F.struct(
+                        F.lit(tag).alias("t"),
+                        F.expr(f"{(j - 1) * w}L + {col}").alias("c"),
+                        F.lit(0).cast("long").alias("v"))))
+                metas.append(("cms", w, d))
+            else:
+                raise ValueError(f"unknown family spec kind {kind!r}")
+        cells = (base.select(F.explode(F.array(*structs)).alias("p"))
+                     .where(F.col("p").isNotNull())
+                     .groupBy("p.t", "p.c")
+                     .agg(F.min("p.v").alias("mv"), F.count("*").alias("n"))
+                     .toPandas())
+
+    out = {}
+    for tag, name in enumerate(names):
+        kind, a, b = metas[tag]
+        sub = cells[cells["t"] == tag]
+        if kind == "hll":
+            sk = HyperLogLog(a)
+            if len(sub):
+                rest = sub["mv"].to_numpy(dtype=np.int64).view(U64) ^ U64(1 << 63)
+                rho = np.minimum(clz64(rest) + 1, 64 - a + 1).astype(np.uint8)
+                sk.registers[sub["c"].to_numpy(dtype=np.int64)] = rho
+        else:
+            w, d = a, b
+            sk = CountMinSketch(width=w, depth=d)
+            if len(sub):
+                flat = sub["c"].to_numpy(dtype=np.int64)
+                sk.table[flat // w, flat % w] = \
+                    sub["n"].to_numpy(dtype=np.int64).view(U64)
+                sk.total = int(sub.loc[flat // w == 0, "n"].sum())
+        out[name] = sk
+    return out
+
+
+# --------------------------------------------------------------------------
 # Bloom (sharded)
 # --------------------------------------------------------------------------
 

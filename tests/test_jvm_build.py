@@ -57,6 +57,35 @@ def test_cms_jvm_build_weighted_preaggregated(spark, events):
     assert kernel.to_bytes() == jvm.to_bytes()
 
 
+def test_multi_sketch_build_jvm_bit_identical(spark, events):
+    """One-scan tagged-cell family build == individual JVM builds, byte
+    for byte (HLL over user_id + CMS over event_type in one shuffle)."""
+    from bloomfilter_spark.jvm_build import multi_sketch_build_jvm
+    fam = multi_sketch_build_jvm(events, {
+        "hll_users": ("hll", ["user_id"], 12),
+        "cms_types": ("cms", ["event_type"], 1e-4, 1e-3),
+    })
+    hll = hll_build_jvm(events, ["user_id"], p=12)
+    cms = cms_build_jvm(events, ["event_type"], eps=1e-4, delta=1e-3)
+    assert fam["hll_users"].to_bytes() == hll.to_bytes()
+    assert fam["cms_types"].to_bytes() == cms.to_bytes()
+
+
+def test_multi_sketch_build_jvm_null_isolation(spark):
+    """A NULL key skips only its own spec's update for that row."""
+    from bloomfilter_spark.jvm_build import multi_sketch_build_jvm
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", None), ("a", 3)], "k string, v long")
+    fam = multi_sketch_build_jvm(df, {
+        "hll_v": ("hll", ["v"], 12),
+        "cms_k": ("cms", ["k"], 1e-3, 1e-3),
+    })
+    assert fam["hll_v"].to_bytes() == hll_build_jvm(df, ["v"], p=12).to_bytes()
+    assert fam["cms_k"].to_bytes() == \
+        cms_build_jvm(df, ["k"], eps=1e-3, delta=1e-3).to_bytes()
+    assert fam["cms_k"].total == 3  # the NULL-k row skipped CMS only
+
+
 def test_sharded_bloom_jvm_byte_identical(spark, lineitem):
     cols = ["l_orderkey", "l_linenumber"]
     n = lineitem.count()
