@@ -337,16 +337,21 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
 # --- n-gram Jaccard (exact verifier) -------------------------------------
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
-                        text_col: str, n: int = 3) -> DataFrame:
+                        text_col: str, n: int = 3,
+                        seed: int = DEFAULT_SEED) -> DataFrame:
     """Exact token n-gram Jaccard for given candidate pairs, as DataFrame
-    set algebra: explode n-grams, count intersections/unions per pair."""
+    set algebra: explode n-grams, count intersections/unions per pair.
+
+    Grams are hashed to int64 JVM-side before the distinct/joins, so every
+    shuffle carries 8-byte keys instead of gram strings; 64-bit collisions
+    (~|grams|^2 / 2^64) are beneath any realistic corpus's noise floor."""
     grams = df.select(
         F.col(id_col).alias("gid"),
         F.explode(F.transform(
             F.sequence(F.lit(0), F.greatest(
                 F.size(F.split(F.lower(F.col(text_col)), r"\s+")) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(
-                F.split(F.lower(F.col(text_col)), r"\s+"), i + 1, n)),
+            lambda i: F.xxhash64(F.lit(seed), F.concat_ws(" ", F.slice(
+                F.split(F.lower(F.col(text_col)), r"\s+"), i + 1, n))),
         )).alias("gram")).distinct()
 
     ga = grams.select(F.col("gid").alias("id_a"), F.col("gram").alias("g_a"))
