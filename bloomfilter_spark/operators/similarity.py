@@ -100,29 +100,68 @@ def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
     return df.select(id_col, vec_col).mapInPandas(fn, schema=schema)
 
 
+def _table_planes(dim: int, n_bits: int, n_tables: int,
+                  seed: int) -> np.ndarray:
+    """(n_tables, n_bits, dim) seeded gaussian hyperplanes — one
+    deterministic stack shared by corpus and query sides."""
+    out = np.empty((n_tables, n_bits, dim), dtype=np.float32)
+    for t in range(n_tables):
+        s = seed + 7919 * t
+        rng = np.random.default_rng(
+            int(splitmix64(np.array([s], dtype=U64))[0]) & 0x7FFFFFFF)
+        out[t] = rng.standard_normal((n_bits, dim)).astype(np.float32)
+    return out
+
+
 def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str,
                  queries: np.ndarray, k: int = 10, n_bits: int = 12,
                  n_tables: int = 4, seed: int = DEFAULT_SEED) -> DataFrame:
     """Approximate top-k: union candidates from n_tables independent LSH
     tables (bucket equality with the query's bucket), exact-rerank only the
-    candidates. Recall grows with n_tables; cost ~ bucket occupancy."""
+    candidates. Recall grows with n_tables; cost ~ bucket occupancy.
+
+    ALL tables' buckets come from ONE corpus pass — one (n, bits*tables)
+    matmul against the stacked plane tensor, one explode to (table_id,
+    bucket) rows — instead of one scan per table; the candidate join key
+    is (table_id, bucket)."""
     qmat = np.asarray(queries, dtype=np.float32)
     dim = qmat.shape[1]
-    cands = None
-    for t in range(n_tables):
-        s = seed + 7919 * t
-        sigs = hyperplane_signatures(df, id_col, vec_col, n_bits, dim, s)
-        rng = np.random.default_rng(int(splitmix64(np.array([s], dtype=U64))[0]) & 0x7FFFFFFF)
-        planes = rng.standard_normal((n_bits, dim)).astype(np.float32)
-        qbits = (qmat @ planes.T) > 0
-        weights = (1 << np.arange(n_bits, dtype=np.int64))
-        qbuckets = (qbits * weights[None, :]).sum(axis=1).astype(int)
-        qdf = df.sparkSession.createDataFrame(
-            [(int(i), int(b)) for i, b in enumerate(qbuckets)],
-            "query_id int, bucket int")
-        c = sigs.join(F.broadcast(qdf), "bucket").select("query_id", id_col)
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
+    planes = _table_planes(dim, n_bits, n_tables, seed)
+    flat_planes = planes.reshape(n_tables * n_bits, dim)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    bc = df.sparkSession.sparkContext.broadcast(flat_planes)
+    id_field = df.schema[id_col]
+    sig_schema = (f"{id_col} {id_field.dataType.simpleString()}, "
+                  f"table_id int, bucket int")
+
+    def all_buckets(it: Iterable[pd.DataFrame]):
+        pl = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = _as_matrix(pdf[vec_col])
+            bits = (mat @ pl.T) > 0                       # (n, tables*bits)
+            bits = bits.reshape(len(pdf), n_tables, n_bits)
+            buckets = (bits * weights[None, None, :]).sum(axis=2) \
+                .astype(np.int32)                          # (n, tables)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                "table_id": np.tile(np.arange(n_tables, dtype=np.int32),
+                                    len(pdf)),
+                "bucket": buckets.ravel()})
+
+    sigs = df.select(id_col, vec_col).mapInPandas(all_buckets, schema=sig_schema)
+
+    qbits = (qmat @ flat_planes.T) > 0
+    qbuckets = (qbits.reshape(len(qmat), n_tables, n_bits)
+                * weights[None, None, :]).sum(axis=2).astype(int)
+    qdf = df.sparkSession.createDataFrame(
+        [(int(i), int(t), int(qbuckets[i, t]))
+         for i in range(len(qmat)) for t in range(n_tables)],
+        "query_id int, table_id int, bucket int")
+    cands = (sigs.join(F.broadcast(qdf), ["table_id", "bucket"])
+                 .select("query_id", id_col).distinct())
     corpus = df.select(id_col, vec_col)
     cand_vecs = cands.join(corpus, id_col)
 
