@@ -5,7 +5,7 @@ from .dedup import (dedup_exact, minhash_lsh_candidates, minhash_lsh_dedup,
 from .multimodal import decode_and_featurize, sample_video_frames
 from .quantiles import grouped_quantiles, quantiles
 from .semijoin import (bloom_anti_join, bloom_prefilter, bloom_semi_join,
-                       build_key_bloom)
+                       build_key_bloom, sharded_bloom_semi_join)
 from .sharded import (build_sharded_bloom, merge_shard_tables, shard_geometry,
                       sharded_membership)
 from .similarity import (brute_force_topk, embedding_near_dups,
@@ -17,6 +17,7 @@ __all__ = [
     "minhash_lsh_dedup", "simhash_signatures", "simhash_near_dups",
     "ngram_jaccard_pairs", "quantiles", "grouped_quantiles",
     "bloom_semi_join", "bloom_anti_join", "bloom_prefilter", "build_key_bloom",
+    "sharded_bloom_semi_join",
     "brute_force_topk", "lsh_ann_topk", "hyperplane_signatures",
     "embedding_near_dups", "exact_top_k", "top_k_per_group", "cms_heavy_hitters",
     "build_sharded_bloom", "sharded_membership", "shard_geometry",

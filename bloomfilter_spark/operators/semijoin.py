@@ -65,6 +65,33 @@ def bloom_semi_join(fact: DataFrame, dim: DataFrame, on: list[str],
     return pre.join(keys.distinct(), on=on, how="left_semi")
 
 
+def sharded_bloom_semi_join(fact: DataFrame, dim: DataFrame, on: list[str],
+                            dim_on: list[str] | None = None,
+                            fpr: float = DEFAULT_FPR,
+                            capacity: int | None = None,
+                            n_shards: int = 64, exact: bool = True,
+                            seed: int = DEFAULT_SEED) -> DataFrame:
+    """bloom_semi_join for dim-key sets whose sized filter exceeds the
+    broadcast budget: the runtime filter is the DISTRIBUTED sharded Bloom
+    (cogroup-by-shard membership, no broadcast, each probe task touches
+    one shard's bytes). Same exactness contract as bloom_semi_join;
+    plans.plan_bloom decides when this path is required."""
+    from .sharded import build_sharded_bloom, sharded_membership
+
+    keys = _dim_keys(dim, on, dim_on)
+    if capacity is None:
+        capacity = keys.distinct().count()
+    shards = build_sharded_bloom(keys, on, capacity=max(capacity, 1),
+                                 fpr=fpr, n_shards=n_shards, seed=seed).persist()
+    shards.count()  # materialize once; probes reuse the built table
+    mem = sharded_membership(fact, shards, on, out_col="__bf_member",
+                             seed=seed)
+    pre = mem.where(F.col("__bf_member")).drop("__bf_member")
+    if not exact:
+        return pre
+    return pre.join(keys.distinct(), on=on, how="left_semi")
+
+
 def bloom_anti_join(fact: DataFrame, dim: DataFrame, on: list[str],
                     dim_on: list[str] | None = None,
                     fpr: float = DEFAULT_FPR, capacity: int | None = None,

@@ -40,6 +40,20 @@ def test_bloom_semi_join_exact(spark, lineitem, orders):
         want.select(F.sum("l_orderkey")).first()[0]
 
 
+def test_sharded_bloom_semi_join_exact(spark, lineitem, orders):
+    """The beyond-broadcast runtime filter gives the same exact semi-join
+    result as the broadcast path (zero FN + verification join)."""
+    from bloomfilter_spark.operators import sharded_bloom_semi_join
+    hi = orders.where("o_totalprice > 200000")
+    got = sharded_bloom_semi_join(lineitem, hi, ["l_orderkey"],
+                                  dim_on=["o_orderkey"], n_shards=8)
+    want = lineitem.join(hi.select("o_orderkey").distinct(),
+                         lineitem.l_orderkey == hi.o_orderkey, "left_semi")
+    assert got.count() == want.count()
+    assert got.select(F.sum("l_orderkey")).first()[0] == \
+        want.select(F.sum("l_orderkey")).first()[0]
+
+
 def test_bloom_anti_join_exact(spark, lineitem, orders):
     hi = orders.where("o_totalprice > 200000")
     got = bloom_anti_join(lineitem, hi, ["l_orderkey"], dim_on=["o_orderkey"])
