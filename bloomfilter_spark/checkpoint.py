@@ -130,6 +130,7 @@ def checkpointed_build(spark, input_glob: str | Sequence[str], cols,
             fh.write(payload)
         os.replace(tmp, out)  # atomic: a crash never leaves a torn partial
         dt = time.time() - t0
+        from . import __version__
         with open(lineage_path, "a") as fh:
             fh.write(json.dumps({
                 "bucket": i,
@@ -141,6 +142,7 @@ def checkpointed_build(spark, input_glob: str | Sequence[str], cols,
                 "seed": seed,
                 "cols": [str(c) for c in (cols if isinstance(cols, list) else [cols])],
                 "sketch": cls.__name__,
+                "engine": __version__,
                 "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }) + "\n")
         report.buckets.append(BucketResult(i, bucket_files, rows, dt, False))
@@ -204,6 +206,7 @@ def checkpointed_sharded_build(spark, input_glob: str | Sequence[str], cols,
             F.sum("n_rows").alias("rows"), F.count("*").alias("shards")).first()
         rows = int(stats["rows"] or 0)
         dt = time.time() - t0
+        from . import __version__
         with open(lineage_path, "a") as fh:
             fh.write(json.dumps({
                 "bucket": i,
@@ -216,6 +219,7 @@ def checkpointed_sharded_build(spark, input_glob: str | Sequence[str], cols,
                 "sketch": "ShardedBloom",
                 "capacity": capacity,
                 "fpr": fpr,
+                "engine": __version__,
                 "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }) + "\n")
         report.buckets.append(BucketResult(i, bucket_files, rows, dt, False))
