@@ -382,7 +382,7 @@ def estimate_grouped(sketch_table: DataFrame, keys: Sequence[str],
 
     def est(it: Iterable[pd.DataFrame]):
         for pdf in it:
-            row = {k: pdf[k] for k in keys}
+            row = {k: pdf[k].to_numpy() for k in keys}
             sks = [cls.from_bytes(bytes(b)) for b in pdf["sketch"]]
             for name, fn in estimates.items():
                 row[name] = [float(fn(s)) for s in sks]
