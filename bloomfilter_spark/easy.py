@@ -20,11 +20,27 @@ from .sketches import KLL, BloomFilter, CountMinSketch, HyperLogLog, TDigest
 
 def bloom_fit(df: DataFrame, cols, fpr: float = DEFAULT_FPR,
               capacity: int | None = None, seed: int = DEFAULT_SEED) -> BloomFilter:
-    """easyList equivalent: size from the data (or `capacity`) and build."""
+    """easyList equivalent: size from the data (or `capacity`) and build.
+
+    Warns when the sized filter exceeds the broadcast budget — a driver
+    object that big should be the DISTRIBUTED filter instead
+    (operators.sharded.build_sharded_bloom; plans.plan_bloom decides)."""
     if capacity is None:
         capacity = df.count()
     m, k = suggest_sizing(max(capacity, 1), fpr)
+    _warn_if_beyond_broadcast(m)
     return build_sketch(df, cols, lambda: BloomFilter(m, k), seed=seed)
+
+
+def _warn_if_beyond_broadcast(m_bits: int) -> None:
+    from .config import BROADCAST_BUDGET_BYTES
+    if m_bits // 8 > BROADCAST_BUDGET_BYTES:
+        import warnings
+        warnings.warn(
+            f"sized filter is {m_bits // 8 >> 20} MiB — beyond the "
+            f"{BROADCAST_BUDGET_BYTES >> 20} MiB broadcast budget; use "
+            "operators.sharded.build_sharded_bloom / sharded_bloom_semi_join "
+            "(see plans.plan_bloom)", RuntimeWarning, stacklevel=3)
 
 
 def bloom_membership(df: DataFrame, bloom: BloomFilter, cols,

@@ -29,6 +29,8 @@ def build_key_bloom(df: DataFrame, cols, fpr: float = DEFAULT_FPR,
     if capacity is None:
         capacity = df.select(cols if isinstance(cols, str) else list(cols)).distinct().count()
     m, k = suggest_sizing(max(capacity, 1), fpr)
+    from ..easy import _warn_if_beyond_broadcast
+    _warn_if_beyond_broadcast(m)  # that regime wants sharded_bloom_semi_join
     return build_sketch(df, cols, lambda: BloomFilter(m, k), seed=seed)
 
 
