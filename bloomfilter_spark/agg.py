@@ -415,6 +415,8 @@ def _cached_sketch(bc, cls) -> Sketch:
     key = (token, cls)
     sk = _BC_CACHE.get(key)
     if sk is None:
+        if len(_BC_CACHE) >= 64:  # long-lived executor: bound the cache
+            _BC_CACHE.clear()
         sk = cls.from_bytes(raw)
         _BC_CACHE[key] = sk
     return sk

@@ -109,7 +109,9 @@ def _oph_signatures(h: np.ndarray, counts: np.ndarray, P: int) -> np.ndarray:
     """(n_docs, P) int64 one-permutation-hashing signatures with rotation
     densification. Every doc has >= 1 shingle (inputs are padded to k)."""
     n_docs = counts.size
-    if P & (P - 1) == 0:
+    if P == 1:  # degenerate: a shift by 64 is undefined (x86 wraps to 0)
+        bins = np.zeros(h.size, dtype=np.int64)
+    elif P & (P - 1) == 0:
         bins = (h >> np.uint64(64 - (P.bit_length() - 1))).astype(np.int64)
     else:
         bins = (h % np.uint64(P)).astype(np.int64)
