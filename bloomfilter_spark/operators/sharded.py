@@ -116,7 +116,9 @@ def build_sharded_bloom(df: DataFrame, cols, capacity: int, fpr: float = 0.01,
     shuffle — one extra Python pass over the 8-byte hash column, bounding
     the hot task's input to one row per key per source batch).
     ``n_shards`` is rounded up to a power of two. ``build_partitions``
-    defaults to the session's shuffle partitioning, capped at n_shards."""
+    defaults to the session's shuffle partitioning, capped at n_shards.
+    ``with_counts`` adds an n_rows column (per-shard rows folded in, for
+    lineage metrics — counts are post-dedup when pre_dedup is set)."""
     del salt
     n_shards = effective_shards(n_shards)
     m_shard, k = shard_geometry(capacity, fpr, n_shards)
