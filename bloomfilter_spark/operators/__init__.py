@@ -9,6 +9,7 @@ from .semijoin import (bloom_anti_join, bloom_prefilter, bloom_semi_join,
 from .sharded import (build_sharded_bloom, merge_shard_tables, shard_geometry,
                       sharded_membership)
 from .similarity import (brute_force_topk, embedding_near_dups,
+                         ivf_assign, ivf_topk, ivf_train,
                          hyperplane_signatures, lsh_ann_topk)
 from .topk import cms_heavy_hitters, exact_top_k, top_k_per_group
 
@@ -24,4 +25,5 @@ __all__ = [
     "merge_shard_tables",
     "sketch_cube", "sketch_rollup", "sketch_grouping_sets",
     "decode_and_featurize", "sample_video_frames",
+    "ivf_train", "ivf_assign", "ivf_topk",
 ]

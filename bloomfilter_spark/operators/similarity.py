@@ -8,6 +8,11 @@
   when even one pass of full dot products is too hot
 - embedding near-dup: all-pairs cosine >= threshold via the same LSH
   bucketing, for embedding-level dedup
+- IVF (inverted-file) ANN: spherical k-means coarse quantizer trained on a
+  bounded deterministic sample, one-pass corpus assignment to Voronoi lists,
+  search probes only the n_probes lists nearest each query — the classic
+  coarse-quantizer index (Sivic & Zisserman 2003 / FAISS IVF-Flat layout),
+  complementary to LSH when the corpus is genuinely clustered
 """
 
 from __future__ import annotations
@@ -211,3 +216,155 @@ def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str,
     return (joined.withColumn("cosine", cos)
                   .where(F.col("cosine") >= threshold)
                   .select("id_a", "id_b", "cosine"))
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# --------------------------------------------------------------------------
+
+def _spherical_kmeans(sample: np.ndarray, n_lists: int, max_iter: int,
+                      seed: int) -> np.ndarray:
+    """Driver-side spherical k-means (cosine Lloyd's) with k-means++ init.
+
+    The sample is small by construction (``ivf_train`` caps it), so the
+    O(sample * n_lists * d) iterations run in-core; determinism comes from
+    the seeded rng and a fixed tie-break (lowest index wins in argmax)."""
+    x = _normalize(np.asarray(sample, dtype=np.float32))
+    n = len(x)
+    n_lists = min(n_lists, n)
+    rng = np.random.default_rng(
+        int(splitmix64(np.array([seed ^ 0x1BF5], dtype=U64))[0]) & 0x7FFFFFFF)
+
+    # k-means++ seeding on cosine distance (1 - dot)
+    centroids = np.empty((n_lists, x.shape[1]), dtype=np.float32)
+    centroids[0] = x[rng.integers(n)]
+    d2 = 1.0 - x @ centroids[0]
+    for i in range(1, n_lists):
+        p = np.maximum(d2, 0)
+        tot = p.sum()
+        idx = int(rng.integers(n)) if tot <= 0 else int(
+            rng.choice(n, p=p / tot))
+        centroids[i] = x[idx]
+        d2 = np.minimum(d2, 1.0 - x @ centroids[i])
+
+    assign = np.argmax(x @ centroids.T, axis=1)
+    for _ in range(max_iter):
+        sums = np.zeros_like(centroids, dtype=np.float64)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=n_lists)
+        empty = counts == 0
+        if empty.any():  # reseed dead lists to the worst-served points
+            worst = np.argsort(np.max(x @ centroids.T, axis=1))
+            sums[empty] = x[worst[: empty.sum()]]
+            counts[empty] = 1
+        new = _normalize((sums / counts[:, None]).astype(np.float32))
+        new_assign = np.argmax(x @ new.T, axis=1)
+        centroids = new
+        if np.array_equal(new_assign, assign):
+            break
+        assign = new_assign
+    return centroids
+
+
+def ivf_train(df: DataFrame, vec_col: str, n_lists: int = 256,
+              max_train: int = 100_000, max_iter: int = 20,
+              seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Train the coarse quantizer: (n_lists, d) unit centroids.
+
+    ONE distributed pass: an order-independent deterministic sample of
+    ``max_train`` vectors (TakeOrdered on the vector hash — per-partition
+    top-k then a driver merge, no shuffle of the corpus), then in-core
+    spherical k-means. Training on a bounded sample is the standard IVF
+    recipe (FAISS trains IVF quantizers on ~(30-256)*n_lists vectors, not
+    the corpus): at 100 TB the quantizer still trains on ~100k rows."""
+    rows = (df.select(vec_col)
+              .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
+              .limit(max_train).collect())
+    sample = np.vstack([np.asarray(r[0], dtype=np.float32) for r in rows])
+    return _spherical_kmeans(sample, n_lists, max_iter, seed)
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
+               centroids: np.ndarray) -> DataFrame:
+    """(id, list_id int): nearest-centroid Voronoi assignment — the IVF
+    index table. Persist it as parquet partitioned by list_id to make
+    searches prune at the scan (only probed lists are read)."""
+    cn = _normalize(np.asarray(centroids, dtype=np.float32))
+    bc = df.sparkSession.sparkContext.broadcast(cn)
+    id_field = df.schema[id_col]
+    schema = f"{id_col} {id_field.dataType.simpleString()}, list_id int"
+
+    def fn(it: Iterable[pd.DataFrame]):
+        c = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = _normalize(_as_matrix(pdf[vec_col]))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "list_id": np.argmax(mat @ c.T, axis=1).astype(np.int32)})
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema=schema)
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str, queries: np.ndarray,
+             centroids: np.ndarray, k: int = 10,
+             n_probes: int = 8) -> DataFrame:
+    """IVF search: each query probes its ``n_probes`` nearest lists; exact
+    cosine is computed ONLY for rows assigned to a probed list.
+
+    Output (query_id int, id, cosine double), k rows per query. One corpus
+    pass: per Arrow batch, assign rows to lists (one matmul against the
+    broadcast centroids), mask to probed rows, score just those, keep a
+    batch-local top-k — the shuffle is O(P * q * k) rows, like
+    ``brute_force_topk``, but the scoring matmul touches only the probed
+    fraction (~n_probes/n_lists of the corpus). With
+    ``n_probes >= n_lists`` results equal the exact brute force."""
+    cn = _normalize(np.asarray(centroids, dtype=np.float32))
+    qmat = _normalize(np.asarray(queries, dtype=np.float32))
+    n_lists = len(cn)
+    n_probes = min(n_probes, n_lists)
+    # (q, n_probes) nearest lists per query -> dense (n_lists, q) bool mask
+    order = np.argsort(-(qmat @ cn.T), axis=1, kind="stable")[:, :n_probes]
+    probe_mask = np.zeros((n_lists, len(qmat)), dtype=bool)
+    probe_mask[order.ravel(),
+               np.repeat(np.arange(len(qmat)), n_probes)] = True
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((cn, qmat, probe_mask))
+    id_field = df.schema[id_col]
+    schema = (f"query_id int, {id_col} {id_field.dataType.simpleString()}, "
+              f"cosine double")
+
+    def fn(it: Iterable[pd.DataFrame]):
+        c, q, probed = bc.value
+        out: list[pd.DataFrame] = []
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = _normalize(_as_matrix(pdf[vec_col]))
+            lists = np.argmax(mat @ c.T, axis=1)          # (n,)
+            cand = probed[lists]                          # (n, q) bool
+            rows_any = cand.any(axis=1)
+            if not rows_any.any():
+                continue
+            sub = mat[rows_any]
+            sims = sub @ q.T                              # (m, q)
+            sims[~cand[rows_any]] = -np.inf
+            kk = min(k, sims.shape[0])
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]   # (k, q)
+            qid = np.repeat(np.arange(sims.shape[1],
+                                      dtype=np.int32)[None, :], kk, 0).ravel()
+            cos = sims[top.ravel(), qid]
+            keep = np.isfinite(cos)
+            ids = pdf[id_col].to_numpy()[rows_any][top.ravel()]
+            out.append(pd.DataFrame({"query_id": qid[keep],
+                                     id_col: ids[keep],
+                                     "cosine": cos[keep]}))
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    local = df.select(id_col, vec_col).mapInPandas(fn, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (local.withColumn("__rn", F.row_number().over(w))
+                 .where(F.col("__rn") <= k).drop("__rn"))

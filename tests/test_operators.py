@@ -9,7 +9,8 @@ from pyspark.sql import functions as F
 from bloomfilter_spark.operators import (bloom_anti_join, bloom_semi_join,
                                          brute_force_topk, cms_heavy_hitters,
                                          dedup_exact, embedding_near_dups,
-                                         exact_top_k, lsh_ann_topk,
+                                         exact_top_k, ivf_assign, ivf_topk,
+                                         ivf_train, lsh_ann_topk,
                                          minhash_lsh_dedup, minhash_signatures,
                                          ngram_jaccard_pairs, simhash_near_dups,
                                          top_k_per_group)
@@ -229,6 +230,53 @@ def test_embedding_near_dups_finds_duplicates(spark, embeddings):
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     want = {(r["vec_id"], r["vec_id"] + 100000) for r in embeddings.limit(5).collect()}
     assert want <= found
+
+
+def test_ivf_train_deterministic(spark, embeddings):
+    a = ivf_train(embeddings, "embedding", n_lists=8, max_train=200)
+    b = ivf_train(embeddings.repartition(7), "embedding", n_lists=8,
+                  max_train=200)
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0, atol=1e-5)
+
+
+def test_ivf_assign_partition_invariant(spark, embeddings):
+    cents = ivf_train(embeddings, "embedding", n_lists=8, max_train=200)
+    one = dict(ivf_assign(embeddings, "vec_id", "embedding", cents)
+               .collect())
+    many = dict(ivf_assign(embeddings.repartition(9), "vec_id", "embedding",
+                           cents).collect())
+    assert one == many
+    assert all(0 <= v < 8 for v in one.values())
+
+
+def test_ivf_full_probe_equals_exact(spark, embeddings):
+    pdf = embeddings.toPandas()
+    queries = np.vstack([np.asarray(v, dtype=np.float32)
+                         for v in pdf["embedding"][:2]])
+    cents = ivf_train(embeddings, "embedding", n_lists=8, max_train=200)
+    exact = brute_force_topk(embeddings, "vec_id", "embedding", queries, k=5)
+    ivf = ivf_topk(embeddings, "vec_id", "embedding", queries, cents,
+                   k=5, n_probes=8)
+    want = {(r["query_id"], r["vec_id"], round(r["cosine"], 6))
+            for r in exact.collect()}
+    got = {(r["query_id"], r["vec_id"], round(r["cosine"], 6))
+           for r in ivf.collect()}
+    assert got == want
+
+
+def test_ivf_recall(spark, embeddings):
+    pdf = embeddings.toPandas()
+    queries = np.vstack([np.asarray(v, dtype=np.float32)
+                         for v in pdf["embedding"][:3]])
+    cents = ivf_train(embeddings, "embedding", n_lists=8, max_train=500)
+    exact = brute_force_topk(embeddings, "vec_id", "embedding", queries, k=5)
+    exact_ids = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ann = ivf_topk(embeddings, "vec_id", "embedding", queries, cents,
+                   k=5, n_probes=3)
+    ann_ids = {(r["query_id"], r["vec_id"]) for r in ann.collect()}
+    recall = len(exact_ids & ann_ids) / len(exact_ids)
+    assert recall >= 0.6, f"IVF recall {recall}"
 
 
 # --- text functions ------------------------------------------------------
