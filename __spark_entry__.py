@@ -372,6 +372,26 @@ def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("int").alias("within_bound")))
 
 
+def _q_hll_daily_users_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user HLL estimates computed ENTIRELY JVM-side
+    (`jvm_build.hll_grouped_estimate_jvm`: two codegen shuffles, zero rows
+    into Python) — the 100 TB path for time-grouped distinct counts. Emits
+    the exact count (oracle-matchable) + within-3-sigma flag; estimates are
+    float-identical to the kernel-HLL grouped build (test_jvm_build)."""
+    from bloomfilter_spark.jvm_build import hll_grouped_estimate_jvm
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+          .withColumn("day", F.to_date("ts")))
+    est = hll_grouped_estimate_jvm(ev, ["day"], ["user_id"], p=14,
+                                   out_col="approx_users")
+    exact = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    return (exact.join(est, "day")
+                 .select("day", "exact_users",
+                         _hll_within("exact_users", "approx_users")
+                         .cast("int").alias("within_bound")))
+
+
 def _q_cms_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS point estimates sandwiched by the published guarantee:
     exact <= est <= exact + 2*eps*N (Cormode-Muthukrishnan 2005)."""
@@ -753,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "q36_ann_lsh_recall": _q_ann_lsh_recall,
         "q37_ann_ivf_recall": _q_ann_ivf_recall,
+        "q38_hll_daily_users_jvm": _q_hll_daily_users_jvm,
     }
 
 
@@ -1066,6 +1087,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q37_ann_ivf_recall": """
             SELECT 3 AS n_queries, 1 AS recall_ok
+        """,
+        "q38_hll_daily_users_jvm": """
+            SELECT CAST(ts AS DATE) AS day,
+                   count(DISTINCT user_id) AS exact_users,
+                   1 AS within_bound
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1
         """,
     }
 

@@ -112,6 +112,62 @@ def hll_build_jvm(df: DataFrame, cols, p: int = 14,
     return sk
 
 
+def _clz64_col(c: Column) -> Column:
+    """Exact 64-bit count-leading-zeros as Spark expressions: smear the top
+    bit rightward (6 shifted ORs), then 64 - bit_count. Pure codegen bit
+    ops — no float log2, whose rounding near powers of two would be off by
+    one exactly where rho matters."""
+    x = c
+    for s in (1, 2, 4, 8, 16, 32):
+        x = x.bitwiseOR(F.shiftrightunsigned(x, s))
+    return F.lit(64) - F.bit_count(x)
+
+
+def hll_grouped_estimate_jvm(df: DataFrame, keys, cols, p: int = 14,
+                             seed: int = DEFAULT_SEED,
+                             out_col: str = "est") -> DataFrame:
+    """Per-key HLL distinct estimates with ZERO rows crossing into Python.
+
+    The grouped analog of `hll_build_jvm`: shuffle 1 reduces to one row per
+    (key, register) — `groupBy(keys, h >>> (64-p)).agg(min(rest))`, map-side
+    combined, ≤ n_keys * 2^p rows; shuffle 2 folds the registers into the
+    HLL estimate per key, with Flajolet's alpha_m bias correction and the
+    small-range linear-counting branch expressed as SQL aggregates
+    (absent registers contribute 2^0 to the harmonic sum and count toward
+    the linear-counting zeros). Estimates match the kernel
+    (`sketches/hll.py:estimate`) to float-sum reordering (~1e-12 relative,
+    tested), so this is the 100 TB path for per-conv_id / per-day distinct
+    counts: both shuffles stay in whole-stage codegen and the result is the
+    estimate column itself, not sketch blobs.
+
+    Returns df.select(keys..., out_col double). For a *mergeable* per-key
+    sketch table (to checkpoint or union across corpora), use
+    `agg.grouped_sketch_table`; this function is the terminal fast path."""
+    from .sketches.hll import HyperLogLog, _alpha
+    HyperLogLog(p)  # validate p
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cs = _cols(cols)
+    h = hash_col(cs, seed)
+    reg = F.shiftrightunsigned(h, 64 - p)
+    mapped = F.shiftleft(h, p).bitwiseXOR(F.lit(_MIN64))  # unsigned-order key
+    per_reg = (df.where(_notnull(cs))
+                 .groupBy(*keys, reg.alias("__reg"))
+                 .agg(F.min(mapped).alias("__mk")))
+    rest = F.col("__mk").bitwiseXOR(F.lit(_MIN64))  # u64 bits of h << p
+    rho = F.least(_clz64_col(rest) + F.lit(1), F.lit(64 - p + 1))
+    m = float(1 << p)
+    alpha = _alpha(1 << p)
+    per_key = (per_reg.select(*keys, rho.alias("__rho"))
+                      .groupBy(*keys)
+                      .agg(F.sum(F.pow(F.lit(0.5), F.col("__rho"))).alias("__s"),
+                           F.count(F.lit(1)).alias("__c")))
+    zeros = F.lit(m) - F.col("__c").cast("double")
+    raw = F.lit(alpha * m * m) / (F.col("__s") + zeros)
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > F.lit(0.0)),
+                 F.lit(m) * F.log(F.lit(m) / zeros)).otherwise(raw)
+    return per_key.select(*keys, est.alias(out_col))
+
+
 # --------------------------------------------------------------------------
 # one-scan JVM-reduced family build (HLL + CMS)
 # --------------------------------------------------------------------------

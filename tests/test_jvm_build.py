@@ -114,3 +114,41 @@ def test_ansi_mode_restored_after_jvm_build(spark, lineitem):
     build_sharded_bloom_jvm(lineitem, ["l_orderkey"], capacity=1000,
                             fpr=0.05, n_shards=2)
     assert spark.conf.get("spark.sql.ansi.enabled") == prev
+
+
+def test_hll_grouped_estimate_jvm_matches_kernel(spark, events, lineitem):
+    """Per-key JVM estimates equal per-key kernel-HLL estimates exactly
+    (same hash, same registers; the SQL harmonic sum is float-associative
+    within 1e-9 relative). Covers both estimator branches: events hits
+    linear counting (few distinct users per type), lineitem's distinct
+    orderkeys per returnflag hit the raw alpha*m^2 branch at p=8."""
+    from bloomfilter_spark.agg import grouped_sketch_df
+    from bloomfilter_spark.jvm_build import hll_grouped_estimate_jvm
+
+    for df, keys, cols, p in (
+            (events.where(F.col("user_id").isNotNull()
+                          & F.col("event_type").isNotNull()),
+             ["event_type"], ["user_id"], 12),
+            (lineitem, ["l_returnflag"], ["l_orderkey"], 8)):
+        jvm = hll_grouped_estimate_jvm(df, keys, cols, p=p, out_col="e_jvm")
+        kern = grouped_sketch_df(df, keys, cols, lambda: HyperLogLog(p),
+                                 {"e_kern": lambda s: float(s.estimate())},
+                                 salt=4)
+        rows = jvm.join(kern, keys).collect()
+        assert rows, "join produced no rows"
+        for r in rows:
+            assert abs(r["e_jvm"] - r["e_kern"]) <= 1e-9 * max(r["e_kern"], 1.0)
+
+
+def test_hll_grouped_estimate_jvm_accuracy(spark, lineitem):
+    """Grouped JVM estimates sit within the published +-3 sigma HLL bound
+    of the exact per-key distinct counts."""
+    from bloomfilter_spark.jvm_build import hll_grouped_estimate_jvm
+    p = 12
+    est = hll_grouped_estimate_jvm(lineitem, ["l_returnflag"],
+                                   ["l_orderkey"], p=p)
+    exact = lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact"))
+    tol = 3 * 1.04 / (1 << p) ** 0.5
+    for r in est.join(exact, "l_returnflag").collect():
+        assert abs(r["est"] - r["exact"]) <= tol * r["exact"] + 3
