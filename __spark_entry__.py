@@ -331,6 +331,31 @@ def _q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_events", "value_micro_sum"))
 
 
+def _q_streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom dedup (streaming/dedup_stream.py): the events table
+    replayed as a stream with every row duplicated across two epochs; the
+    Bloom-state dedup must emit exactly the distinct event_ids (zero false
+    negatives catches every cross-batch duplicate; the filter is sized so
+    no false positive fires at this scale — checked by exact count)."""
+    from bloomfilter_spark.streaming import BloomDedupStream
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_id").isNotNull())
+          .select("event_id"))
+    emitted: list = []
+    dedup = BloomDedupStream(
+        ["event_id"], capacity=2_000_000, fpr=1e-4,
+        sink=lambda df, e: emitted.append(df.toPandas()))
+    # two epochs, each the full table: every id is a cross-epoch duplicate
+    dedup(ev, 0)
+    dedup(ev, 1)
+    import pandas as pd
+    out = pd.concat(emitted, ignore_index=True)
+    n_unique = int(out["event_id"].nunique())
+    return spark.createDataFrame(
+        [(len(out), n_unique, int(dedup.rows_in))],
+        "n_emitted long, n_unique long, n_rows_in long")
+
+
 # --------------------------------------------------------------------------
 # sketch queries in bound-assertion form: each emits the EXACT quantity the
 # oracle can recompute plus a within-published-error-bound flag whose oracle
@@ -774,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_ann_lsh_recall": _q_ann_lsh_recall,
         "q37_ann_ivf_recall": _q_ann_ivf_recall,
         "q38_hll_daily_users_jvm": _q_hll_daily_users_jvm,
+        "q39_streaming_bloom_dedup": _q_streaming_bloom_dedup,
     }
 
 
@@ -1095,6 +1121,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id IS NOT NULL AND ts IS NOT NULL
             GROUP BY 1
+        """,
+        "q39_streaming_bloom_dedup": """
+            SELECT count(DISTINCT event_id) AS n_emitted,
+                   count(DISTINCT event_id) AS n_unique,
+                   2 * count(*) AS n_rows_in
+            FROM events WHERE event_id IS NOT NULL
         """,
     }
 

@@ -299,3 +299,85 @@ def test_multimodal_strict_raises(spark):
     media = make_demo_media_df(spark, 3)
     with pytest.raises(Exception, match="NotImplementedError|decoding"):
         decode_and_featurize(media, strict=True).collect()
+
+
+def test_bloom_dedup_stream_exact_on_sized_filter(spark, tmp_path, events):
+    """Streaming Bloom dedup over micro-batches with cross-batch
+    duplicates: with the filter sized for the key cardinality, the emitted
+    set equals the exact first-seen dedup (zero false negatives means every
+    duplicate is caught; at this size no false positive fired)."""
+    from bloomfilter_spark.streaming import BloomDedupStream
+
+    # duplicate every key 3x across separate files so dupes cross batches
+    src = str(tmp_path / "dedup_src")
+    keyed = events.select("event_id", "event_type").where(
+        F.col("event_id").isNotNull())
+    for i in range(3):
+        keyed.write.mode("append").parquet(src)
+
+    out: list = []
+    dedup = BloomDedupStream(["event_id"], capacity=100_000, fpr=0.001,
+                             sink=lambda df, e: out.append(df.toPandas()),
+                             state_dir=str(tmp_path / "dstate"))
+    stream = (spark.readStream.schema(keyed.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream.writeStream.foreachBatch(dedup).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    import pandas as pd
+    emitted = pd.concat(out, ignore_index=True)
+    exact_ids = {r["event_id"] for r in keyed.distinct().collect()}
+    assert set(emitted["event_id"]) == exact_ids
+    assert len(emitted) == len(exact_ids)  # no duplicate emitted
+    assert dedup.rows_emitted == len(exact_ids)
+    assert dedup.rows_in == keyed.count() * 3  # every input row counted
+
+
+def test_bloom_dedup_stream_restart_skips_replayed_epoch(spark, tmp_path,
+                                                         events):
+    """After a restart the replayed epoch must not re-emit or re-count:
+    state (filter + epoch + metrics) restores from disk and the union of
+    both runs' emissions is still duplicate-free."""
+    from bloomfilter_spark.streaming import BloomDedupStream
+
+    parts = [events.where(F.col("event_id") % 2 == i)
+                   .select("event_id", "event_type") for i in range(2)]
+    state = str(tmp_path / "dstate2")
+    out: list = []
+    sink = lambda df, e: out.append(df.toPandas())  # noqa: E731
+
+    d1 = BloomDedupStream(["event_id"], capacity=100_000, fpr=0.001,
+                          sink=sink, state_dir=state)
+    d1(parts[0], 0)
+    n_after_0 = d1.rows_emitted
+    # restart: epoch 0 replays (must be skipped), then epoch 1 with overlap
+    d2 = BloomDedupStream(["event_id"], capacity=100_000, fpr=0.001,
+                          sink=sink, state_dir=state)
+    assert d2.last_epoch == 0 and d2.rows_emitted == n_after_0
+    d2(parts[0], 0)                              # replay -> no-op
+    assert d2.rows_emitted == n_after_0
+    d2(parts[0].unionByName(parts[1]), 1)        # half dupes, half new
+    import pandas as pd
+    emitted = pd.concat(out, ignore_index=True)
+    assert emitted["event_id"].is_unique
+    assert set(emitted["event_id"]) == {
+        r["event_id"] for r in events.where(F.col("event_id").isNotNull())
+                                     .select("event_id").distinct().collect()}
+
+
+def test_bloom_dedup_stream_null_keys_pass_through(spark, tmp_path):
+    """NULL-keyed rows are never 'seen': each occurrence passes through
+    (SQL semantics, matching prepare_input's NULL skip)."""
+    from bloomfilter_spark.streaming import BloomDedupStream
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (1, "c"), (1, "d")], "k int, v string")
+    out: list = []
+    dedup = BloomDedupStream(["k"], capacity=1000,
+                             sink=lambda d, e: out.append(d.toPandas()))
+    dedup(df, 0)
+    dedup(df, 1)
+    import pandas as pd
+    emitted = pd.concat(out, ignore_index=True)
+    assert len(emitted[emitted["k"].isna()]) == 4   # 2 per epoch, kept
+    assert len(emitted[emitted["k"].notna()]) == 1  # key 1 exactly once
