@@ -356,6 +356,43 @@ def _q_streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_emitted long, n_unique long, n_rows_in long")
 
 
+def _q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV set-expression estimates (sketches/theta.py): distinct
+    users who clicked AND purchased (intersection) and who clicked but
+    never purchased (a-not-b) — the set algebra HLL cannot do. Both
+    sketches are built on the JVM-reduced path (theta_build_jvm: distinct +
+    TakeOrderedAndProject, k+1 rows to the driver). Emits the exact counts
+    (oracle-matchable) + a within-4-sigma flag per op, with the binomial
+    bound sqrt(|result|*|union|/k) from the theta framework."""
+    import math
+    from bloomfilter_spark.jvm_build import theta_build_jvm
+    from bloomfilter_spark.sketches import theta_a_not_b, theta_intersect
+    k = 4096
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    a_df = ev.where(F.col("event_type") == "click")
+    # high-value purchasers: a proper subset of purchasers, so both the
+    # intersection and the difference are non-trivial at every SF
+    b_df = ev.where((F.col("event_type") == "purchase") & (F.col("value") > 150))
+    a = theta_build_jvm(a_df, ["user_id"], k=k)
+    b = theta_build_jvm(b_df, ["user_id"], k=k)
+    exact_i = (a_df.select("user_id").distinct()
+               .intersect(b_df.select("user_id").distinct()).count())
+    exact_d = (a_df.select("user_id").distinct()
+               .exceptAll(b_df.select("user_id").distinct()).count())
+    exact_u = (a_df.select("user_id").union(b_df.select("user_id"))
+               .distinct().count())
+
+    def within(est: float, exact: int) -> int:
+        return int(abs(est - exact) <= 4.0 * math.sqrt(max(exact, 1) * exact_u / k) + 1)
+
+    rows = [("click_and_purchase", exact_i,
+             within(theta_intersect(a, b).estimate(), exact_i)),
+            ("click_not_purchase", exact_d,
+             within(theta_a_not_b(a, b).estimate(), exact_d))]
+    return spark.createDataFrame(
+        rows, "set_op string, exact_users long, within_bound int")
+
+
 # --------------------------------------------------------------------------
 # sketch queries in bound-assertion form: each emits the EXACT quantity the
 # oracle can recompute plus a within-published-error-bound flag whose oracle
@@ -800,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_ann_ivf_recall": _q_ann_ivf_recall,
         "q38_hll_daily_users_jvm": _q_hll_daily_users_jvm,
         "q39_streaming_bloom_dedup": _q_streaming_bloom_dedup,
+        "q40_theta_set_ops": _q_theta_set_ops,
     }
 
 
@@ -1127,6 +1165,22 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT event_id) AS n_unique,
                    2 * count(*) AS n_rows_in
             FROM events WHERE event_id IS NOT NULL
+        """,
+        "q40_theta_set_ops": """
+            WITH a AS (SELECT DISTINCT user_id FROM events
+                       WHERE user_id IS NOT NULL AND event_type = 'click'),
+                 b AS (SELECT DISTINCT user_id FROM events
+                       WHERE user_id IS NOT NULL AND event_type = 'purchase'
+                         AND value > 150)
+            SELECT 'click_and_purchase' AS set_op,
+                   (SELECT count(*) FROM (SELECT user_id FROM a
+                     INTERSECT SELECT user_id FROM b)) AS exact_users,
+                   1 AS within_bound
+            UNION ALL
+            SELECT 'click_not_purchase' AS set_op,
+                   (SELECT count(*) FROM (SELECT user_id FROM a
+                     EXCEPT SELECT user_id FROM b)) AS exact_users,
+                   1 AS within_bound
         """,
     }
 

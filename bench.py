@@ -51,7 +51,8 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from bloomfilter_spark.agg import build_sketch
     from bloomfilter_spark.config import get_spark
-    from bloomfilter_spark.jvm_build import cms_build_jvm, hll_build_jvm
+    from bloomfilter_spark.jvm_build import (cms_build_jvm, hll_build_jvm,
+                                             theta_build_jvm)
     from bloomfilter_spark.operators.sharded import build_sharded_bloom
     from bloomfilter_spark.sizing import suggest_sizing
     from bloomfilter_spark.sketches import KLL, BloomFilter, CountMinSketch, HyperLogLog
@@ -102,6 +103,10 @@ def main() -> None:
     timed("build_hll",
           lambda: hll_box.__setitem__("hll", hll_build_jvm(tr, ["conv_id"], p=14)))
     hll = hll_box["hll"]
+    # theta/KMV over the full (conv_id, text) turn key: distinct + top-k —
+    # the set-expression sketch's JVM-reduced build (k+1 rows to driver)
+    timed("build_theta",
+          lambda: theta_build_jvm(tr, ["conv_id", "text"], k=4096))
     timed("build_cms",
           lambda: build_sketch(tr, ["tool"],
                                lambda: CountMinSketch(eps=1e-4, delta=1e-3)),

@@ -378,3 +378,68 @@ def build_sharded_bloom_jvm(df: DataFrame, cols, capacity: int,
         out = out.cache()
         out.count()
     return out
+
+
+# --------------------------------------------------------------------------
+# Theta / KMV
+# --------------------------------------------------------------------------
+
+def theta_build_jvm(df: DataFrame, cols, k: int = 4096,
+                    seed: int = DEFAULT_SEED) -> "ThetaSketch":
+    """Build a ThetaSketch entirely JVM-side; byte-identical to the kernel.
+
+    The theta state IS the k+1 smallest distinct hashes, so the whole build
+    is `distinct + TakeOrderedAndProject`: map-side partial dedup, shuffle
+    of distinct hashes only, per-partition top-(k+1), and exactly k+1 rows
+    reach the driver whatever n is. Unsigned hash order is signed order
+    after flipping the sign bit (same trick as hll_build_jvm)."""
+    from .sketches.theta import ThetaSketch, _THETA_MAX
+    sk = ThetaSketch(k)  # validates k
+    cs = _cols(cols)
+    hf = hash_col(cs, seed).bitwiseXOR(F.lit(_MIN64))  # unsigned-order key
+    pdf = (df.where(_notnull(cs))
+             .select(hf.alias("hf")).distinct()
+             .orderBy("hf").limit(k + 1)
+             .toPandas())
+    arr = np.sort(pdf["hf"].to_numpy(dtype=np.int64).view(U64) ^ U64(1 << 63))
+    arr = arr[arr < _THETA_MAX]
+    if arr.size > k:
+        sk.theta = arr[k]
+        arr = arr[:k]
+    sk.retained = arr
+    return sk
+
+
+def theta_grouped_estimate_jvm(df: DataFrame, keys, cols, k: int = 4096,
+                               seed: int = DEFAULT_SEED,
+                               out_col: str = "est") -> DataFrame:
+    """Per-key theta distinct estimates with ZERO rows crossing into Python
+    (grouped analog of theta_build_jvm; mirrors hll_grouped_estimate_jvm).
+
+    Plan: distinct (key, hash) -> per-key window rank in unsigned hash
+    order, keep rank <= k+1 -> per-key aggregate picks the (k+1)-th
+    smallest as theta and counts the k below it. The estimate
+    `k / (theta/2^64)` (or the exact count while fewer than k+1 distinct
+    values exist) is float-identical to ThetaSketch.estimate(), which
+    normalizes theta through the same flipped-int64 arithmetic. Window
+    input is one row per distinct (key, hash) — the sort is per-key,
+    shuffle-partitioned, never global."""
+    from pyspark.sql import Window
+    from .sketches.theta import ThetaSketch
+    ThetaSketch(k)  # validate k
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cs = _cols(cols)
+    hf = hash_col(cs, seed).bitwiseXOR(F.lit(_MIN64))
+    d = (df.where(_notnull(cs))
+           .select(*keys, hf.alias("__hf")).distinct())
+    w = Window.partitionBy(*keys).orderBy("__hf")
+    ranked = (d.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= k + 1))
+    per_key = ranked.groupBy(*keys).agg(
+        F.max(F.when(F.col("__rn") == k + 1, F.col("__hf"))).alias("__th"),
+        F.sum(F.when(F.col("__rn") <= k, 1).otherwise(0)).alias("__n"))
+    theta_norm = ((F.col("__th").cast("double") + F.lit(float(1 << 63)))
+                  / F.lit(float(1 << 64)))
+    est = F.when(F.col("__th").isNull(), F.col("__n").cast("double")) \
+           .otherwise(F.lit(float(k)) / theta_norm)
+    return per_key.select(*keys, est.alias(out_col))
