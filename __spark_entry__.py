@@ -393,6 +393,31 @@ def _q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "set_op string, exact_users long, within_bound int")
 
 
+def _q_sql_surface_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface end-to-end (sql.py): per-type HLL sketches persisted
+    as a (key, sketch binary) table, then estimated from PLAIN spark.sql
+    via the registered sketch_estimate UDF — the 'sketch warehouse' usage
+    pattern (build once, query from SQL forever). Emits the exact count
+    (oracle-matchable) + within-3-sigma flag."""
+    from bloomfilter_spark.agg import grouped_sketch_table
+    from bloomfilter_spark.sketches import HyperLogLog
+    from bloomfilter_spark.sql import register_sketch_sql
+    register_sketch_sql(spark)
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    grouped_sketch_table(ev, ["event_type"], ["user_id"],
+                         lambda: HyperLogLog(14), salt=4) \
+        .createOrReplaceTempView("q41_sketches")
+    est = spark.sql("""
+        SELECT event_type, sketch_estimate(sketch) AS approx_users
+        FROM q41_sketches""")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    return (exact.join(est, "event_type")
+                 .select("event_type", "exact_users",
+                         _hll_within("exact_users", "approx_users")
+                         .cast("int").alias("within_bound")))
+
+
 # --------------------------------------------------------------------------
 # sketch queries in bound-assertion form: each emits the EXACT quantity the
 # oracle can recompute plus a within-published-error-bound flag whose oracle
@@ -838,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_hll_daily_users_jvm": _q_hll_daily_users_jvm,
         "q39_streaming_bloom_dedup": _q_streaming_bloom_dedup,
         "q40_theta_set_ops": _q_theta_set_ops,
+        "q41_sql_surface_hll": _q_sql_surface_hll,
     }
 
 
@@ -1181,6 +1207,11 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM (SELECT user_id FROM a
                      EXCEPT SELECT user_id FROM b)) AS exact_users,
                    1 AS within_bound
+        """,
+        "q41_sql_surface_hll": """
+            SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                   1 AS within_bound
+            FROM events WHERE user_id IS NOT NULL GROUP BY event_type
         """,
     }
 

@@ -1,0 +1,149 @@
+"""SQL surface: query serialized sketch tables from plain ``spark.sql``.
+
+`grouped_sketch_table` / `checkpointed` builds persist sketches as
+``(keys..., sketch binary)`` parquet — the mergeable, corpus-union-able
+form. This module registers vectorized pandas UDFs so those tables are
+first-class SQL citizens:
+
+    register_sketch_sql(spark)
+    spark.sql('''
+        SELECT event_type, sketch_estimate(sketch) AS approx_users
+        FROM user_sketches
+    ''')
+
+Registered functions (all Arrow-batched; a bounded per-executor parse
+cache means each distinct sketch blob is deserialized once per worker, not
+once per row):
+
+  sketch_estimate(sketch) -> double        HLL / Theta distinct estimate
+  sketch_quantile(sketch, q) -> double     KLL / t-digest quantile
+  cms_count(sketch, key_hash) -> long      Count-Min point estimate
+  bloom_contains(sketch, key_hash) -> bool Bloom membership
+  theta_intersect_estimate(a, b) -> double |A ∩ B| estimate
+  theta_a_not_b_estimate(a, b) -> double   |A \\ B| estimate
+  sketch_merge_pair(a, b) -> binary        pairwise merge (same type/params)
+  sketch_seed() -> long                    the engine's default hash salt
+
+``key_hash`` must be the engine's salted JVM-side hash: in SQL that is
+``xxhash64(sketch_seed(), col...)`` — identical bit-for-bit to what the
+builders inserted (agg.hash_col). `sketch_seed()` is registered for
+convenience; interpolating `bloomfilter_spark.config.DEFAULT_SEED` as a
+literal keeps the hash inside whole-stage codegen and is preferred in hot
+paths.
+
+Scale note: these are per-row scalar functions over *sketch rows* (one row
+per key/day/shard — already aggregated state, usually thousands of rows,
+never the raw corpus), so the pandas-UDF hop is off the 100 TB data path
+by construction. Merging MANY sketch rows (a GROUP BY) is aggregation, not
+a scalar function — use agg.merge_grouped_sketches for that.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import numpy as np
+import pandas as pd
+
+from .config import DEFAULT_SEED
+from .sketches import Sketch, sketch_from_bytes
+from .util import to_u64
+
+_CACHE_LIMIT = 4096
+_parse_cache: "OrderedDict[bytes, Sketch]" = OrderedDict()
+
+
+def _parse(buf) -> Sketch:
+    b = bytes(buf)
+    sk = _parse_cache.get(b)
+    if sk is None:
+        sk = sketch_from_bytes(b)
+        _parse_cache[b] = sk
+        if len(_parse_cache) > _CACHE_LIMIT:
+            _parse_cache.popitem(last=False)
+    return sk
+
+
+def sketch_estimate(sketch: pd.Series) -> pd.Series:
+    return sketch.map(lambda b: None if b is None else float(_parse(b).estimate()))
+
+
+def sketch_quantile(sketch: pd.Series, q: pd.Series) -> pd.Series:
+    out = np.full(len(sketch), np.nan)
+    for i, (b, qq) in enumerate(zip(sketch, q)):
+        if b is not None and qq is not None:
+            out[i] = float(_parse(b).quantile(float(qq)))
+    return pd.Series(out)
+
+
+def _per_row_hash_query(sketch: pd.Series, key_hash: pd.Series, method: str,
+                        dtype):
+    """Group rows by sketch blob so each distinct sketch answers its rows'
+    hashes in ONE vectorized kernel call."""
+    out = np.zeros(len(sketch), dtype=dtype)
+    df = pd.DataFrame({"s": sketch, "h": key_hash})
+    for blob, grp in df.groupby("s", sort=False, dropna=False):
+        if blob is None:
+            continue
+        hs = to_u64(grp["h"].to_numpy(dtype=np.int64))
+        out[grp.index] = getattr(_parse(blob), method)(hs)
+    return pd.Series(out)
+
+
+def cms_count(sketch: pd.Series, key_hash: pd.Series) -> pd.Series:
+    return _per_row_hash_query(sketch, key_hash, "query", np.int64)
+
+
+def bloom_contains(sketch: pd.Series, key_hash: pd.Series) -> pd.Series:
+    return _per_row_hash_query(sketch, key_hash, "contains", bool)
+
+
+def theta_intersect_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
+    from .sketches import theta_intersect
+    return pd.Series([
+        None if (x is None or y is None)
+        else float(theta_intersect(_parse(x), _parse(y)).estimate())
+        for x, y in zip(a, b)], dtype="float64")
+
+
+def theta_a_not_b_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
+    from .sketches import theta_a_not_b
+    return pd.Series([
+        None if (x is None or y is None)
+        else float(theta_a_not_b(_parse(x), _parse(y)).estimate())
+        for x, y in zip(a, b)], dtype="float64")
+
+
+def sketch_merge_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+    def m(x, y):
+        if x is None:
+            return None if y is None else bytes(y)
+        if y is None:
+            return bytes(x)
+        # fresh copies: never mutate cached parses
+        return sketch_from_bytes(bytes(x)).merge(sketch_from_bytes(bytes(y))).to_bytes()
+    return pd.Series([m(x, y) for x, y in zip(a, b)])
+
+
+#: function name -> (python impl, SQL return type). The pandas_udf
+#: wrappers are built lazily inside register_sketch_sql because the
+#: decorator needs an active SparkSession (return-type resolution).
+SQL_FUNCTIONS = {
+    "sketch_estimate": (sketch_estimate, "double"),
+    "sketch_quantile": (sketch_quantile, "double"),
+    "cms_count": (cms_count, "long"),
+    "bloom_contains": (bloom_contains, "boolean"),
+    "theta_intersect_estimate": (theta_intersect_estimate, "double"),
+    "theta_a_not_b_estimate": (theta_a_not_b_estimate, "double"),
+    "sketch_merge_pair": (sketch_merge_pair, "binary"),
+}
+
+
+def register_sketch_sql(spark, seed: int = DEFAULT_SEED) -> list[str]:
+    """Register every sketch SQL function on this session; returns the
+    registered names. Idempotent."""
+    from pyspark.sql.functions import pandas_udf
+    for name, (fn, rtype) in SQL_FUNCTIONS.items():
+        spark.udf.register(name, pandas_udf(fn, rtype))
+    spark.udf.register("sketch_seed", lambda: seed, "long")
+    return [*SQL_FUNCTIONS, "sketch_seed"]
