@@ -117,6 +117,12 @@ def main() -> None:
     timed("build_kll",
           lambda: build_sketch(tr.select(F.length("text").alias("len")),
                                ["len"], lambda: KLL(200)))
+    # pre-aggregated KLL: turn lengths have few distinct values, so only
+    # (value, count) pairs cross the pipe — the value-sketch scale path
+    from bloomfilter_spark.jvm_build import quantile_build_preagg
+    timed("build_kll_preagg",
+          lambda: quantile_build_preagg(tr.select(F.length("text").alias("len")),
+                                        "len", lambda: KLL(200)))
 
     # pipeline-kernel throughput: near-dup signatures over 1M transcript
     # texts (OPH minhash; JVM-tokenized simhash) — the per-document cost a

@@ -443,3 +443,41 @@ def theta_grouped_estimate_jvm(df: DataFrame, keys, cols, k: int = 4096,
     est = F.when(F.col("__th").isNull(), F.col("__n").cast("double")) \
            .otherwise(F.lit(float(k)) / theta_norm)
     return per_key.select(*keys, est.alias(out_col))
+
+
+# --------------------------------------------------------------------------
+# pre-aggregated quantile builds (KLL / t-digest)
+# --------------------------------------------------------------------------
+
+def quantile_build_preagg(df: DataFrame, col, factory,
+                          max_cardinality: int = 2_000_000):
+    """JVM-reduced quantile-sketch build for value columns of modest
+    DISTINCT cardinality (turn lengths, latency ms, token counts, ...):
+    `groupBy(value).count()` runs in codegen with map-side partial
+    aggregation, so only (distinct-value, count) pairs — `cardinality`
+    rows, not n — cross the Arrow pipe, and the sketch absorbs them via
+    weighted insert (KLL binary-decomposed levels / t-digest weighted
+    centroids; same published rank bounds, see the sketches'
+    update_weighted docstrings). The value-sketch analog of
+    hll_build_jvm/cms_build_jvm.
+
+    Raises if the column exceeds ``max_cardinality`` distinct values —
+    at that point use the streaming kernel path (agg.build_sketch), whose
+    cost is per-row but unconditional."""
+    sk = factory()
+    if sk.HASH_KEYED:
+        raise ValueError("quantile_build_preagg is for value sketches "
+                         "(KLL/TDigest), not hash-keyed ones")
+    c = _cols([col])[0].cast("double")
+    pdf = (df.where(c.isNotNull() & ~F.isnan(c))
+             .groupBy(c.alias("v"))
+             .agg(F.count(F.lit(1)).alias("w"))
+             .limit(max_cardinality + 1)
+             .toPandas())
+    if len(pdf) > max_cardinality:
+        raise ValueError(
+            f"column has > {max_cardinality} distinct values; use the "
+            "kernel build (agg.build_sketch) for high-cardinality columns")
+    sk.update_weighted(pdf["v"].to_numpy(dtype=np.float64),
+                       pdf["w"].to_numpy(dtype=np.int64))
+    return sk

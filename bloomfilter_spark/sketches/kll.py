@@ -107,6 +107,33 @@ class KLL(Sketch):
         if self._pending_n >= self._PENDING_CAP:
             self._flush()
 
+    def update_weighted(self, values: np.ndarray, weights: np.ndarray) -> None:
+        """Insert each value with an integral weight, by binary-decomposing
+        the weight across levels (items at level l carry weight 2^l). This
+        is exactly a level-wise merge with a sketch holding those items, so
+        the published rank bound carries over unchanged — it is the
+        pre-aggregated build path (jvm_build.quantile_build_preagg): ship
+        (value, count) pairs over the pipe instead of n rows."""
+        v = np.ascontiguousarray(values, dtype=np.float64)
+        w = np.asarray(weights)
+        if not np.all(np.equal(np.mod(w, 1), 0)):
+            raise ValueError("KLL weights must be integral (counts)")
+        w = w.astype(np.int64)
+        keep = ~np.isnan(v) & (w > 0)
+        v, w = v[keep], w[keep]
+        if v.size == 0:
+            return
+        self._flush()
+        self.n += int(w.sum())
+        for l in range(int(w.max()).bit_length()):
+            sel = v[(w >> l) & 1 == 1]
+            if sel.size == 0:
+                continue
+            while len(self.levels) <= l:
+                self.levels.append(np.zeros(0, dtype=np.float64))
+            self.levels[l] = np.concatenate([self.levels[l], sel])
+        self._compress()
+
     def merge(self, other: "KLL") -> "KLL":
         if self.k != other.k:
             raise ValueError("k mismatch: cannot merge KLL sketches")

@@ -81,6 +81,23 @@ class TDigest(Sketch):
         if self._buf_n >= self.buffer_size:
             self._flush()
 
+    def update_weighted(self, values: np.ndarray, weights: np.ndarray) -> None:
+        """Insert values with (possibly fractional) positive weights —
+        centroids ARE weighted points, so this is one _compress over the
+        concatenation, the same operation merge performs. Pre-aggregated
+        build path: see jvm_build.quantile_build_preagg."""
+        v = np.ascontiguousarray(values, dtype=np.float64)
+        w = np.asarray(weights, dtype=np.float64)
+        keep = ~np.isnan(v) & (w > 0)
+        v, w = v[keep], w[keep]
+        if v.size == 0:
+            return
+        self._flush()
+        self.vmin = min(self.vmin, float(v.min()))
+        self.vmax = max(self.vmax, float(v.max()))
+        self._compress(np.concatenate([self.means, v]),
+                       np.concatenate([self.weights, w]))
+
     def merge(self, other: "TDigest") -> "TDigest":
         if self.delta != other.delta:
             raise ValueError("compression mismatch: cannot merge t-digests")

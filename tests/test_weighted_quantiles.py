@@ -1,0 +1,114 @@
+"""Weighted quantile-sketch inserts + the pre-aggregated JVM-reduced build
+(jvm_build.quantile_build_preagg): rank bounds must hold identically to
+the per-row path, since weighted insert is a level-wise merge (KLL) /
+a weighted _compress (t-digest)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloomfilter_spark.agg import build_sketch
+from bloomfilter_spark.jvm_build import quantile_build_preagg
+from bloomfilter_spark.sketches import KLL, HyperLogLog, TDigest
+
+QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _weighted_rank(x: np.ndarray, w: np.ndarray, v: float) -> float:
+    return w[x <= v].sum() / w.sum()
+
+
+@pytest.fixture(scope="module")
+def discrete_corpus():
+    rng = np.random.default_rng(7)
+    vals = np.arange(500, dtype=np.float64)            # 500 distinct values
+    wts = rng.integers(1, 2000, size=vals.size)        # skewed counts
+    return vals, wts
+
+
+def test_kll_update_weighted_rank_bound(discrete_corpus):
+    vals, wts = discrete_corpus
+    sk = KLL(200)
+    sk.update_weighted(vals, wts)
+    assert sk.n == int(wts.sum())
+    for q in QS:
+        est = sk.quantile(q)
+        assert abs(_weighted_rank(vals, wts, est) - q) \
+            <= 3 * sk.rank_error_bound(), q
+
+
+def test_kll_update_weighted_equals_repeat_semantics(discrete_corpus):
+    """Weighted insert answers like the explicit-repetition build (both
+    within bound of the same exact ranks; n identical)."""
+    vals, wts = discrete_corpus
+    a = KLL(200)
+    a.update_weighted(vals, wts)
+    b = KLL(200)
+    b.update(np.repeat(vals, wts))
+    assert a.n == b.n
+    for q in QS:
+        ra = _weighted_rank(vals, wts, a.quantile(q))
+        rb = _weighted_rank(vals, wts, b.quantile(q))
+        assert abs(ra - rb) <= 6 * a.rank_error_bound(), q
+
+
+def test_kll_weighted_merges_with_unweighted(discrete_corpus):
+    vals, wts = discrete_corpus
+    a = KLL(200)
+    a.update_weighted(vals, wts)
+    b = KLL(200)
+    b.update(np.repeat(vals, wts))
+    merged = a.merge(b)
+    assert merged.n == 2 * int(wts.sum())
+    for q in QS:
+        est = merged.quantile(q)
+        assert abs(_weighted_rank(vals, wts, est) - q) \
+            <= 4 * merged.rank_error_bound(), q
+
+
+def test_kll_weighted_rejects_fractional():
+    with pytest.raises(ValueError, match="integral"):
+        KLL(200).update_weighted(np.array([1.0]), np.array([1.5]))
+
+
+def test_tdigest_update_weighted_rank_bound(discrete_corpus):
+    vals, wts = discrete_corpus
+    sk = TDigest(200)
+    sk.update_weighted(vals, wts.astype(np.float64))
+    for q in QS:
+        est = sk.quantile(q)
+        assert abs(_weighted_rank(vals, wts, est) - q) <= 0.015, q
+
+
+def test_quantile_build_preagg_kll_vs_exact(spark, lineitem):
+    x = np.sort(lineitem.select(F.col("l_quantity").cast("double"))
+                .toPandas()["l_quantity"].to_numpy())
+    sk = quantile_build_preagg(lineitem, "l_quantity", lambda: KLL(200))
+    assert sk.n == x.size
+    for q in QS:
+        est = sk.quantile(q)
+        true_rank = (x <= est).mean()
+        assert abs(true_rank - q) <= 3 * sk.rank_error_bound(), q
+
+
+def test_quantile_build_preagg_tdigest_vs_kernel_build(spark, lineitem):
+    pre = quantile_build_preagg(lineitem, "l_extendedprice",
+                                lambda: TDigest(200),
+                                max_cardinality=2_000_000)
+    x = np.sort(lineitem.select(F.col("l_extendedprice").cast("double"))
+                .toPandas()["l_extendedprice"].to_numpy())
+    for q in QS:
+        true_rank = (x <= pre.quantile(q)).mean()
+        assert abs(true_rank - q) <= 0.015, q
+
+
+def test_quantile_build_preagg_cardinality_guard(spark, lineitem):
+    with pytest.raises(ValueError, match="distinct"):
+        quantile_build_preagg(lineitem, "l_extendedprice",
+                              lambda: KLL(200), max_cardinality=10)
+
+
+def test_quantile_build_preagg_rejects_hash_keyed(spark, lineitem):
+    with pytest.raises(ValueError, match="value sketches"):
+        quantile_build_preagg(lineitem, "l_quantity",
+                              lambda: HyperLogLog(12))
