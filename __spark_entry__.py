@@ -523,6 +523,21 @@ def _q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 4 * sk.rank_error_bound(), spark)
 
 
+def _q_kll_preagg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same quantile contract as q22 but on the PRE-AGGREGATED build path
+    (jvm_build.quantile_build_preagg): groupBy(value).count() in codegen,
+    only (distinct value, count) pairs cross the pipe, weighted KLL insert
+    — the value-sketch 100 TB path for bounded-representation columns.
+    Rank error must satisfy the same published bound."""
+    from bloomfilter_spark.jvm_build import quantile_build_preagg
+    from bloomfilter_spark.sketches import KLL
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    sk = quantile_build_preagg(ev, "value", lambda: KLL(200))
+    ests = {q: float(sk.quantile(q)) for q in (0.5, 0.9, 0.99)}
+    return _quantile_rank_flags(ev, "value", ests,
+                                4 * sk.rank_error_bound(), spark)
+
+
 def _q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest(200) price quantiles with exact-rank verification (0.02
     absolute rank error, above the merged-digest margin in test_kernels)."""
@@ -864,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_streaming_bloom_dedup": _q_streaming_bloom_dedup,
         "q40_theta_set_ops": _q_theta_set_ops,
         "q41_sql_surface_hll": _q_sql_surface_hll,
+        "q42_kll_preagg_quantiles": _q_kll_preagg_quantiles,
     }
 
 
@@ -1212,6 +1228,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS exact_users,
                    1 AS within_bound
             FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+        """,
+        "q42_kll_preagg_quantiles": """
+            SELECT CAST(q AS DOUBLE) AS q, rank_ok
+            FROM (VALUES (0.5, 1), (0.9, 1), (0.99, 1)) t(q, rank_ok)
         """,
     }
 
