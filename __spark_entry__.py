@@ -538,6 +538,34 @@ def _q_kll_preagg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 4 * sk.rank_error_bound(), spark)
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold corpus mixing (operators/sampling.py):
+    per-event_type mixture fractions decided by xxhash64(seed, event_id)
+    entirely in codegen — reproducible on any partitioning/cluster size.
+    Emits per-stratum total rows (oracle-matchable) + a within-4-sigma
+    binomial flag on the sampled count (exact equality for f=1 strata)."""
+    import math
+    from bloomfilter_spark.operators.sampling import stratified_sample
+    fracs = {"click": 0.25, "purchase": 1.0, "view": 0.5, "error": 0.1}
+    ev = _t(spark, sf_dir, "events")
+    sampled = stratified_sample(ev, "event_type", fracs, key_cols=["event_id"])
+    got = {r["event_type"]: r["n"] for r in
+           sampled.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    tot = {r["event_type"]: r["n"] for r in
+           ev.where(F.col("event_type").isin(*fracs))
+             .groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    rows = []
+    for t in sorted(set(fracs) & set(tot)):  # strata present in the data
+        n, f, g = tot[t], fracs[t], got.get(t, 0)
+        if f == 1.0:
+            ok = g == n
+        else:
+            ok = abs(g - n * f) <= 4.0 * math.sqrt(n * f * (1 - f)) + 1
+        rows.append((t, n, int(ok)))
+    return spark.createDataFrame(
+        rows, "event_type string, exact_rows long, within_bound int")
+
+
 def _q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest(200) price quantiles with exact-rank verification (0.02
     absolute rank error, above the merged-digest margin in test_kernels)."""
@@ -880,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_theta_set_ops": _q_theta_set_ops,
         "q41_sql_surface_hll": _q_sql_surface_hll,
         "q42_kll_preagg_quantiles": _q_kll_preagg_quantiles,
+        "q43_stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1232,6 +1261,12 @@ def oracle_sql() -> dict[str, str]:
         "q42_kll_preagg_quantiles": """
             SELECT CAST(q AS DOUBLE) AS q, rank_ok
             FROM (VALUES (0.5, 1), (0.9, 1), (0.99, 1)) t(q, rank_ok)
+        """,
+        "q43_stratified_sample": """
+            SELECT event_type, count(*) AS exact_rows, 1 AS within_bound
+            FROM events
+            WHERE event_type IN ('click', 'error', 'purchase', 'view')
+            GROUP BY event_type
         """,
     }
 

@@ -1,0 +1,88 @@
+"""Deterministic hash-threshold sampling — the corpus-mixing primitive of
+a training-data pipeline (mixture weights per source/language/quality
+tier, reproducible across reruns and machines).
+
+Unlike `DataFrame.sample` (RDD-level RNG: partition-layout-dependent, not
+reproducible across repartitions), these operators decide membership from
+`xxhash64(seed, key)` alone, entirely in whole-stage codegen:
+
+* same (seed, key) ⇒ same decision on every run, any partitioning, any
+  cluster size — a sampled corpus is a pure function of the data;
+* sampling BY KEY (e.g. conv_id / user_id) keeps or drops *all* rows of an
+  entity together, across every table hashed with the same seed — the
+  entity-consistent sampling a train/holdout split needs;
+* disjoint seed ranges give independent samples (xxhash64 avalanche).
+
+The uniform variate is the hash's top 32 bits scaled to [0, 1): u32/2^32.
+P[u < f] deviates from f by at most 2^-32 (quantization), so observed
+counts are Binomial(n, f) for any practical f — the 4-sigma acceptance
+band the tests and driver query assert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..agg import _cols, hash_col
+from ..config import DEFAULT_SEED
+
+
+def sample_uniform_col(cols, seed: int = DEFAULT_SEED) -> Column:
+    """U[0,1) variate as a Column: top 32 bits of the salted 64-bit hash
+    of `cols`, scaled. Pure codegen; NULL keys hash to the seed-only value
+    (deterministic, documented — filter NULLs first if they must be
+    excluded)."""
+    h = hash_col(_cols(cols), seed)
+    return (F.shiftrightunsigned(h, 32).cast("double")
+            / F.lit(float(1 << 32)))
+
+
+def hash_sample(df: DataFrame, cols, fraction: float,
+                seed: int = DEFAULT_SEED) -> DataFrame:
+    """Keep rows whose key-hash variate falls below `fraction`.
+
+    Sampling on an entity key (conv_id, user_id, url-host, ...) keeps
+    every row of a kept entity — apply to any number of tables with the
+    same (cols, seed) for a consistent cross-table split."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.where(sample_uniform_col(cols, seed) < F.lit(float(fraction)))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, fractions: dict,
+                      key_cols=None, default: float = 0.0,
+                      seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-stratum hash sampling: `fractions` maps stratum value ->
+    fraction; strata absent from the map get `default`. The threshold is a
+    broadcast-joined column, so the plan is scan -> broadcast hash join ->
+    filter — no shuffle of `df`, works for any number of strata.
+
+    `key_cols` defaults to the stratum column itself plus nothing — pass
+    the entity key (e.g. ["doc_id"]) to decide per-document rather than
+    per-stratum-constant. A mixture config like
+    {"web": 0.1, "code": 1.0, "wiki": 0.5} is the training-mix use case.
+    """
+    spark = df.sparkSession
+    if key_cols is None:
+        raise ValueError("key_cols is required: the entity whose hash "
+                         "decides membership (e.g. ['doc_id'])")
+    for s, f in fractions.items():
+        if not 0.0 <= float(f) <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0, 1]")
+    thresholds = spark.createDataFrame(
+        [(s, float(f)) for s, f in fractions.items()],
+        f"`{strata_col}` string, __frac double")
+    joined = df.join(F.broadcast(thresholds), strata_col, "left") \
+               .withColumn("__frac", F.coalesce("__frac", F.lit(float(default))))
+    return (joined
+            .where(sample_uniform_col(key_cols, seed) < F.col("__frac"))
+            .drop("__frac"))
+
+
+def split_train_holdout(df: DataFrame, cols, holdout_fraction: float,
+                        seed: int = DEFAULT_SEED) -> tuple[DataFrame, DataFrame]:
+    """Entity-consistent (train, holdout) split: an entity is in exactly
+    one side, on every table hashed with the same (cols, seed)."""
+    u = sample_uniform_col(cols, seed)
+    thr = F.lit(float(holdout_fraction))
+    return df.where(u >= thr), df.where(u < thr)

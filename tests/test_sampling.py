@@ -1,0 +1,100 @@
+"""Deterministic hash-threshold sampling (operators/sampling.py):
+reproducibility, binomial accuracy, entity consistency, stratification."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomfilter_spark.operators.sampling import (hash_sample,
+                                                  sample_uniform_col,
+                                                  split_train_holdout,
+                                                  stratified_sample)
+
+
+def _binomial_ok(got: int, n: int, f: float, sigmas: float = 4.0) -> bool:
+    return abs(got - n * f) <= sigmas * math.sqrt(n * f * (1 - f)) + 1
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark, events):
+    a = sorted(r["event_id"] for r in
+               hash_sample(events, ["event_id"], 0.3).select("event_id").collect())
+    b = sorted(r["event_id"] for r in
+               hash_sample(events.repartition(13), ["event_id"], 0.3)
+               .select("event_id").collect())
+    assert a == b and len(a) > 0
+
+
+def test_hash_sample_fraction_binomial(spark, events):
+    n = events.count()
+    for f in (0.1, 0.5, 0.9):
+        got = hash_sample(events, ["event_id"], f).count()
+        assert _binomial_ok(got, n, f), (f, got, n)
+
+
+def test_hash_sample_nested_subsets(spark, events):
+    """Thresholding one variate means smaller fractions are subsets of
+    larger ones (same seed) — stable curriculum subsampling."""
+    small = {r["event_id"] for r in
+             hash_sample(events, ["event_id"], 0.2).select("event_id").collect()}
+    big = {r["event_id"] for r in
+           hash_sample(events, ["event_id"], 0.6).select("event_id").collect()}
+    assert small <= big
+
+
+def test_hash_sample_entity_consistency(spark, events):
+    """Sampling by user_id keeps all of a user's rows or none."""
+    kept = hash_sample(events.where(F.col("user_id").isNotNull()),
+                       ["user_id"], 0.4)
+    per_user = kept.groupBy("user_id").agg(F.count("*").alias("k")).collect()
+    totals = {r["user_id"]: r["t"] for r in
+              events.where(F.col("user_id").isNotNull())
+              .groupBy("user_id").agg(F.count("*").alias("t")).collect()}
+    for r in per_user:
+        assert r["k"] == totals[r["user_id"]]
+
+
+def test_hash_sample_different_seeds_independent(spark, events):
+    s1 = {r["event_id"] for r in
+          hash_sample(events, ["event_id"], 0.5, seed=1).select("event_id").collect()}
+    s2 = {r["event_id"] for r in
+          hash_sample(events, ["event_id"], 0.5, seed=2).select("event_id").collect()}
+    n = events.count()
+    overlap = len(s1 & s2)
+    assert _binomial_ok(overlap, n, 0.25, sigmas=5.0)
+
+
+def test_stratified_sample_per_stratum_fractions(spark, events):
+    fracs = {"click": 0.1, "purchase": 1.0, "view": 0.5}
+    out = stratified_sample(events, "event_type", fracs,
+                            key_cols=["event_id"])
+    got = {r["event_type"]: r["n"] for r in
+           out.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    tot = {r["event_type"]: r["n"] for r in
+           events.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert got["purchase"] == tot["purchase"]          # f=1: everything
+    for t, f in (("click", 0.1), ("view", 0.5)):
+        assert _binomial_ok(got[t], tot[t], f), t
+    # absent strata default to 0.0: dropped entirely
+    assert "error" not in got
+
+
+def test_stratified_sample_plan_is_broadcast_join(spark, events):
+    plan = stratified_sample(events, "event_type", {"click": 0.5},
+                             key_cols=["event_id"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_split_train_holdout_partitions_exactly(spark, events):
+    ev = events.where(F.col("user_id").isNotNull())
+    train, hold = split_train_holdout(ev, ["user_id"], 0.25)
+    assert train.count() + hold.count() == ev.count()
+    tu = {r["user_id"] for r in train.select("user_id").distinct().collect()}
+    hu = {r["user_id"] for r in hold.select("user_id").distinct().collect()}
+    assert not (tu & hu)
+
+
+def test_hash_sample_rejects_bad_fraction(spark, events):
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(events, ["event_id"], 1.5)
