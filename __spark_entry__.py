@@ -566,6 +566,41 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "event_type string, exact_rows long, within_bound int")
 
 
+def _q_budget_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (operators/sampling.py sample_to_budget):
+    downsample each event_type stratum so its expected total cost
+    (integer-cents of `value`) meets a budget — half the stratum total for
+    click/view (fraction ~0.5), above-total for purchase (fraction 1 =>
+    kept exactly). Emits the exact per-stratum cost total
+    (oracle-matchable) + a 5-sigma variance-band flag on the sampled cost
+    (var = f(1-f)*sum(cost^2), entities kept independently)."""
+    import math
+    from bloomfilter_spark.operators.sampling import sample_to_budget
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .withColumn("cost", F.floor(F.col("value") * 100).cast("long")))
+    stats = {r["event_type"]: (r["t"], r["s2"]) for r in
+             ev.groupBy("event_type").agg(
+                 F.sum("cost").alias("t"),
+                 F.sum(F.col("cost") * F.col("cost")).alias("s2")).collect()}
+    budgets = {"click": stats["click"][0] // 2,
+               "view": stats["view"][0] // 2,
+               "purchase": stats["purchase"][0] * 2}
+    sampled, fracs = sample_to_budget(ev, "event_type", "cost", budgets,
+                                      key_cols=["event_id"], default=0.0)
+    got = {r["event_type"]: r["g"] for r in
+           sampled.groupBy("event_type").agg(F.sum("cost").alias("g")).collect()}
+    rows = []
+    for t in sorted(budgets):
+        total, s2 = stats[t]
+        f, g = fracs[t], got.get(t, 0)
+        sd = math.sqrt(f * (1 - f) * s2)
+        ok = (g == total) if f == 1.0 else abs(g - f * total) <= 5 * sd + 1
+        rows.append((t, int(total), int(ok)))
+    return spark.createDataFrame(
+        rows, "event_type string, exact_cost_cents long, within_bound int")
+
+
 def _q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest(200) price quantiles with exact-rank verification (0.02
     absolute rank error, above the merged-digest margin in test_kernels)."""
@@ -909,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_sql_surface_hll": _q_sql_surface_hll,
         "q42_kll_preagg_quantiles": _q_kll_preagg_quantiles,
         "q43_stratified_sample": _q_stratified_sample,
+        "q44_budget_mixing": _q_budget_mixing,
     }
 
 
@@ -1266,6 +1302,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS exact_rows, 1 AS within_bound
             FROM events
             WHERE event_type IN ('click', 'error', 'purchase', 'view')
+            GROUP BY event_type
+        """,
+        "q44_budget_mixing": """
+            SELECT event_type,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS exact_cost_cents,
+                   1 AS within_bound
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'purchase', 'view')
             GROUP BY event_type
         """,
     }

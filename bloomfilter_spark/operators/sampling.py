@@ -86,3 +86,31 @@ def split_train_holdout(df: DataFrame, cols, holdout_fraction: float,
     u = sample_uniform_col(cols, seed)
     thr = F.lit(float(holdout_fraction))
     return df.where(u >= thr), df.where(u < thr)
+
+
+def sample_to_budget(df: DataFrame, strata_col: str, cost_col, budgets: dict,
+                     key_cols, seed: int = DEFAULT_SEED,
+                     default: float = 1.0) -> tuple[DataFrame, dict]:
+    """Downsample each stratum so its EXPECTED total `cost_col` (token
+    count, bytes, F.lit(1) for rows) meets the stratum's budget:
+    fraction_s = min(1, budget_s / total_s), realized by the deterministic
+    hash threshold — the "mix to N tokens per source" pipeline step.
+
+    One small codegen aggregate computes per-stratum totals (#strata rows
+    to the driver, map-side combined); strata without a budget keep
+    `default`. Returns (sampled_df, fractions) so callers can log the
+    realized mixture. The sampled total is a sum over independently kept
+    entities: var = f(1-f)·Σ cost(entity)², the acceptance band the tests
+    and q44 assert."""
+    c = _cols([cost_col])[0]
+    totals = {r["s"]: r["t"] for r in
+              df.groupBy(F.col(strata_col).alias("s"))
+                .agg(F.sum(c).alias("t")).collect()}
+    fractions = {}
+    for s, b in budgets.items():
+        if float(b) < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0")
+        t = totals.get(s)
+        fractions[s] = 1.0 if not t or t <= 0 else min(1.0, float(b) / float(t))
+    return (stratified_sample(df, strata_col, fractions, key_cols=key_cols,
+                              default=default, seed=seed), fractions)

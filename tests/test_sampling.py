@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from bloomfilter_spark.operators.sampling import (hash_sample,
+                                                  sample_to_budget,
                                                   sample_uniform_col,
                                                   split_train_holdout,
                                                   stratified_sample)
@@ -98,3 +99,36 @@ def test_split_train_holdout_partitions_exactly(spark, events):
 def test_hash_sample_rejects_bad_fraction(spark, events):
     with pytest.raises(ValueError, match="fraction"):
         hash_sample(events, ["event_id"], 1.5)
+
+
+def test_sample_to_budget_hits_targets(spark, events):
+    """Each budgeted stratum's sampled cost lands within the published
+    variance band; fraction-1 strata are kept exactly."""
+    cost = F.floor(F.col("value") * 100).cast("long")
+    ev = events.where(F.col("value").isNotNull()).withColumn("cost", cost)
+    totals = {r["event_type"]: r["t"] for r in
+              ev.groupBy("event_type").agg(F.sum("cost").alias("t")).collect()}
+    budgets = {"click": totals["click"] // 2,        # downsample ~0.5
+               "purchase": totals["purchase"] * 2,   # above total -> f=1
+               "view": totals["view"] // 10}         # downsample ~0.1
+    sampled, fracs = sample_to_budget(ev, "event_type", "cost", budgets,
+                                      key_cols=["event_id"])
+    assert fracs["purchase"] == 1.0
+    got = {r["event_type"]: r["g"] for r in
+           sampled.groupBy("event_type").agg(F.sum("cost").alias("g")).collect()}
+    assert got["purchase"] == totals["purchase"]
+    sq = {r["event_type"]: r["s2"] for r in
+          ev.groupBy("event_type")
+            .agg(F.sum(F.col("cost") * F.col("cost")).alias("s2")).collect()}
+    for t in ("click", "view"):
+        f = fracs[t]
+        sd = math.sqrt(f * (1 - f) * sq[t])
+        assert abs(got.get(t, 0) - f * totals[t]) <= 5 * sd + 1, t
+    # default=1.0: unbudgeted strata pass through whole
+    assert got["error"] == totals["error"]
+
+
+def test_sample_to_budget_rejects_negative(spark, events):
+    with pytest.raises(ValueError, match=">= 0"):
+        sample_to_budget(events, "event_type", F.lit(1), {"click": -5},
+                         key_cols=["event_id"])

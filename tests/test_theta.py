@@ -164,3 +164,30 @@ def test_theta_spark_intersection_vs_exact(spark, events):
                .distinct().count())
     est = theta_intersect(a, b).estimate()
     assert abs(est - exact_i) <= 4.0 * np.sqrt(max(exact_i, 1) * exact_u / k) + 1
+
+
+def test_theta_streaming_accumulator_byte_identical_to_batch(spark, events,
+                                                             tmp_path):
+    """Canonical state means the foreachBatch fold over micro-batches ends
+    byte-identical to the one-shot batch build (streaming/batch merge
+    compatibility, the north rule's streaming requirement)."""
+    from bloomfilter_spark.streaming import SketchAccumulator
+
+    src = str(tmp_path / "theta_stream")
+    keyed = events.select("user_id").where(F.col("user_id").isNotNull())
+    for i in range(3):  # three files -> three micro-batches
+        keyed.where(F.col("user_id") % 3 == i).write.mode("append").parquet(src)
+
+    acc = SketchAccumulator(["user_id"], lambda: ThetaSketch(512),
+                            state_dir=str(tmp_path / "theta_state"))
+    stream = (spark.readStream.schema(keyed.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream.writeStream.foreachBatch(acc).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    batch = build_sketch(keyed, ["user_id"], lambda: ThetaSketch(512))
+    assert acc.sketch.to_bytes() == batch.to_bytes()
+    # and the persisted state restores to the same bytes
+    acc2 = SketchAccumulator(["user_id"], lambda: ThetaSketch(512),
+                             state_dir=str(tmp_path / "theta_state"))
+    assert acc2.sketch.to_bytes() == batch.to_bytes()
