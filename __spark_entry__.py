@@ -601,6 +601,35 @@ def _q_budget_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "event_type string, exact_cost_cents long, within_bound int")
 
 
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): Bloom of
+    the reference slice's word 8-grams, candidate corpus = full copies of
+    the eligible reference docs (+1e6 ids) plus a disjoint clean slice.
+    Zero false negatives ⇒ every copy scores contamination 1.0 and is
+    flagged — recall_ok = 1 deterministically; n_eligible is exactly
+    recomputable by the oracle."""
+    from bloomfilter_spark.operators.decontaminate import (
+        build_reference_ngram_bloom, contamination_scores)
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull()).select("doc_id", "text"))
+    ref = docs.where(F.col("doc_id") % 5 == 0)
+    eligible = ref.where((F.length(F.trim("text")) > 0)
+                         & (F.size(F.split(F.trim("text"), r"\s+")) >= 8))
+    injected = eligible.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                               "text")
+    clean = docs.where(F.col("doc_id") % 5 == 3)
+    corpus = injected.unionByName(clean)
+    bloom = build_reference_ngram_bloom(ref, "text", n=8, fpr=1e-3)
+    scores = contamination_scores(corpus, bloom, "doc_id", "text", n=8)
+    n_eligible = eligible.count()
+    n_flagged_copies = scores.where(
+        (F.col("doc_id") >= 1_000_000)
+        & (F.col("contamination") >= 0.999)).count()
+    return spark.createDataFrame(
+        [(n_eligible, int(n_flagged_copies == n_eligible))],
+        "n_eligible long, recall_ok int")
+
+
 def _q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest(200) price quantiles with exact-rank verification (0.02
     absolute rank error, above the merged-digest margin in test_kernels)."""
@@ -945,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_kll_preagg_quantiles": _q_kll_preagg_quantiles,
         "q43_stratified_sample": _q_stratified_sample,
         "q44_budget_mixing": _q_budget_mixing,
+        "q45_decontamination": _q_decontamination,
     }
 
 
@@ -1313,6 +1343,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE value IS NOT NULL
               AND event_type IN ('click', 'purchase', 'view')
             GROUP BY event_type
+        """,
+        "q45_decontamination": """
+            SELECT count(*) AS n_eligible, 1 AS recall_ok
+            FROM documents
+            WHERE doc_id % 5 = 0 AND text IS NOT NULL
+              AND trim(text) != ''
+              AND len(regexp_split_to_array(trim(text), '\\s+')) >= 8
         """,
     }
 
