@@ -385,23 +385,49 @@ def build_sharded_bloom_jvm(df: DataFrame, cols, capacity: int,
 # --------------------------------------------------------------------------
 
 def theta_build_jvm(df: DataFrame, cols, k: int = 4096,
-                    seed: int = DEFAULT_SEED) -> "ThetaSketch":
+                    seed: int = DEFAULT_SEED,
+                    expected_n: int | None = None) -> "ThetaSketch":
     """Build a ThetaSketch entirely JVM-side; byte-identical to the kernel.
 
     The theta state IS the k+1 smallest distinct hashes, so the whole build
     is `distinct + TakeOrderedAndProject`: map-side partial dedup, shuffle
     of distinct hashes only, per-partition top-(k+1), and exactly k+1 rows
     reach the driver whatever n is. Unsigned hash order is signed order
-    after flipping the sign bit (same trick as hll_build_jvm)."""
+    after flipping the sign bit (same trick as hll_build_jvm).
+
+    ``expected_n``: optional rough distinct-count hint. When given, rows
+    are pre-filtered to hashes below ~8·(k+1)/expected_n of the hash space
+    *before* the dedup shuffle, so the shuffle carries ~8k rows instead of
+    every distinct hash (the difference between an 8 GB and a 64 KB
+    exchange at 10^9 distinct keys). Safe for any hint quality: the result
+    is accepted only if k+1 survivors prove the true theta lies below the
+    pre-filter threshold; otherwise (hint too high by >8x) the build
+    silently falls back to one unfiltered pass. Byte-identical either way
+    (tested)."""
     from .sketches.theta import ThetaSketch, _THETA_MAX
     sk = ThetaSketch(k)  # validates k
     cs = _cols(cols)
     hf = hash_col(cs, seed).bitwiseXOR(F.lit(_MIN64))  # unsigned-order key
-    pdf = (df.where(_notnull(cs))
-             .select(hf.alias("hf")).distinct()
-             .orderBy("hf").limit(k + 1)
-             .toPandas())
-    arr = np.sort(pdf["hf"].to_numpy(dtype=np.int64).view(U64) ^ U64(1 << 63))
+    base = df.where(_notnull(cs)).select(hf.alias("hf"))
+
+    def smallest(src: DataFrame) -> np.ndarray:
+        pdf = src.distinct().orderBy("hf").limit(k + 1).toPandas()
+        arr = pdf["hf"].to_numpy(dtype=np.int64).view(U64) ^ U64(1 << 63)
+        return np.sort(arr)
+
+    arr = None
+    if expected_n and expected_n > 0:
+        thr_u = min((1 << 64) - 1,
+                    ((k + 1) * 8 * (1 << 64)) // max(int(expected_n), 1))
+        if thr_u < (1 << 64) - 1:
+            cand = smallest(base.where(
+                F.col("hf") < F.lit(_signed(thr_u ^ (1 << 63)))))
+            # accept only if the (k+1)-th smallest is proven inside the
+            # filtered region — i.e. the filter could not have cut the tail
+            if cand.size >= k + 1:
+                arr = cand
+    if arr is None:
+        arr = smallest(base)
     arr = arr[arr < _THETA_MAX]
     if arr.size > k:
         sk.theta = arr[k]

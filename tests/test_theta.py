@@ -191,3 +191,15 @@ def test_theta_streaming_accumulator_byte_identical_to_batch(spark, events,
     acc2 = SketchAccumulator(["user_id"], lambda: ThetaSketch(512),
                              state_dir=str(tmp_path / "theta_state"))
     assert acc2.sketch.to_bytes() == batch.to_bytes()
+
+
+def test_theta_jvm_build_prefilter_hint_byte_identical(spark, lineitem):
+    """expected_n pre-filter (shuffle ~8k rows instead of all distinct
+    hashes) is byte-identical for exact, over- and under-estimated hints,
+    including the fallback path when the hint over-shoots by > 8x."""
+    base = theta_build_jvm(lineitem, ["l_orderkey"], k=64)
+    n = lineitem.select("l_orderkey").distinct().count()
+    for hint in (n, n * 10, max(n // 10, 1), n * 1000):
+        hinted = theta_build_jvm(lineitem, ["l_orderkey"], k=64,
+                                 expected_n=hint)
+        assert hinted.to_bytes() == base.to_bytes(), hint
