@@ -630,6 +630,46 @@ def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_eligible long, recall_ok int")
 
 
+def _q_theta_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day returning users from ONE grouped theta sketch table
+    (the sketch-warehouse win: build per-day sketches once, answer any of
+    the N^2 day-pair set expressions afterwards without rescanning), via
+    the SQL surface: self-join day d with d+1, theta_intersect_estimate on
+    the serialized sketches. Emits exact counts (oracle: DuckDB self-join)
+    + the 4-sigma binomial bound flag per pair."""
+    from bloomfilter_spark.agg import grouped_sketch_table
+    from bloomfilter_spark.sketches import ThetaSketch
+    from bloomfilter_spark.sql import register_sketch_sql
+    register_sketch_sql(spark)
+    k = 4096
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+          .withColumn("day", F.to_date("ts")))
+    grouped_sketch_table(ev, ["day"], ["user_id"],
+                         lambda: ThetaSketch(k), salt=4) \
+        .createOrReplaceTempView("q46_day_sketches")
+    est = spark.sql("""
+        SELECT a.day AS day,
+               theta_intersect_estimate(a.sketch, b.sketch) AS est_both
+        FROM q46_day_sketches a
+        JOIN q46_day_sketches b ON b.day = date_add(a.day, 1)""")
+    d1 = ev.select("day", "user_id").distinct()
+    d2 = d1.select(F.date_sub("day", 1).alias("day"),
+                   F.col("user_id").alias("uid2"))
+    exact = (d1.join(d2, "day")
+             .where(F.col("user_id") == F.col("uid2"))
+             .groupBy("day").agg(F.countDistinct("user_id").alias("exact_both")))
+    union = (d1.select("day", "user_id")
+             .unionByName(d2.select("day", F.col("uid2").alias("user_id")))
+             .groupBy("day").agg(F.countDistinct("user_id").alias("n_union")))
+    return (exact.join(est, "day").join(union, "day")
+            .select("day", "exact_both",
+                    (F.abs(F.col("est_both") - F.col("exact_both"))
+                     <= 4.0 * F.sqrt(F.greatest(F.col("exact_both"), F.lit(1))
+                                     * F.col("n_union") / F.lit(float(k))) + 1)
+                    .cast("int").alias("within_bound")))
+
+
 def _q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest(200) price quantiles with exact-rank verification (0.02
     absolute rank error, above the merged-digest margin in test_kernels)."""
@@ -975,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_stratified_sample": _q_stratified_sample,
         "q44_budget_mixing": _q_budget_mixing,
         "q45_decontamination": _q_decontamination,
+        "q46_theta_returning_users": _q_theta_returning_users,
     }
 
 
@@ -1350,6 +1391,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 5 = 0 AND text IS NOT NULL
               AND trim(text) != ''
               AND len(regexp_split_to_array(trim(text), '\\s+')) >= 8
+        """,
+        "q46_theta_returning_users": """
+            WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+            SELECT a.day AS day,
+                   count(DISTINCT a.user_id) AS exact_both,
+                   1 AS within_bound
+            FROM d a JOIN d b
+              ON b.day = a.day + 1 AND b.user_id = a.user_id
+            GROUP BY a.day
         """,
     }
 
