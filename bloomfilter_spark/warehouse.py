@@ -1,0 +1,120 @@
+"""Sketch-warehouse persistence: durable (keys..., sketch binary) tables.
+
+The mergeable form produced by `agg.grouped_sketch_table` is only useful
+across jobs if (a) it survives on disk and (b) nobody merges sketches
+built with a different hash seed or different parameters — both silent
+estimate-corrupting mistakes. This module makes the lifecycle first-class:
+
+    save_sketch_table(tbl, path, keys=["day"], factory=lambda: ThetaSketch(4096))
+    tbl, meta = load_sketch_table(spark, path)        # meta round-trips
+    merged = union_sketch_tables(spark, [p1, p2], factory_from_meta=True)
+
+Metadata (sketch type/params, hash seed, key columns) rides WITH the data
+as a one-row parquet under `<path>/_sketch_meta` — readable on any Hadoop
+filesystem the table itself lives on, no driver-local files. `load` and
+`union` refuse mismatched seeds/params instead of silently merging
+incompatible states.
+
+At scale this is the pattern the north rule's checkpoint/resume story
+generalizes to: per-day (or per-corpus) sketch tables are built once by
+incremental jobs, then any rollup — weekly distinct counts, day-pair
+intersections (q46), corpus unions — is answered from the tables alone,
+never rescanning raw data.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .agg import merge_grouped_sketches
+from .config import DEFAULT_SEED
+from .sketches import SKETCH_TYPES, Sketch
+
+_META_SUBDIR = "_sketch_meta"
+_DATA_SUBDIR = "data"
+
+
+def _sketch_params(proto: Sketch) -> dict:
+    """Serialization params identify compatibility: same header params =>
+    mergeable."""
+    params, _ = proto._payload()
+    return {"type_tag": proto.TYPE_TAG,
+            "params_hex": params.hex(),
+            "class": type(proto).__name__}
+
+
+def save_sketch_table(table: DataFrame, path: str, *, keys: Sequence[str],
+                      factory: Callable[[], Sketch],
+                      seed: int = DEFAULT_SEED,
+                      mode: str = "overwrite") -> None:
+    """Persist a (keys..., sketch) table plus its compatibility metadata."""
+    spark = table.sparkSession
+    meta = {"keys": list(keys), "seed": int(seed),
+            "sketch": _sketch_params(factory()), "format_version": 1}
+    table.write.mode(mode).parquet(f"{path}/{_DATA_SUBDIR}")
+    spark.createDataFrame([(json.dumps(meta),)], "meta string") \
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/{_META_SUBDIR}")
+
+
+def load_sketch_table(spark: SparkSession, path: str,
+                      expected_factory: Callable[[], Sketch] | None = None,
+                      expected_seed: int | None = None
+                      ) -> tuple[DataFrame, dict]:
+    """Load a saved sketch table; returns (DataFrame, metadata). If the
+    caller states expectations, mismatches raise instead of corrupting a
+    later merge."""
+    meta = json.loads(
+        spark.read.parquet(f"{path}/{_META_SUBDIR}").first()["meta"])
+    if expected_factory is not None:
+        want = _sketch_params(expected_factory())
+        if want != meta["sketch"]:
+            raise ValueError(
+                f"sketch table at {path} holds {meta['sketch']}, caller "
+                f"expected {want} — refusing to mix incompatible sketches")
+    if expected_seed is not None and int(expected_seed) != meta["seed"]:
+        raise ValueError(
+            f"sketch table at {path} was hashed with seed {meta['seed']}, "
+            f"caller expected {expected_seed} — estimates would be garbage")
+    return spark.read.parquet(f"{path}/{_DATA_SUBDIR}"), meta
+
+
+def sketch_factory_from_meta(meta: dict) -> Callable[[], Sketch]:
+    """Reconstruct the zero-sketch factory from saved metadata (the params
+    header is the constructor state: parse an empty sketch of that type)."""
+    cls = SKETCH_TYPES[meta["sketch"]["type_tag"]]
+    params = bytes.fromhex(meta["sketch"]["params_hex"])
+    proto = cls._from_payload(params, b"")
+
+    def factory() -> Sketch:
+        return type(proto).from_bytes(proto.to_bytes())
+    return factory
+
+
+def union_sketch_tables(spark: SparkSession, paths: Sequence[str]
+                        ) -> tuple[DataFrame, dict]:
+    """Merge N saved sketch tables (e.g. daily builds) into one logical
+    table: unionByName + per-key sketch merge. All tables must carry
+    identical metadata (seed, sketch params, keys) — verified before any
+    merge. Returns (merged DataFrame, shared metadata)."""
+    if not paths:
+        raise ValueError("need at least one sketch table path")
+    frames, metas = [], []
+    for p in paths:
+        df, m = load_sketch_table(spark, p)
+        frames.append(df)
+        metas.append(m)
+    for p, m in zip(paths[1:], metas[1:]):
+        if m != metas[0]:
+            raise ValueError(
+                f"sketch table {p} metadata {m} differs from {paths[0]} "
+                f"metadata {metas[0]} — incompatible tables")
+    meta = metas[0]
+    factory = sketch_factory_from_meta(meta)
+    unioned = frames[0]
+    for f in frames[1:]:
+        unioned = unioned.unionByName(f)
+    merged = merge_grouped_sketches(unioned, meta["keys"], factory)
+    return merged, meta

@@ -1,0 +1,77 @@
+"""Sketch-warehouse persistence (warehouse.py): save/load round-trips,
+metadata compatibility guards, incremental-union equals one-shot build."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomfilter_spark.agg import grouped_sketch_table
+from bloomfilter_spark.sketches import HyperLogLog, ThetaSketch
+from bloomfilter_spark.warehouse import (load_sketch_table, save_sketch_table,
+                                         sketch_factory_from_meta,
+                                         union_sketch_tables)
+
+
+def test_save_load_roundtrip_byte_exact(spark, events, tmp_path):
+    ev = events.where(F.col("user_id").isNotNull())
+    tbl = grouped_sketch_table(ev, ["event_type"], ["user_id"],
+                               lambda: ThetaSketch(256), salt=2)
+    path = str(tmp_path / "wt")
+    save_sketch_table(tbl, path, keys=["event_type"],
+                      factory=lambda: ThetaSketch(256))
+    back, meta = load_sketch_table(spark, path,
+                                   expected_factory=lambda: ThetaSketch(256))
+    orig = {r["event_type"]: bytes(r["sketch"]) for r in tbl.collect()}
+    got = {r["event_type"]: bytes(r["sketch"]) for r in back.collect()}
+    assert got == orig
+    assert meta["keys"] == ["event_type"]
+    # factory reconstructed from metadata builds the same zero sketch
+    f = sketch_factory_from_meta(meta)
+    assert f().to_bytes() == ThetaSketch(256).to_bytes()
+
+
+def test_load_rejects_wrong_params_and_seed(spark, events, tmp_path):
+    ev = events.where(F.col("user_id").isNotNull())
+    tbl = grouped_sketch_table(ev, ["event_type"], ["user_id"],
+                               lambda: HyperLogLog(10), salt=2)
+    path = str(tmp_path / "wt2")
+    save_sketch_table(tbl, path, keys=["event_type"],
+                      factory=lambda: HyperLogLog(10))
+    with pytest.raises(ValueError, match="incompatible"):
+        load_sketch_table(spark, path,
+                          expected_factory=lambda: HyperLogLog(12))
+    with pytest.raises(ValueError, match="seed"):
+        load_sketch_table(spark, path, expected_seed=123)
+
+
+def test_incremental_union_equals_one_shot(spark, events, tmp_path):
+    """Per-half builds saved separately, then union-merged, must equal the
+    one-shot build byte-for-byte (canonical theta state)."""
+    ev = events.where(F.col("user_id").isNotNull())
+    paths = []
+    for i in range(2):
+        part = ev.where(F.col("event_id") % 2 == i)
+        tbl = grouped_sketch_table(part, ["event_type"], ["user_id"],
+                                   lambda: ThetaSketch(128), salt=2)
+        p = str(tmp_path / f"day{i}")
+        save_sketch_table(tbl, p, keys=["event_type"],
+                          factory=lambda: ThetaSketch(128))
+        paths.append(p)
+    merged, meta = union_sketch_tables(spark, paths)
+    oneshot = grouped_sketch_table(ev, ["event_type"], ["user_id"],
+                                   lambda: ThetaSketch(128), salt=2)
+    m = {r["event_type"]: bytes(r["sketch"]) for r in merged.collect()}
+    o = {r["event_type"]: bytes(r["sketch"]) for r in oneshot.collect()}
+    assert m == o
+
+
+def test_union_rejects_mismatched_tables(spark, events, tmp_path):
+    ev = events.where(F.col("user_id").isNotNull())
+    specs = [lambda: ThetaSketch(128), lambda: ThetaSketch(256)]
+    paths = []
+    for i, f in enumerate(specs):
+        tbl = grouped_sketch_table(ev, ["event_type"], ["user_id"], f, salt=2)
+        p = str(tmp_path / f"m{i}")
+        save_sketch_table(tbl, p, keys=["event_type"], factory=f)
+        paths.append(p)
+    with pytest.raises(ValueError, match="differs"):
+        union_sketch_tables(spark, paths)
