@@ -670,6 +670,19 @@ def _q_theta_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("int").alias("within_bound")))
 
 
+def _q_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-cap dedup (operators/dedup.py keep_first_n): at most 3
+    events per (user_id, event_type), first by event_id — deterministic,
+    so the oracle recomputes it exactly with the same window."""
+    from bloomfilter_spark.operators.dedup import keep_first_n
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    capped = keep_first_n(ev, ["user_id", "event_type"], 3, ["event_id"])
+    return (capped.groupBy("event_type")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("event_id").alias("id_sum"))
+            .orderBy("event_type"))
+
+
 def _q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest(200) price quantiles with exact-rank verification (0.02
     absolute rank error, above the merged-digest margin in test_kernels)."""
@@ -1016,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_budget_mixing": _q_budget_mixing,
         "q45_decontamination": _q_decontamination,
         "q46_theta_returning_users": _q_theta_returning_users,
+        "q47_frequency_cap": _q_frequency_cap,
     }
 
 
@@ -1402,6 +1416,18 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b
               ON b.day = a.day + 1 AND b.user_id = a.user_id
             GROUP BY a.day
+        """,
+        "q47_frequency_cap": """
+            SELECT event_type,
+                   count(*) AS n_kept,
+                   CAST(sum(event_id) AS BIGINT) AS id_sum
+            FROM (SELECT *, row_number() OVER
+                      (PARTITION BY user_id, event_type ORDER BY event_id)
+                      AS rn
+                  FROM events WHERE user_id IS NOT NULL)
+            WHERE rn <= 3
+            GROUP BY event_type
+            ORDER BY event_type
         """,
     }
 

@@ -41,6 +41,23 @@ def dedup_exact(df: DataFrame, key_cols, order_cols=None) -> DataFrame:
               .where(F.col("__rn") == 1).drop("__rn"))
 
 
+def keep_first_n(df: DataFrame, key_cols, n: int,
+                 order_cols) -> DataFrame:
+    """Frequency cap ("soft dedup"): keep at most `n` rows per key, the
+    first `n` under the given deterministic ordering. The training-mix
+    middle ground between exact dedup (n=1) and keeping every duplicate —
+    caps boilerplate/hot documents without erasing them. Plan: one shuffle
+    on the key, per-partition window rank, filter — row_number is rank-
+    limited so the state per key is O(1)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in order])
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= n).drop("__rn"))
+
+
 # --- shingle/minhash kernels ---------------------------------------------
 #
 # The signature kernel is batched ACROSS documents: all texts in a chunk are

@@ -318,3 +318,25 @@ def test_lang_id_detects_major_languages(spark):
     got = [r["l"] for r in df.select(lang_id("t").alias("l")).collect()]
     assert got[0] == "en" and got[1] == "de" and got[2] == "fr"
     assert got[3] == "und"
+
+
+def test_keep_first_n_caps_and_is_deterministic(spark, events):
+    from bloomfilter_spark.operators.dedup import keep_first_n
+    ev = events.where(F.col("user_id").isNotNull())
+    capped = keep_first_n(ev, ["user_id", "event_type"], 2, ["event_id"])
+    per_key = capped.groupBy("user_id", "event_type") \
+                    .agg(F.count("*").alias("c")).collect()
+    assert all(r["c"] <= 2 for r in per_key)
+    # survivors are exactly the 2 smallest event_ids per key
+    import itertools
+    rows = ev.select("user_id", "event_type", "event_id").collect()
+    rows.sort(key=lambda r: (r["user_id"], r["event_type"], r["event_id"]))
+    expected = set()
+    for _, grp in itertools.groupby(rows, key=lambda r: (r["user_id"], r["event_type"])):
+        expected.update(r["event_id"] for r in list(grp)[:2])
+    got = {r["event_id"] for r in capped.select("event_id").collect()}
+    assert got == expected
+    # partition invariance
+    again = keep_first_n(ev.repartition(17), ["user_id", "event_type"], 2,
+                         ["event_id"])
+    assert {r["event_id"] for r in again.select("event_id").collect()} == expected
