@@ -1,9 +1,15 @@
 from .cube import sketch_cube, sketch_grouping_sets, sketch_rollup
-from .dedup import (dedup_exact, minhash_lsh_candidates, minhash_lsh_dedup,
-                    minhash_signatures, ngram_jaccard_pairs,
-                    simhash_near_dups, simhash_signatures)
+from .decontaminate import (build_reference_ngram_bloom,
+                            contamination_scores, decontaminate,
+                            word_ngram_hashes)
+from .dedup import (dedup_exact, keep_first_n, minhash_lsh_candidates,
+                    minhash_lsh_dedup, minhash_signatures,
+                    ngram_jaccard_pairs, simhash_near_dups,
+                    simhash_signatures)
 from .multimodal import decode_and_featurize, sample_video_frames
 from .quantiles import grouped_quantiles, quantiles
+from .sampling import (hash_sample, sample_to_budget, sample_uniform_col,
+                       split_train_holdout, stratified_sample)
 from .semijoin import (bloom_anti_join, bloom_prefilter, bloom_semi_join,
                        build_key_bloom, sharded_bloom_semi_join)
 from .sharded import (build_sharded_bloom, merge_shard_tables, shard_geometry,
@@ -26,4 +32,9 @@ __all__ = [
     "sketch_cube", "sketch_rollup", "sketch_grouping_sets",
     "decode_and_featurize", "sample_video_frames",
     "ivf_train", "ivf_assign", "ivf_topk",
+    "keep_first_n",
+    "hash_sample", "stratified_sample", "split_train_holdout",
+    "sample_to_budget", "sample_uniform_col",
+    "decontaminate", "contamination_scores", "build_reference_ngram_bloom",
+    "word_ngram_hashes",
 ]
