@@ -683,6 +683,27 @@ def _q_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _q_theta_grouped_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct users via the PURE-SQL grouped theta estimator
+    (jvm_build.theta_grouped_estimate_jvm: distinct -> per-key window
+    top-(k+1) -> codegen estimate; zero rows into Python, float-identical
+    to the kernel — test_theta). Emits the exact count + within-4/sqrt(k-2)
+    flag (k=1024 keeps the window cheap at any corpus size)."""
+    from bloomfilter_spark.jvm_build import theta_grouped_estimate_jvm
+    k = 1024
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    est = theta_grouped_estimate_jvm(ev, ["event_type"], ["user_id"], k=k,
+                                     out_col="approx_users")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    bound = 4.0 / float(k - 2) ** 0.5
+    return (exact.join(est, "event_type")
+            .select("event_type", "exact_users",
+                    (F.abs(F.col("approx_users") - F.col("exact_users"))
+                     <= F.lit(bound) * F.col("exact_users") + 1)
+                    .cast("int").alias("within_bound")))
+
+
 def _q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest(200) price quantiles with exact-rank verification (0.02
     absolute rank error, above the merged-digest margin in test_kernels)."""
@@ -1030,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_decontamination": _q_decontamination,
         "q46_theta_returning_users": _q_theta_returning_users,
         "q47_frequency_cap": _q_frequency_cap,
+        "q48_theta_grouped_jvm": _q_theta_grouped_jvm,
     }
 
 
@@ -1428,6 +1450,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 3
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "q48_theta_grouped_jvm": """
+            SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                   1 AS within_bound
+            FROM events WHERE user_id IS NOT NULL GROUP BY event_type
         """,
     }
 
