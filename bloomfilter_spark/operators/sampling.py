@@ -69,14 +69,19 @@ def stratified_sample(df: DataFrame, strata_col: str, fractions: dict,
     for s, f in fractions.items():
         if not 0.0 <= float(f) <= 1.0:
             raise ValueError(f"fraction for {s!r} must be in [0, 1]")
+    # keyed by the stratum's STRING form so any stratum dtype (string,
+    # int, date, ...) joins correctly; the df side casts to match
     thresholds = spark.createDataFrame(
-        [(s, float(f)) for s, f in fractions.items()],
-        f"`{strata_col}` string, __frac double")
-    joined = df.join(F.broadcast(thresholds), strata_col, "left") \
-               .withColumn("__frac", F.coalesce("__frac", F.lit(float(default))))
+        [(str(s), float(f)) for s, f in fractions.items()],
+        "__stratum string, __frac double")
+    joined = (df.join(F.broadcast(thresholds),
+                      df[strata_col].cast("string") == thresholds["__stratum"],
+                      "left")
+                .withColumn("__frac",
+                            F.coalesce("__frac", F.lit(float(default)))))
     return (joined
             .where(sample_uniform_col(key_cols, seed) < F.col("__frac"))
-            .drop("__frac"))
+            .drop("__frac", "__stratum"))
 
 
 def split_train_holdout(df: DataFrame, cols, holdout_fraction: float,

@@ -132,3 +132,17 @@ def test_sample_to_budget_rejects_negative(spark, events):
     with pytest.raises(ValueError, match=">= 0"):
         sample_to_budget(events, "event_type", F.lit(1), {"click": -5},
                          key_cols=["event_id"])
+
+
+def test_stratified_sample_non_string_strata(spark, events):
+    """Integer strata join correctly (thresholds are keyed by the string
+    form; df side casts)."""
+    with_bucket = events.withColumn("bucket", F.col("event_id") % 3)
+    out = stratified_sample(with_bucket, "bucket", {0: 1.0, 1: 0.0},
+                            key_cols=["event_id"], default=0.0)
+    got = {r["bucket"]: r["n"] for r in
+           out.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    tot = {r["bucket"]: r["n"] for r in
+           with_bucket.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert got.get(0) == tot[0]       # f=1 keeps all
+    assert 1 not in got and 2 not in got  # f=0 / default=0 drop all
