@@ -35,10 +35,7 @@ def dedup_exact(df: DataFrame, key_cols, order_cols=None) -> DataFrame:
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if order_cols is None:
         return df.dropDuplicates(keys)
-    order = [order_cols] if isinstance(order_cols, str) else list(order_cols)
-    w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in order])
-    return (df.withColumn("__rn", F.row_number().over(w))
-              .where(F.col("__rn") == 1).drop("__rn"))
+    return keep_first_n(df, keys, 1, order_cols)
 
 
 def keep_first_n(df: DataFrame, key_cols, n: int,

@@ -69,14 +69,18 @@ def stratified_sample(df: DataFrame, strata_col: str, fractions: dict,
     for s, f in fractions.items():
         if not 0.0 <= float(f) <= 1.0:
             raise ValueError(f"fraction for {s!r} must be in [0, 1]")
-    # keyed by the stratum's STRING form so any stratum dtype (string,
-    # int, date, ...) joins correctly; the df side casts to match
+    # thresholds carry the stratum column's OWN type (from df's schema), so
+    # equality is exact for any dtype — string-form matching would silently
+    # miss booleans (str(True) vs 'true') and many floats. Mis-typed
+    # fraction keys fail loudly here at createDataFrame.
+    from pyspark.sql import types as T
+    thr_schema = T.StructType([
+        T.StructField("__stratum", df.schema[strata_col].dataType),
+        T.StructField("__frac", T.DoubleType())])
     thresholds = spark.createDataFrame(
-        [(str(s), float(f)) for s, f in fractions.items()],
-        "__stratum string, __frac double")
+        [(s, float(f)) for s, f in fractions.items()], thr_schema)
     joined = (df.join(F.broadcast(thresholds),
-                      df[strata_col].cast("string") == thresholds["__stratum"],
-                      "left")
+                      df[strata_col] == thresholds["__stratum"], "left")
                 .withColumn("__frac",
                             F.coalesce("__frac", F.lit(float(default)))))
     return (joined
@@ -111,11 +115,19 @@ def sample_to_budget(df: DataFrame, strata_col: str, cost_col, budgets: dict,
     totals = {r["s"]: r["t"] for r in
               df.groupBy(F.col(strata_col).alias("s"))
                 .agg(F.sum(c).alias("t")).collect()}
+    missing = [s for s in budgets if s not in totals]
+    if missing:
+        # a budget that matches nothing is almost always a typo or a type
+        # mismatch (int stratum vs str key) — silently keeping the stratum
+        # whole would bypass the budget, so fail loudly
+        raise ValueError(
+            f"budgets reference strata absent from the data: {missing!r}; "
+            f"present strata: {sorted(map(repr, totals))[:20]}")
     fractions = {}
     for s, b in budgets.items():
         if float(b) < 0:
             raise ValueError(f"budget for {s!r} must be >= 0")
-        t = totals.get(s)
+        t = totals[s]
         fractions[s] = 1.0 if not t or t <= 0 else min(1.0, float(b) / float(t))
     return (stratified_sample(df, strata_col, fractions, key_cols=key_cols,
                               default=default, seed=seed), fractions)

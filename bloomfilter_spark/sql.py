@@ -49,18 +49,27 @@ from .config import DEFAULT_SEED
 from .sketches import Sketch, sketch_from_bytes
 from .util import to_u64
 
-_CACHE_LIMIT = 4096
+#: per-executor parse cache, LRU by total serialized bytes (a few large
+#: Bloom blobs must not accumulate unboundedly — same discipline as
+#: agg._BC_CACHE)
+_CACHE_BUDGET_BYTES = 256 << 20
 _parse_cache: "OrderedDict[bytes, Sketch]" = OrderedDict()
+_cache_bytes = 0
 
 
 def _parse(buf) -> Sketch:
+    global _cache_bytes
     b = bytes(buf)
     sk = _parse_cache.get(b)
-    if sk is None:
-        sk = sketch_from_bytes(b)
-        _parse_cache[b] = sk
-        if len(_parse_cache) > _CACHE_LIMIT:
-            _parse_cache.popitem(last=False)
+    if sk is not None:
+        _parse_cache.move_to_end(b)
+        return sk
+    sk = sketch_from_bytes(b)
+    _parse_cache[b] = sk
+    _cache_bytes += len(b)
+    while _cache_bytes > _CACHE_BUDGET_BYTES and _parse_cache:
+        old, _ = _parse_cache.popitem(last=False)
+        _cache_bytes -= len(old)
     return sk
 
 
@@ -69,33 +78,56 @@ def sketch_estimate(sketch: pd.Series) -> pd.Series:
 
 
 def sketch_quantile(sketch: pd.Series, q: pd.Series) -> pd.Series:
-    out = np.full(len(sketch), np.nan)
-    for i, (b, qq) in enumerate(zip(sketch, q)):
-        if b is not None and qq is not None:
-            out[i] = float(_parse(b).quantile(float(qq)))
-    return pd.Series(out)
+    return pd.Series(
+        [None if (b is None or pd.isna(qq))
+         else float(_parse(b).quantile(float(qq)))
+         for b, qq in zip(sketch, q)], dtype="object")
 
 
-def _per_row_hash_query(sketch: pd.Series, key_hash: pd.Series, method: str,
-                        dtype):
+def _per_row_hash_query(sketch: pd.Series, key_hash: pd.Series, method: str):
     """Group rows by sketch blob so each distinct sketch answers its rows'
-    hashes in ONE vectorized kernel call."""
-    out = np.zeros(len(sketch), dtype=dtype)
-    df = pd.DataFrame({"s": sketch, "h": key_hash})
-    for blob, grp in df.groupby("s", sort=False, dropna=False):
-        if blob is None:
-            continue
+    hashes in ONE vectorized kernel call. NULL sketch rows yield NULL.
+
+    NULL key hashes: Arrow delivers a long column containing NULLs as
+    float64, which silently destroys 64-bit hash precision for EVERY row
+    in the batch — there is no way to recover the exact hashes, so that
+    case raises instead of probing with garbage. (The documented call
+    pattern `xxhash64(sketch_seed(), col)` never produces NULL: xxhash64
+    skips null children.) An all-NULL batch is answerable: all NULLs."""
+    n = len(sketch)
+    out: list = [None] * n
+    if pd.api.types.is_float_dtype(key_hash):
+        if key_hash.isna().all():
+            return pd.Series(out, dtype="object")
+        raise ValueError(
+            "key_hash contains NULLs mixed with values; the Arrow transfer "
+            "degrades the column to float64 and 64-bit hashes lose "
+            "precision. Filter NULL keys before probing "
+            "(xxhash64(sketch_seed(), col) itself never returns NULL).")
+    df = pd.DataFrame(
+        {"s": sketch.reset_index(drop=True)
+                    .map(lambda b: None if b is None else bytes(b)),
+         "h": key_hash.reset_index(drop=True)})
+    for blob, grp in df[df["s"].notna()].groupby("s", sort=False):
         hs = to_u64(grp["h"].to_numpy(dtype=np.int64))
-        out[grp.index] = getattr(_parse(blob), method)(hs)
-    return pd.Series(out)
+        sk = _parse(blob)
+        if not hasattr(sk, method):
+            raise TypeError(
+                f"{type(sk).__name__} does not support '{method}' — "
+                f"check the sketch column matches the function "
+                f"(bloom_contains needs a Bloom, cms_count a Count-Min)")
+        res = getattr(sk, method)(hs)
+        for i, v in zip(grp.index, res):
+            out[i] = v.item() if hasattr(v, "item") else v
+    return pd.Series(out, dtype="object")
 
 
 def cms_count(sketch: pd.Series, key_hash: pd.Series) -> pd.Series:
-    return _per_row_hash_query(sketch, key_hash, "query", np.int64)
+    return _per_row_hash_query(sketch, key_hash, "query")
 
 
 def bloom_contains(sketch: pd.Series, key_hash: pd.Series) -> pd.Series:
-    return _per_row_hash_query(sketch, key_hash, "contains", bool)
+    return _per_row_hash_query(sketch, key_hash, "contains")
 
 
 def theta_intersect_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -103,7 +135,7 @@ def theta_intersect_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([
         None if (x is None or y is None)
         else float(theta_intersect(_parse(x), _parse(y)).estimate())
-        for x, y in zip(a, b)], dtype="float64")
+        for x, y in zip(a, b)], dtype="object")
 
 
 def theta_a_not_b_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -111,7 +143,7 @@ def theta_a_not_b_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([
         None if (x is None or y is None)
         else float(theta_a_not_b(_parse(x), _parse(y)).estimate())
-        for x, y in zip(a, b)], dtype="float64")
+        for x, y in zip(a, b)], dtype="object")
 
 
 def sketch_merge_pair(a: pd.Series, b: pd.Series) -> pd.Series:

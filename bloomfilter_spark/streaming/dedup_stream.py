@@ -102,6 +102,10 @@ class BloomDedupStream:
         key_ok = F.lit(True)
         for c in self.cols:
             key_ok = key_ok & F.col(c).isNotNull()
+        # one materialization of the micro-batch: the three consumers below
+        # (dedup+probe pipeline, null pass-through, rows_in metric) read the
+        # cache, not the source — an expensive upstream transform runs once
+        batch_df = batch_df.persist()
         keyed = batch_df.where(key_ok).dropDuplicates(self.cols)
         nulls = batch_df.where(~key_ok)  # pass-through, never inserted
         seen = with_membership(keyed, self.filter, self.cols, "__seen",
@@ -123,6 +127,7 @@ class BloomDedupStream:
             self.rows_emitted += n_fresh
         finally:
             fresh.unpersist()
+            batch_df.unpersist()
         self.last_epoch = epoch_id
         if self.state_dir:
             self._persist()

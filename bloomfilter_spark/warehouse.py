@@ -7,7 +7,7 @@ estimate-corrupting mistakes. This module makes the lifecycle first-class:
 
     save_sketch_table(tbl, path, keys=["day"], factory=lambda: ThetaSketch(4096))
     tbl, meta = load_sketch_table(spark, path)        # meta round-trips
-    merged = union_sketch_tables(spark, [p1, p2], factory_from_meta=True)
+    merged, meta = union_sketch_tables(spark, [p1, p2])
 
 Metadata (sketch type/params, hash seed, key columns) rides WITH the data
 as a one-row parquet under `<path>/_sketch_meta` — readable on any Hadoop

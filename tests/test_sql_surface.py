@@ -104,3 +104,44 @@ def test_sql_null_sketch_rows(spark):
          .createOrReplaceTempView("null_t")
     assert spark.sql(
         "SELECT sketch_estimate(sketch) AS e FROM null_t").first()["e"] is None
+
+
+def test_sql_null_sketch_rows_in_probe_functions(spark, events):
+    """NULL sketch rows (e.g. from an outer join of sketch tables) yield
+    SQL NULL from the probe functions, not a crash (pandas groupby turns
+    None keys into NaN — regression guard)."""
+    cms = build_sketch(events, ["event_type"],
+                       lambda: CountMinSketch(width=1024, depth=3))
+    bloom = build_sketch(events, ["event_type"],
+                         lambda: BloomFilter(1 << 12, 5))
+    spark.createDataFrame(
+        [(1, cms.to_bytes(), bloom.to_bytes()), (2, None, None)],
+        "id int, cms binary, bloom binary") \
+        .createOrReplaceTempView("maybe_sketch")
+    rows = {r["id"]: r for r in spark.sql("""
+        SELECT id,
+               cms_count(cms, xxhash64(sketch_seed(), 'click')) AS c,
+               bloom_contains(bloom, xxhash64(sketch_seed(), 'click')) AS b,
+               sketch_quantile(cms, 0.5) AS q
+        FROM maybe_sketch WHERE id = 2
+        UNION ALL
+        SELECT id,
+               cms_count(cms, xxhash64(sketch_seed(), 'click')) AS c,
+               bloom_contains(bloom, xxhash64(sketch_seed(), 'click')) AS b,
+               CAST(NULL AS DOUBLE) AS q
+        FROM maybe_sketch WHERE id = 1""").collect()}
+    assert rows[1]["c"] is not None and rows[1]["b"] is True
+    assert rows[2]["c"] is None and rows[2]["b"] is None and rows[2]["q"] is None
+
+
+def test_sql_null_key_hash_mixed_batch_raises(spark, events):
+    """A key_hash column mixing NULLs with values cannot be probed exactly
+    (Arrow float64 degradation) — must fail loudly, not return garbage."""
+    cms = build_sketch(events, ["event_type"],
+                       lambda: CountMinSketch(width=1024, depth=3))
+    spark.createDataFrame(
+        [(cms.to_bytes(), 12345), (cms.to_bytes(), None)],
+        "sketch binary, h long").coalesce(1) \
+        .createOrReplaceTempView("mixed_h")
+    with pytest.raises(Exception, match="NULL"):
+        spark.sql("SELECT cms_count(sketch, h) FROM mixed_h").collect()
