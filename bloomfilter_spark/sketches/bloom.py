@@ -115,19 +115,48 @@ class BloomFilter(Sketch):
 
     # --- serialization --------------------------------------------------
     def _payload(self) -> tuple[bytes, bytes]:
+        """Payload = 1 mode byte + words. Mode 1 (sparse) stores only
+        non-zero words as (<u4 word-index, <u8 word) pairs, chosen whenever
+        strictly smaller than dense. A per-partition partial in the
+        two-level merge touches <= k * rows/P bits of an m sized for ALL n
+        rows, so partials are overwhelmingly sparse — this cuts the merge
+        shuffle from O(P * m/8) bytes to O(k * n / 8) total. Mode is a
+        deterministic function of content, preserving byte-equality across
+        build paths."""
         params = struct.pack("<QIB", self.num_bits, self.num_hashes,
                              _VARIANTS[self.variant])
-        if self.words.dtype.byteorder == ">":  # canonical LE
-            payload = self.words.byteswap().tobytes()
+        words = self.words.astype("<u8", copy=False)
+        nz = np.flatnonzero(words)
+        if 12 * nz.size < 8 * words.size:
+            payload = (b"\x01" + nz.astype("<u4").tobytes()
+                       + words[nz].tobytes())
         else:
-            payload = self.words.tobytes()
+            payload = b"\x00" + words.tobytes()
         return params, payload
 
     @classmethod
     def _from_payload(cls, params: bytes, payload: bytes) -> "BloomFilter":
         num_bits, num_hashes, var = struct.unpack("<QIB", params)
         f = cls(num_bits, num_hashes, variant=_VARIANT_NAMES[var])
-        f.words = np.frombuffer(payload, dtype="<u8").astype(U64, copy=True)
+        if not payload:  # params-only zero filter (warehouse factory)
+            return f
+        mode, body = payload[0], memoryview(payload)[1:]
+        n_words = f.words.size
+        if mode == 0:
+            if len(body) != 8 * n_words:
+                raise ValueError("dense bloom payload length != m/8")
+            f.words = np.frombuffer(body, dtype="<u8").astype(U64, copy=True)
+        elif mode == 1:
+            nnz, rem = divmod(len(body), 12)
+            if rem:
+                raise ValueError("sparse bloom payload not a multiple of 12")
+            idx = np.frombuffer(body, dtype="<u4", count=nnz).astype(np.int64)
+            if nnz and (idx.max() >= n_words or idx.min() < 0):
+                raise ValueError("sparse bloom word index out of range")
+            f.words[idx] = np.frombuffer(body, dtype="<u8",
+                                         offset=4 * nnz, count=nnz).astype(U64)
+        else:
+            raise ValueError(f"unknown bloom payload mode {mode}")
         return f
 
     def __repr__(self) -> str:

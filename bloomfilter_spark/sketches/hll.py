@@ -69,13 +69,46 @@ class HyperLogLog(Sketch):
         return float(raw)
 
     def _payload(self) -> tuple[bytes, bytes]:
-        return struct.pack("<B", self.p), self.registers.tobytes()
+        """Payload = 1 mode byte + registers. Mode 1 (sparse) stores only
+        the non-zero registers as (<u4 index, u8 value) pairs — chosen
+        whenever strictly smaller than dense. Per-key sketches in a grouped
+        warehouse mostly track small sets (a conv_id has ~10^2 distinct
+        turns, not 2^p), so sparse cuts the phase-2 shuffle and the
+        persisted table from 2^p bytes/key (16 KiB at p=14) to ~5 bytes
+        per distinct-ish value. The mode is a deterministic function of
+        register content, so byte-equality across build paths (kernel vs
+        JVM-reduced) is preserved."""
+        params = struct.pack("<B", self.p)
+        nz = np.flatnonzero(self.registers)
+        if 5 * nz.size < self.m:
+            payload = (b"\x01" + nz.astype("<u4").tobytes()
+                       + self.registers[nz].tobytes())
+        else:
+            payload = b"\x00" + self.registers.tobytes()
+        return params, payload
 
     @classmethod
     def _from_payload(cls, params: bytes, payload: bytes) -> "HyperLogLog":
         (p,) = struct.unpack("<B", params)
         s = cls(p)
-        s.registers = np.frombuffer(payload, dtype=np.uint8).copy()
+        if not payload:  # params-only zero sketch (warehouse factory)
+            return s
+        mode, body = payload[0], memoryview(payload)[1:]
+        if mode == 0:
+            if len(body) != s.m:
+                raise ValueError("dense HLL payload length != 2^p")
+            s.registers = np.frombuffer(body, dtype=np.uint8).copy()
+        elif mode == 1:
+            nnz, rem = divmod(len(body), 5)
+            if rem:
+                raise ValueError("sparse HLL payload not a multiple of 5")
+            idx = np.frombuffer(body, dtype="<u4", count=nnz).astype(np.int64)
+            if nnz and (idx.max() >= s.m or idx.min() < 0):
+                raise ValueError("sparse HLL index out of range")
+            s.registers[idx] = np.frombuffer(body, dtype=np.uint8,
+                                             offset=4 * nnz, count=nnz)
+        else:
+            raise ValueError(f"unknown HLL payload mode {mode}")
         return s
 
     def __repr__(self) -> str:

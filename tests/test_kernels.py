@@ -280,3 +280,67 @@ def test_value_sketches_skip_nan(rng):
     sk = KLL(64)
     sk.update(x)
     assert sk.n == 3
+
+
+# --- sparse serialization -------------------------------------------------
+
+def test_hll_sparse_dense_roundtrip_and_size(rng):
+    """Sparse mode kicks in for lightly-loaded sketches (a grouped
+    warehouse's per-key HLLs), is byte-deterministic, and round-trips to
+    identical registers; saturated sketches stay dense."""
+    light = HyperLogLog(14)
+    light.update(hashes(rng, 300))
+    blob = light.to_bytes()
+    assert len(blob) < (1 << 14) // 4          # far below the 16 KiB dense form
+    back = HyperLogLog.from_bytes(blob)
+    assert np.array_equal(back.registers, light.registers)
+    assert back.to_bytes() == blob             # canonical: re-encode identical
+
+    heavy = HyperLogLog(8)
+    heavy.update(hashes(rng, 50_000))
+    hb = heavy.to_bytes()
+    assert len(hb) >= (1 << 8)                 # dense once mostly non-zero
+    assert np.array_equal(HyperLogLog.from_bytes(hb).registers, heavy.registers)
+
+
+def test_bloom_sparse_dense_roundtrip_and_size(rng):
+    """A partial holding n/P of the keys serializes at O(set words), not
+    O(m) — the two-level merge's shuffle-byte bound."""
+    partial = BloomFilter(1 << 22, 7)
+    h = hashes(rng, 2000)
+    partial.update(h)
+    blob = partial.to_bytes()
+    # ~12 B per touched word vs m/8 dense: 2000 keys x 7 probes touch
+    # <= 14000 words of 65536, so sparse lands well under dense/3
+    assert len(blob) < (1 << 22) // 8 // 3
+    back = BloomFilter.from_bytes(blob)
+    assert np.array_equal(back.words, partial.words)
+    assert back.contains(h).all()              # zero FN survives the format
+    assert back.to_bytes() == blob
+
+    full = BloomFilter(1 << 10, 3)
+    full.update(hashes(rng, 100_000))
+    fb = full.to_bytes()
+    assert np.array_equal(BloomFilter.from_bytes(fb).words, full.words)
+
+
+def test_sparse_merge_byte_equality(rng):
+    """Merging two sparse-serialized halves == one-shot build, byte-exact
+    through the wire format (the UDAF invariant the driver relies on)."""
+    h = hashes(rng, 4000)
+    for mk in (lambda: BloomFilter(1 << 20, 5), lambda: HyperLogLog(12)):
+        a, b, full = mk(), mk(), mk()
+        a.update(h[:2000]); b.update(h[2000:]); full.update(h)
+        via_wire = type(a).from_bytes(a.to_bytes()).merge(
+            type(b).from_bytes(b.to_bytes()))
+        assert via_wire.to_bytes() == full.to_bytes()
+
+
+def test_params_only_zero_sketch():
+    """_from_payload(params, b"") must yield a usable zero sketch — the
+    warehouse reconstructs factories from the params header alone."""
+    for proto in (BloomFilter(1 << 16, 4), HyperLogLog(14)):
+        params, _ = proto._payload()
+        zero = type(proto)._from_payload(params, b"")
+        merged = zero.merge(proto)             # zero is the merge identity
+        assert merged.to_bytes() == proto.to_bytes()
