@@ -704,6 +704,43 @@ def _q_theta_grouped_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("int").alias("within_bound")))
 
 
+def _q_sparse_hll_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user distinct-event HLL warehouse on the SPARSE wire format:
+    grouped_sketch_table builds one p=14 HLL per user_id, warehouse.save/
+    load round-trips it through parquet + compatibility metadata, then the
+    query asserts (a) the persisted rows actually use the sparse encoding
+    (avg serialized size far below the 16 KiB dense register array — the
+    ~30x that makes a 10^9-key warehouse storable), and (b) merging every
+    per-user sketch yields the global distinct-event estimate within
+    3 sigma — unions of sparse-serialized states are lossless. Emits
+    (n_users, avg_bytes_ok, union_within_bound)."""
+    import tempfile
+
+    from bloomfilter_spark.agg import (grouped_sketch_table,
+                                       merge_grouped_sketches)
+    from bloomfilter_spark.sketches import HyperLogLog
+    from bloomfilter_spark.warehouse import (load_sketch_table,
+                                             save_sketch_table)
+    factory = lambda: HyperLogLog(14)  # noqa: E731
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull())
+    tbl = grouped_sketch_table(ev, ["user_id"], ["event_id"], factory, salt=4)
+    path = tempfile.mkdtemp(prefix="q49_warehouse_")
+    save_sketch_table(tbl, path, keys=["user_id"], factory=factory)
+    loaded, _meta = load_sketch_table(spark, path, expected_factory=factory)
+    stats = loaded.agg(F.count("*").alias("n_users"),
+                       F.avg(F.length("sketch")).alias("avg_bytes")).first()
+    merged = merge_grouped_sketches(loaded.withColumn("__all", F.lit(1)),
+                                    ["__all"], factory)
+    est = HyperLogLog.from_bytes(bytes(merged.first()["sketch"])).estimate()
+    exact = ev.select("event_id").distinct().count()
+    within = abs(est - exact) <= max(_HLL_REL_BOUND_3SIG * exact, 2.0)
+    return spark.createDataFrame(
+        [(int(stats["n_users"]), int(stats["avg_bytes"] < (1 << 14) / 4),
+          int(within))],
+        "n_users bigint, avg_bytes_ok int, union_within_bound int")
+
+
 def _q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest(200) price quantiles with exact-rank verification (0.02
     absolute rank error, above the merged-digest margin in test_kernels)."""
@@ -1052,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_theta_returning_users": _q_theta_returning_users,
         "q47_frequency_cap": _q_frequency_cap,
         "q48_theta_grouped_jvm": _q_theta_grouped_jvm,
+        "q49_sparse_hll_warehouse": _q_sparse_hll_warehouse,
     }
 
 
@@ -1455,6 +1493,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS exact_users,
                    1 AS within_bound
             FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+        """,
+        "q49_sparse_hll_warehouse": """
+            SELECT count(DISTINCT user_id) AS n_users,
+                   1 AS avg_bytes_ok, 1 AS union_within_bound
+            FROM events
+            WHERE user_id IS NOT NULL AND event_id IS NOT NULL
         """,
     }
 

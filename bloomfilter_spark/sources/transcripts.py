@@ -31,9 +31,15 @@ _VOCAB = np.array([
 ROLES = np.array(["user", "assistant", "tool", "system"])
 
 
-def generate_pandas(n_turns: int, seed: int = SEED) -> pd.DataFrame:
+def _default_n_convs(n_turns: int) -> int:
+    return max(16, min(N_CONVS_BASE, n_turns // 8))
+
+
+def generate_pandas(n_turns: int, seed: int = SEED,
+                    n_convs: int | None = None) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
-    n_convs = max(16, min(N_CONVS_BASE, n_turns // 8))
+    if n_convs is None:
+        n_convs = _default_n_convs(n_turns)
     # Zipf-ish conversation popularity: sample each turn's conversation from
     # a Zipf(1.2) distribution over conv ranks -> hot conv_ids dominate.
     ranks = rng.zipf(1.2, n_turns)
@@ -104,6 +110,10 @@ def generate_distributed(spark, n_turns: int, n_chunks: int = 64,
     import pandas as pd  # noqa: F811 (executor-side import)
 
     per_chunk = -(-n_turns // n_chunks)
+    # preserve the single-pass corpus's GLOBAL conv cardinality: each chunk
+    # owns 1/n_chunks of the conv budget in its private namespace, so 10M
+    # turns still land on ~10k convs (not n_chunks x 10k)
+    convs_per_chunk = max(16, -(-_default_n_convs(n_turns) // n_chunks))
 
     def gen(it):
         for pdf in it:
@@ -111,7 +121,8 @@ def generate_distributed(spark, n_turns: int, n_chunks: int = 64,
                 n = min(per_chunk, n_turns - int(cid) * per_chunk)
                 if n <= 0:
                     continue
-                chunk = generate_pandas(n, seed=seed + int(cid))
+                chunk = generate_pandas(n, seed=seed + int(cid),
+                                        n_convs=convs_per_chunk)
                 chunk["conv_id"] = f"c{int(cid):03d}_" + chunk["conv_id"]
                 yield chunk
 
@@ -131,13 +142,17 @@ def load_transcripts(spark, n_turns: int, root: str = "/tmp/bloomfilter_spark_da
     path = transcripts_path(n_turns, root)
     if not os.path.exists(path):
         os.makedirs(root, exist_ok=True)
-        if n_turns <= 10_000_000:
+        if n_turns <= 2_000_000:
             # single pandas pass: one global conv namespace
             pdf = generate_pandas(n_turns)
             sdf = spark.createDataFrame(pdf)
             sdf = sdf.withColumn("turn_idx", sdf["turn_idx"].cast("int"))
         else:
-            # beyond driver pandas: distributed chunked generation
+            # beyond driver pandas: distributed chunked generation. The
+            # np.char text construction allocates ~1.2 GB of wide-unicode
+            # temporaries per 1M rows — at 10M the driver path spends
+            # >10 min thrashing 12 GB, so anything bench-sized generates
+            # in parallel tasks instead (64 x ~150k-row chunks, seconds)
             sdf = generate_distributed(spark, n_turns)
         (sdf.repartition(partitions or spark.sparkContext.defaultParallelism)
             .write.mode("overwrite").parquet(path))

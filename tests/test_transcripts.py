@@ -89,6 +89,19 @@ def test_generation_deterministic(spark, tmp_path_factory):
     assert a.equals(b)
 
 
+def test_generation_conv_budget_param():
+    """The distributed generator splits the GLOBAL conv budget across
+    chunks via the n_convs override, so a 10M-turn corpus keeps ~10k convs
+    instead of n_chunks x 10k."""
+    from bloomfilter_spark.sources.transcripts import (_default_n_convs,
+                                                       generate_pandas)
+    assert _default_n_convs(10_000_000) == 10_000
+    pdf = generate_pandas(20_000, n_convs=50)
+    assert pdf["conv_id"].nunique() <= 50
+    # and the default is unchanged
+    assert generate_pandas(20_000)["conv_id"].nunique() > 1_000
+
+
 def test_grouped_quantiles_on_transcripts(spark, transcripts):
     """Per-role text-length quantiles via the salted grouped sketch path vs
     exact percentiles."""
