@@ -741,6 +741,33 @@ def _q_sparse_hll_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users bigint, avg_bytes_ok int, union_within_bound int")
 
 
+def _q_file_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed file pruning (data skipping): lineitem rewritten as an
+    8-file range-partitioned table, one Bloom per file over l_orderkey
+    (operators/file_index.py), then a 2-key point lookup reads ONLY the
+    candidate files. Zero FN makes the pruned scan row-identical to the
+    full-scan filter; fpr bounds extra file reads. Emits the exact matched
+    row count (oracle-recomputable via min/max keys), a pruned==full flag,
+    and a files-actually-skipped flag."""
+    import tempfile
+
+    from bloomfilter_spark.operators.file_index import (
+        build_file_bloom_index, prune_files, pruned_read)
+    li = _t(spark, sf_dir, "lineitem")
+    path = tempfile.mkdtemp(prefix="q50_files_") + "/lineitem"
+    li.repartitionByRange(8, "l_orderkey").write.mode("overwrite").parquet(path)
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    probe = spark.createDataFrame([(int(lo),), (int(hi),)], "l_orderkey long")
+    idx = build_file_bloom_index(spark, path, ["l_orderkey"], fpr=0.001)
+    files = prune_files(idx, ["l_orderkey"], probe)
+    n_pruned = (pruned_read(spark, path, idx, ["l_orderkey"], probe)
+                .join(probe, "l_orderkey").count())
+    n_full = li.join(probe, "l_orderkey").count()
+    return spark.createDataFrame(
+        [(n_pruned, int(n_pruned == n_full), int(0 < len(files) <= 3))],
+        "n_rows_matched bigint, pruned_equals_full int, files_pruned_ok int")
+
+
 def _q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest(200) price quantiles with exact-rank verification (0.02
     absolute rank error, above the merged-digest margin in test_kernels)."""
@@ -1090,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_frequency_cap": _q_frequency_cap,
         "q48_theta_grouped_jvm": _q_theta_grouped_jvm,
         "q49_sparse_hll_warehouse": _q_sparse_hll_warehouse,
+        "q50_file_pruned_lookup": _q_file_pruned_lookup,
     }
 
 
@@ -1499,6 +1527,15 @@ def oracle_sql() -> dict[str, str]:
                    1 AS avg_bytes_ok, 1 AS union_within_bound
             FROM events
             WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        """,
+        "q50_file_pruned_lookup": """
+            SELECT count(*) AS n_rows_matched,
+                   1 AS pruned_equals_full, 1 AS files_pruned_ok
+            FROM lineitem
+            WHERE l_orderkey IN (
+                (SELECT min(l_orderkey) FROM lineitem)
+                UNION ALL
+                (SELECT max(l_orderkey) FROM lineitem))
         """,
     }
 

@@ -283,7 +283,8 @@ def multi_sketch_build(df: DataFrame, specs: dict[str, tuple],
 
 def grouped_sketch_table(df: DataFrame, keys: Sequence[str], cols,
                          factory: Callable[[], Sketch],
-                         seed: int = DEFAULT_SEED, salt: int = 8) -> DataFrame:
+                         seed: int = DEFAULT_SEED, salt: int = 8,
+                         pre_partitioned: bool = False) -> DataFrame:
     """Per-key SERIALIZED sketches: (keys..., sketch binary), one row per
     key — the mergeable form. Coarser groupings derive from this table by
     re-grouping + merging (merge_grouped_sketches) WITHOUT rescanning the
@@ -296,6 +297,13 @@ def grouped_sketch_table(df: DataFrame, keys: Sequence[str], cols,
     phase 2 merges the <= salt partials per key. This is the north rule's
     'salted repartitioning and two-level treeAggregate-style partial-sketch
     merge' applied to grouped aggregation.
+
+    ``pre_partitioned=True`` skips the phase-1 shuffle: use when rows of
+    the same key are already physically clustered (e.g. keys derived from
+    ``input_file_name()``, a sorted/bucketed table) — phase 1 folds each
+    natural partition's keys locally and phase 2 still merges the few
+    cross-partition partials, so the result is identical by merge
+    associativity; only the O(rows) exchange disappears.
     """
     proto = factory()
     keys = list(keys)
@@ -307,10 +315,11 @@ def grouped_sketch_table(df: DataFrame, keys: Sequence[str], cols,
         val = hash_col(cs, seed).alias("__v")
     else:
         val = cs[0].cast("double").alias("__v")
-    prepped = (df.where(cond)
-                 .select(*[F.col(k) for k in keys], val)
-                 .withColumn("__salt", F.pmod(F.xxhash64(F.lit(seed + 1), F.col("__v")),
-                                              F.lit(salt))))
+    prepped = df.where(cond).select(*[F.col(k) for k in keys], val)
+    if not pre_partitioned:
+        prepped = prepped.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.lit(seed + 1), F.col("__v")),
+                             F.lit(salt)))
 
     key_fields = [prepped.schema[k] for k in keys]
     partial_schema = T.StructType(key_fields + [T.StructField("sketch", T.BinaryType())])
@@ -341,9 +350,12 @@ def grouped_sketch_table(df: DataFrame, keys: Sequence[str], cols,
             out["sketch"] = [sk.to_bytes() for sk in sks.values()]
             yield pd.DataFrame(out)
 
-    partials = (prepped.repartition(*keys, "__salt")
-                       .select(*keys, "__v")
-                       .mapInPandas(phase1, schema=partial_schema))
+    if pre_partitioned:
+        partials = prepped.mapInPandas(phase1, schema=partial_schema)
+    else:
+        partials = (prepped.repartition(*keys, "__salt")
+                           .select(*keys, "__v")
+                           .mapInPandas(phase1, schema=partial_schema))
     return merge_grouped_sketches(partials, keys, factory)
 
 

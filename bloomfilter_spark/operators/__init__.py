@@ -2,6 +2,8 @@ from .cube import sketch_cube, sketch_grouping_sets, sketch_rollup
 from .decontaminate import (build_reference_ngram_bloom,
                             contamination_scores, decontaminate,
                             word_ngram_hashes)
+from .file_index import (build_file_bloom_index, prune_files,
+                         pruned_read)
 from .dedup import (dedup_exact, keep_first_n, minhash_lsh_candidates,
                     minhash_lsh_dedup, minhash_signatures,
                     ngram_jaccard_pairs, simhash_near_dups,
@@ -20,6 +22,7 @@ from .similarity import (brute_force_topk, embedding_near_dups,
 from .topk import cms_heavy_hitters, exact_top_k, top_k_per_group
 
 __all__ = [
+    "build_file_bloom_index", "prune_files", "pruned_read",
     "dedup_exact", "minhash_signatures", "minhash_lsh_candidates",
     "minhash_lsh_dedup", "simhash_signatures", "simhash_near_dups",
     "ngram_jaccard_pairs", "quantiles", "grouped_quantiles",

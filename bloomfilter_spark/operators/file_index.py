@@ -1,0 +1,124 @@
+"""Bloom-indexed file pruning (data skipping) over parquet tables.
+
+The reference library's core use is "is this key possibly present?"
+(`elem`, Data/BloomFilter.hs:192-194). At warehouse scale the highest-
+leverage place to ask that question is BEFORE the scan: a point/IN-list
+lookup over a 100 TB table should open only the files that can contain
+the keys. Engines bake this in as file-level bloom/dictionary skipping
+(parquet column indexes, Iceberg bloom filter metadata); this module
+provides it as a first-class, engine-controlled index table:
+
+    idx = build_file_bloom_index(spark, "/data/events", ["user_id"],
+                                 fpr=0.001)
+    df  = pruned_read(spark, "/data/events", idx, ["user_id"], key_df)
+
+* The index is one Bloom filter PER FILE, built in a single distributed
+  scan: `input_file_name()` is the grouping key, so the build is the
+  salted grouped-sketch topology (`agg.grouped_sketch_table`) and each
+  file's filter is sized for that file's own row count.
+* Probing is driver-side over the (tiny) index table: |files| rows of
+  O(m/8)-byte sparse-serialized filters. Zero false negatives means a
+  file is skipped ONLY if it provably contains none of the probe keys —
+  the pruned scan is row-identical to the full-scan filter. False
+  positives cost one extra file read, bounded by the configured fpr.
+* The index is a plain (file, n_rows, sketch) DataFrame: persist it with
+  `warehouse.save_sketch_table` and refresh incrementally — newly landed
+  files only (the build is per-file, so old rows never rescan).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..agg import hash_col
+from ..config import DEFAULT_SEED
+from ..sketches import BloomFilter, Sketch
+from ..sizing import suggest_sizing
+
+__all__ = ["build_file_bloom_index", "prune_files", "pruned_read"]
+
+
+def build_file_bloom_index(spark: SparkSession, path: str,
+                           cols: Sequence[str], fpr: float = 0.001,
+                           seed: int = DEFAULT_SEED,
+                           salt: int = 4) -> DataFrame:
+    """One Bloom filter per parquet file of ``path``, keyed by ``cols``.
+
+    Returns (file string, n_rows long, sketch binary). One data scan (the
+    build) plus one column-less row-count pass for sizing. NULL keys are
+    skipped, matching the build-side convention everywhere else — a probe
+    for NULL is not answerable by the index.
+    """
+    from ..agg import grouped_sketch_table
+
+    df = spark.read.parquet(path).withColumn("__file", F.input_file_name())
+    counts = df.groupBy("__file").agg(F.count("*").alias("n_rows"))
+    max_n = counts.agg(F.max("n_rows")).first()[0]
+    if max_n is None:
+        raise ValueError(f"no rows under {path}: nothing to index")
+
+    # all per-file filters share one geometry, sized for the LARGEST file
+    # — the over-sizing for smaller files is bounded by the file-size
+    # spread (sparse serialization absorbs most of it on disk anyway)
+    m, k = suggest_sizing(max_n, fpr)
+    # rows of one file are contiguous in scan partitions, so the build
+    # skips the phase-1 shuffle entirely (pre_partitioned): partials fold
+    # per scan task, the only exchange carries per-(task, file) partials
+    tbl = grouped_sketch_table(df, ["__file"], list(cols),
+                               lambda: BloomFilter(m, k), seed=seed,
+                               salt=salt, pre_partitioned=True)
+    return (tbl.join(counts, "__file")
+               .withColumnRenamed("__file", "file")
+               .select("file", "n_rows", "sketch"))
+
+
+def prune_files(index_df: DataFrame, cols: Sequence[str], keys_df: DataFrame,
+                seed: int = DEFAULT_SEED) -> list[str]:
+    """Files of the indexed table that MAY contain any of ``keys_df``'s
+    key tuples (columns must match ``cols`` of the build). Zero false
+    negatives: every file actually holding a key is returned.
+
+    Driver-side: the probe set is hashed JVM-side (one int64 per key),
+    then each file's filter — typically a few hundred sparse-serialized
+    rows — is tested vectorized. For probe sets beyond driver comfort,
+    pre-aggregate them (`keys_df.distinct()`): membership only needs the
+    distinct key hashes.
+    """
+    probe = keys_df
+    for c in cols:  # NULL components are unanswerable (xxhash64 would
+        probe = probe.where(F.col(c).isNotNull())  # hash them as phantoms)
+    hashes = np.array(
+        [r["__h"] for r in
+         probe.select(hash_col([F.col(c) for c in cols], seed)
+                      .alias("__h")).distinct().collect()],
+        dtype=np.int64).view(np.uint64)
+    keep: list[str] = []
+    for row in index_df.select("file", "sketch").collect():
+        bf: Sketch = BloomFilter.from_bytes(bytes(row["sketch"]))
+        if hashes.size and bool(bf.contains(hashes).any()):
+            keep.append(row["file"])
+    return keep
+
+
+def pruned_read(spark: SparkSession, path: str, index_df: DataFrame,
+                cols: Sequence[str], keys_df: DataFrame,
+                seed: int = DEFAULT_SEED) -> DataFrame:
+    """Read only the files that may contain the probe keys.
+
+    Row-identical to ``spark.read.parquet(path)`` followed by a semi-join
+    on ``cols`` (zero false negatives), but the scan opens
+    |candidate files| instead of |all files|. The returned frame still
+    needs the exact key filter for final row selection — false-positive
+    files contribute rows the bloom could not exclude — so callers join
+    or filter as they would on the full table; what the index saves is
+    I/O, not the final predicate.
+    """
+    files = prune_files(index_df, cols, keys_df, seed=seed)
+    if not files:
+        # no file can contain any key: preserve schema, read nothing
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.parquet(*files)
