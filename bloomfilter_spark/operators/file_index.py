@@ -45,17 +45,22 @@ __all__ = ["build_file_bloom_index", "prune_files", "pruned_read"]
 def build_file_bloom_index(spark: SparkSession, path: str,
                            cols: Sequence[str], fpr: float = 0.001,
                            seed: int = DEFAULT_SEED,
-                           salt: int = 4) -> DataFrame:
+                           salt: int = 4,
+                           files: Sequence[str] | None = None) -> DataFrame:
     """One Bloom filter per parquet file of ``path``, keyed by ``cols``.
 
     Returns (file string, n_rows long, sketch binary). One data scan (the
     build) plus one column-less row-count pass for sizing. NULL keys are
     skipped, matching the build-side convention everywhere else — a probe
     for NULL is not answerable by the index.
+
+    ``files``: restrict the build to these files (incremental refresh —
+    index only newly-landed files and union with the existing table).
     """
     from ..agg import grouped_sketch_table
 
-    df = spark.read.parquet(path).withColumn("__file", F.input_file_name())
+    src = spark.read.parquet(*files) if files else spark.read.parquet(path)
+    df = src.withColumn("__file", F.input_file_name())
     counts = df.groupBy("__file").agg(F.count("*").alias("n_rows"))
     max_n = counts.agg(F.max("n_rows")).first()[0]
     if max_n is None:

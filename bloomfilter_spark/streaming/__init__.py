@@ -1,4 +1,6 @@
 from .dedup_stream import BloomDedupStream
+from .index_stream import StreamingFileIndexer
 from .sketch_stream import SketchAccumulator, stateful_grouped_hll
 
-__all__ = ["BloomDedupStream", "SketchAccumulator", "stateful_grouped_hll"]
+__all__ = ["BloomDedupStream", "StreamingFileIndexer", "SketchAccumulator",
+           "stateful_grouped_hll"]

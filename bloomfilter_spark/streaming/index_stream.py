@@ -1,0 +1,117 @@
+"""Streaming maintenance of the Bloom file index.
+
+Continuously-landing data (transcript tails, event feeds) should stay
+point-lookupable without ever re-indexing history. `StreamingFileIndexer`
+is a foreachBatch sink that appends each micro-batch to the data table
+and indexes ONLY the files that batch created — the per-file build
+(`operators/file_index.py`) makes old files immutable index rows, so
+maintenance cost is O(new data) regardless of table size.
+
+Epoch handling follows the module convention (`dedup_stream.py`,
+`sketch_stream.py`): the set of indexed files + last epoch persist
+atomically per batch; a replayed epoch after restart is skipped (its
+rows are already in the table and its files already indexed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame
+
+from ..config import DEFAULT_SEED
+from ..operators.file_index import build_file_bloom_index
+
+
+def _local_parquet_files(path: str) -> set[str]:
+    if not os.path.isdir(path):
+        return set()
+    return {os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))}
+
+
+class StreamingFileIndexer:
+    """foreachBatch sink: append batch to ``table_path``, index its new
+    files into ``index_path``.
+
+    >>> indexer = StreamingFileIndexer(table, index, ["user_id"],
+    ...                                fpr=0.001, state_path=state)
+    >>> q = stream.writeStream.foreachBatch(indexer).start()
+
+    The index table accumulates one parquet append per batch; read it
+    whole (`spark.read.parquet(index_path)`) and hand it to
+    `prune_files`/`pruned_read` — per-file geometry may differ across
+    appends (each sized for its own batch), which pruning handles.
+
+    ``list_files`` abstracts file enumeration (default: local FS listdir).
+    On an object store, pass a lister for that filesystem; everything else
+    is path-string bookkeeping and works unchanged.
+    """
+
+    def __init__(self, table_path: str, index_path: str,
+                 cols: Sequence[str], fpr: float = 0.001,
+                 seed: int = DEFAULT_SEED,
+                 state_path: str | None = None,
+                 list_files: Callable[[str], set[str]] = _local_parquet_files):
+        self.table_path = table_path
+        self.index_path = index_path
+        self.cols = [cols] if isinstance(cols, str) else list(cols)
+        self.fpr = fpr
+        self.seed = seed
+        self.state_path = state_path
+        self.list_files = list_files
+        self.indexed: set[str] = set()
+        self.last_epoch = -1
+        self.files_indexed = 0  # metrics
+        self.rows_indexed = 0
+        self._restore()
+
+    # --- state ----------------------------------------------------------
+    def _restore(self) -> None:
+        if not self.state_path or not os.path.exists(self.state_path):
+            return
+        with open(self.state_path, "rb") as fh:
+            st = json.load(fh)
+        self.last_epoch = st["last_epoch"]
+        self.indexed = set(st["indexed"])
+        self.files_indexed = st.get("files_indexed", len(self.indexed))
+        self.rows_indexed = st.get("rows_indexed", 0)
+
+    def _persist(self) -> None:
+        if not self.state_path:
+            return
+        st = {"last_epoch": self.last_epoch, "indexed": sorted(self.indexed),
+              "files_indexed": self.files_indexed,
+              "rows_indexed": self.rows_indexed}
+        d = os.path.dirname(self.state_path) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d)
+        with os.fdopen(fd, "w") as fh:
+            json.dump(st, fh)
+        os.replace(tmp, self.state_path)  # atomic on POSIX
+
+    # --- sink -----------------------------------------------------------
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= self.last_epoch:
+            return  # replayed epoch: rows written + files indexed already
+        spark = batch_df.sparkSession
+        before = self.list_files(self.table_path)
+        batch_df.write.mode("append").parquet(self.table_path)
+        new = sorted(self.list_files(self.table_path) - before)
+        # only files THIS batch created are un-indexed; `indexed` guards
+        # against a lister that races with concurrent writers
+        new = [f for f in new if f not in self.indexed]
+        if new:
+            idx = build_file_bloom_index(spark, self.table_path, self.cols,
+                                         fpr=self.fpr, seed=self.seed,
+                                         files=new)
+            idx.write.mode("append").parquet(self.index_path)
+            self.rows_indexed += sum(
+                r["n_rows"] for r in idx.select("n_rows").collect())
+            self.files_indexed += len(new)
+            self.indexed.update(new)
+        self.last_epoch = epoch_id
+        self._persist()

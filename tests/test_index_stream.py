@@ -1,0 +1,80 @@
+"""Streaming file-index maintenance: each micro-batch lands as parquet
+and only its own files get indexed; the accumulated index prunes exactly
+like a from-scratch rebuild; replayed epochs are no-ops."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from bloomfilter_spark.operators.file_index import (build_file_bloom_index,
+                                                    prune_files, pruned_read)
+from bloomfilter_spark.streaming.index_stream import StreamingFileIndexer
+
+
+def _mk_source(spark, tmp_path, n_files=3):
+    src = str(tmp_path / "src")
+    for i in range(n_files):
+        spark.range(i * 1000, (i + 1) * 1000).select(
+            F.col("id").alias("user_id"),
+            F.concat(F.lit("p"), F.col("id")).alias("payload")) \
+            .coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def test_streaming_index_matches_full_rebuild(spark, tmp_path):
+    src = _mk_source(spark, tmp_path)
+    table = str(tmp_path / "table")
+    index = str(tmp_path / "index")
+    indexer = StreamingFileIndexer(table, index, ["user_id"], fpr=0.001,
+                                   state_path=str(tmp_path / "state.json"))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream.writeStream.foreachBatch(indexer).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    assert indexer.files_indexed >= 3          # one file per micro-batch
+    assert indexer.rows_indexed == 3000
+    assert spark.read.parquet(table).count() == 3000
+
+    idx = spark.read.parquet(index)
+    # every data file is covered exactly once
+    data_files = {r["file"] for r in
+                  spark.read.parquet(table)
+                  .select(F.input_file_name().alias("file"))
+                  .distinct().collect()}
+    idx_files = [r["file"] for r in idx.select("file").collect()]
+    assert sorted(idx_files) == sorted(data_files)
+
+    # pruned lookup == full-scan filter, and it skips files
+    probe = spark.createDataFrame([(5,), (2500,)], "user_id long")
+    got = (pruned_read(spark, table, idx, ["user_id"], probe)
+           .join(probe, "user_id").select("user_id", "payload"))
+    want = (spark.read.parquet(table)
+            .join(probe, "user_id").select("user_id", "payload"))
+    assert sorted(got.collect()) == sorted(want.collect())
+    assert len(prune_files(idx, ["user_id"], probe)) <= 3
+
+
+def test_streaming_index_replayed_epoch_is_noop(spark, tmp_path):
+    table = str(tmp_path / "t2")
+    index = str(tmp_path / "i2")
+    state = str(tmp_path / "s2.json")
+    batch = spark.range(100).select(F.col("id").alias("user_id"),
+                                    F.lit("x").alias("payload"))
+    a = StreamingFileIndexer(table, index, ["user_id"], state_path=state)
+    a(batch, 0)
+    a(batch, 1)
+    n_table = spark.read.parquet(table).count()
+    n_index = spark.read.parquet(index).count()
+
+    # restart: state restores; replaying epochs 0/1 must change nothing
+    b = StreamingFileIndexer(table, index, ["user_id"], state_path=state)
+    assert b.last_epoch == 1 and b.files_indexed == a.files_indexed
+    b(batch, 0)
+    b(batch, 1)
+    assert spark.read.parquet(table).count() == n_table
+    assert spark.read.parquet(index).count() == n_index
+    # a NEW epoch still lands
+    b(batch, 2)
+    assert spark.read.parquet(table).count() == n_table + 100
+    assert spark.read.parquet(index).count() > n_index
