@@ -140,6 +140,24 @@ def main() -> None:
           .write.format("noop").mode("overwrite").save())
     sub.unpersist()
 
+    # bloom file index over the 64-file cached corpus: per-file filters via
+    # the shuffle-free pre-partitioned grouped build, then a 3-key probe
+    # (the driver-side skip decision a point lookup pays)
+    from bloomfilter_spark.operators.file_index import (build_file_bloom_index,
+                                                        prune_files)
+    from bloomfilter_spark.sources.transcripts import transcripts_path
+    tr_path = transcripts_path(n_turns)
+    idx_box = {}
+    timed("build_file_index",
+          lambda: idx_box.__setitem__(
+              "idx", build_file_bloom_index(spark, tr_path, ["conv_id"],
+                                            fpr=0.001).persist()))
+    idx_box["idx"].count()
+    probe = tr.select("conv_id").limit(3)
+    timed("probe_file_index",
+          lambda: prune_files(idx_box["idx"], ["conv_id"], probe))
+    idx_box["idx"].unpersist()
+
     # one-scan family build: every row crosses the pipe once for ALL sketches
     from bloomfilter_spark.agg import multi_sketch_build
     t0 = time.time()
