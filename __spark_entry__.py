@@ -760,7 +760,8 @@ def _q_file_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = spark.createDataFrame([(int(lo),), (int(hi),)], "l_orderkey long")
     idx = build_file_bloom_index(spark, path, ["l_orderkey"], fpr=0.001)
     files = prune_files(idx, ["l_orderkey"], probe)
-    n_pruned = (pruned_read(spark, path, idx, ["l_orderkey"], probe)
+    n_pruned = (pruned_read(spark, path, idx, ["l_orderkey"], probe,
+                            files=files)
                 .join(probe, "l_orderkey").count())
     n_full = li.join(probe, "l_orderkey").count()
     return spark.createDataFrame(

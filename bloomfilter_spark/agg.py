@@ -158,7 +158,10 @@ def sketch_df(df: DataFrame, cols, factory: Callable[[], Sketch],
     # O(state) bytes through Arrow + shuffle, and scan-split counts grow
     # with parallelism — so cap the partial count at the core count via a
     # narrow coalesce. Small-state sketches keep the scan's partitioning.
-    partial_bytes = len(proto.to_bytes())
+    # state_nbytes, not len(to_bytes()): the sparse wire format makes an
+    # empty large-m Bloom serialize to ~20 bytes, but each partial task
+    # still allocates and (worst case) ships the dense state
+    partial_bytes = proto.state_nbytes
     if partial_bytes > (4 << 20):
         target = df.sparkSession.sparkContext.defaultParallelism
         prepped = prepped.coalesce(target)

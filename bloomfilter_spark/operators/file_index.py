@@ -101,17 +101,22 @@ def prune_files(index_df: DataFrame, cols: Sequence[str], keys_df: DataFrame,
          probe.select(hash_col([F.col(c) for c in cols], seed)
                       .alias("__h")).distinct().collect()],
         dtype=np.int64).view(np.uint64)
-    keep: list[str] = []
+    keep: dict[str, None] = {}  # ordered de-dupe: an incrementally
+    # maintained index may hold a file twice after a crash-replay; a
+    # duplicate path in the result would make pruned_read scan it twice
     for row in index_df.select("file", "sketch").collect():
+        if row["file"] in keep:
+            continue
         bf: Sketch = BloomFilter.from_bytes(bytes(row["sketch"]))
         if hashes.size and bool(bf.contains(hashes).any()):
-            keep.append(row["file"])
-    return keep
+            keep[row["file"]] = None
+    return list(keep)
 
 
 def pruned_read(spark: SparkSession, path: str, index_df: DataFrame,
                 cols: Sequence[str], keys_df: DataFrame,
-                seed: int = DEFAULT_SEED) -> DataFrame:
+                seed: int = DEFAULT_SEED,
+                files: Sequence[str] | None = None) -> DataFrame:
     """Read only the files that may contain the probe keys.
 
     Row-identical to ``spark.read.parquet(path)`` followed by a semi-join
@@ -121,9 +126,18 @@ def pruned_read(spark: SparkSession, path: str, index_df: DataFrame,
     files contribute rows the bloom could not exclude — so callers join
     or filter as they would on the full table; what the index saves is
     I/O, not the final predicate.
+
+    Probe columns are cast to the table's own key types before hashing:
+    xxhash64 is type-sensitive (an int probe against a long column would
+    hash differently and silently miss every filter). ``files``: pass a
+    list already obtained from ``prune_files`` to skip re-probing.
     """
-    files = prune_files(index_df, cols, keys_df, seed=seed)
+    table = spark.read.parquet(path)
+    if files is None:
+        probe = keys_df.select(*[
+            F.col(c).cast(table.schema[c].dataType).alias(c) for c in cols])
+        files = prune_files(index_df, cols, probe, seed=seed)
     if not files:
         # no file can contain any key: preserve schema, read nothing
-        return spark.read.parquet(path).where(F.lit(False))
+        return table.where(F.lit(False))
     return spark.read.parquet(*files)

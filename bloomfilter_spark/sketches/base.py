@@ -20,7 +20,10 @@ from abc import ABC, abstractmethod
 import numpy as np
 
 _MAGIC = b"SKCH"
-_VERSION = 1
+# v2: Bloom/HLL payloads carry a mode byte (dense | sparse index/value
+# pairs). v1 blobs (raw dense arrays, no mode byte) are rejected with a
+# clear version error instead of a confusing payload-shape error.
+_VERSION = 2
 
 
 class Sketch(ABC):
@@ -53,11 +56,24 @@ class Sketch(ABC):
     def from_bytes(cls, buf: bytes) -> "Sketch":
         magic, version, tag, plen = struct.unpack_from("<4sBBI", buf, 0)
         if magic != _MAGIC or version != _VERSION:
-            raise ValueError("bad sketch serialization header")
+            raise ValueError(
+                f"bad sketch serialization header (magic={magic!r}, "
+                f"version={version}, this engine writes v{_VERSION}; "
+                f"v1 predates the sparse Bloom/HLL wire format — rebuild "
+                f"the sketch table)")
         if tag != cls.TYPE_TAG:
             raise ValueError(f"sketch type mismatch: got {tag}, want {cls.TYPE_TAG}")
         off = struct.calcsize("<4sBBI")
         return cls._from_payload(buf[off:off + plen], buf[off + plen:])
+
+    @property
+    def state_nbytes(self) -> int:
+        """In-memory state size in bytes — what a partial COSTS an executor
+        and (worst case) the wire. Planning decisions (e.g. sketch_df's
+        large-state coalesce) must use this, NOT len(to_bytes()): sparse
+        serialization makes an empty sketch's wire size ~20 bytes while
+        its task still allocates the full dense array."""
+        return len(self.to_bytes())
 
     def copy(self) -> "Sketch":
         return type(self).from_bytes(self.to_bytes())

@@ -113,6 +113,10 @@ class BloomFilter(Sketch):
         """Size in bits (B.length, BloomFilter.hs:261-262)."""
         return self.num_bits
 
+    @property
+    def state_nbytes(self) -> int:
+        return self.words.nbytes
+
     # --- serialization --------------------------------------------------
     def _payload(self) -> tuple[bytes, bytes]:
         """Payload = 1 mode byte + words. Mode 1 (sparse) stores only
@@ -127,7 +131,10 @@ class BloomFilter(Sketch):
                              _VARIANTS[self.variant])
         words = self.words.astype("<u8", copy=False)
         nz = np.flatnonzero(words)
-        if 12 * nz.size < 8 * words.size:
+        # u4 word indices address <= 2^32 words (m <= 2^38 bits); beyond
+        # that, sparse would silently wrap indices — stay dense (a filter
+        # that big should be sharded anyway, plans.plan_bloom says so)
+        if 12 * nz.size < 8 * words.size and words.size <= 0xFFFFFFFF:
             payload = (b"\x01" + nz.astype("<u4").tobytes()
                        + words[nz].tobytes())
         else:

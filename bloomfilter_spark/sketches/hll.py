@@ -111,5 +111,9 @@ class HyperLogLog(Sketch):
             raise ValueError(f"unknown HLL payload mode {mode}")
         return s
 
+    @property
+    def state_nbytes(self) -> int:
+        return self.registers.nbytes
+
     def __repr__(self) -> str:
         return f"HyperLogLog(p={self.p})"

@@ -7,10 +7,16 @@ and indexes ONLY the files that batch created — the per-file build
 (`operators/file_index.py`) makes old files immutable index rows, so
 maintenance cost is O(new data) regardless of table size.
 
-Epoch handling follows the module convention (`dedup_stream.py`,
-`sketch_stream.py`): the set of indexed files + last epoch persist
-atomically per batch; a replayed epoch after restart is skipped (its
-rows are already in the table and its files already indexed).
+Epoch handling: the set of indexed files + last epoch persist atomically
+per batch; a replayed epoch after a persisted commit is skipped outright.
+A crash INSIDE the commit window (after the data append, before the state
+persist) replays with at-least-once semantics on the data table — the
+re-run appends its rows again, like any non-transactional parquet sink —
+but index coverage self-heals: each batch sweeps ALL files absent from
+the indexed set (including the crashed attempt's orphans), so a pruned
+read is row-identical to a full scan of whatever the table holds.
+`prune_files` de-duplicates file paths, so a file indexed twice by a
+crash-replay is still scanned once.
 """
 
 from __future__ import annotations
@@ -70,11 +76,22 @@ class StreamingFileIndexer:
         self._restore()
 
     # --- state ----------------------------------------------------------
+    def _params(self) -> dict:
+        return {"cols": self.cols, "seed": self.seed, "fpr": self.fpr}
+
     def _restore(self) -> None:
         if not self.state_path or not os.path.exists(self.state_path):
             return
         with open(self.state_path, "rb") as fh:
             st = json.load(fh)
+        saved = st.get("params")
+        if saved is not None and saved != self._params():
+            # resuming with different key columns / seed / fpr would append
+            # incompatible filters into one index — the same silent-merge
+            # hazard warehouse.load_sketch_table refuses
+            raise ValueError(
+                f"index state at {self.state_path} was built with {saved}, "
+                f"this indexer has {self._params()} — refusing to resume")
         self.last_epoch = st["last_epoch"]
         self.indexed = set(st["indexed"])
         self.files_indexed = st.get("files_indexed", len(self.indexed))
@@ -85,7 +102,7 @@ class StreamingFileIndexer:
             return
         st = {"last_epoch": self.last_epoch, "indexed": sorted(self.indexed),
               "files_indexed": self.files_indexed,
-              "rows_indexed": self.rows_indexed}
+              "rows_indexed": self.rows_indexed, "params": self._params()}
         d = os.path.dirname(self.state_path) or "."
         os.makedirs(d, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=d)
@@ -98,19 +115,24 @@ class StreamingFileIndexer:
         if epoch_id <= self.last_epoch:
             return  # replayed epoch: rows written + files indexed already
         spark = batch_df.sparkSession
-        before = self.list_files(self.table_path)
         batch_df.write.mode("append").parquet(self.table_path)
-        new = sorted(self.list_files(self.table_path) - before)
-        # only files THIS batch created are un-indexed; `indexed` guards
-        # against a lister that races with concurrent writers
-        new = [f for f in new if f not in self.indexed]
+        # index EVERY file not yet in the index, not just this append's:
+        # a crash between the data append and _persist leaves orphan files
+        # from the failed attempt — the replay re-appends its rows
+        # (at-least-once on the data table, as for any non-transactional
+        # sink) and this sweep picks the orphans up, so the index always
+        # covers the whole table and pruned reads stay full-scan-identical
+        new = sorted(self.list_files(self.table_path) - self.indexed)
         if new:
             idx = build_file_bloom_index(spark, self.table_path, self.cols,
                                          fpr=self.fpr, seed=self.seed,
                                          files=new)
-            idx.write.mode("append").parquet(self.index_path)
-            self.rows_indexed += sum(
-                r["n_rows"] for r in idx.select("n_rows").collect())
+            # materialize ONCE: the build is a full scan of the new files,
+            # don't pay it again for the parquet write + metrics
+            rows = idx.collect()
+            spark.createDataFrame(rows, idx.schema) \
+                 .write.mode("append").parquet(self.index_path)
+            self.rows_indexed += sum(r["n_rows"] for r in rows)
             self.files_indexed += len(new)
             self.indexed.update(new)
         self.last_epoch = epoch_id

@@ -88,3 +88,28 @@ def test_incremental_refresh_union(spark, keyed_table, tmp_path):
     files = prune_files(both, ["user_id"], probe)
     assert any("extra" in f for f in files)
     assert any("events" in f for f in files)
+
+
+def test_pruned_read_casts_probe_types(spark, keyed_table):
+    """xxhash64 is type-sensitive: an int-typed probe against a long
+    column must be cast, not silently miss every filter."""
+    idx = build_file_bloom_index(spark, keyed_table, ["user_id"], fpr=0.001)
+    probe_int = spark.createDataFrame([(5,), (40_000,)], "user_id int")
+    got = (pruned_read(spark, keyed_table, idx, ["user_id"], probe_int)
+           .join(probe_int.withColumn("user_id",
+                                      F.col("user_id").cast("long")),
+                 "user_id").count())
+    assert got == 2
+
+
+def test_prune_files_dedupes_double_indexed_file(spark, keyed_table):
+    """A file present twice in the index (crash-replay of an incremental
+    append) must be returned once — else pruned_read scans it twice."""
+    idx = build_file_bloom_index(spark, keyed_table, ["user_id"], fpr=0.001)
+    doubled = idx.unionByName(idx)
+    probe = spark.createDataFrame([(5,)], "user_id long")
+    files = prune_files(doubled, ["user_id"], probe)
+    assert len(files) == len(set(files))
+    n = (pruned_read(spark, keyed_table, doubled, ["user_id"], probe)
+         .join(probe, "user_id").count())
+    assert n == 1

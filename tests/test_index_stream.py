@@ -78,3 +78,37 @@ def test_streaming_index_replayed_epoch_is_noop(spark, tmp_path):
     b(batch, 2)
     assert spark.read.parquet(table).count() == n_table + 100
     assert spark.read.parquet(index).count() > n_index
+
+
+def test_streaming_index_sweeps_orphan_files(spark, tmp_path):
+    """Files that landed in the table without making it into the index
+    (crash between append and state persist) are picked up by the next
+    batch's sweep — pruned reads never silently miss table rows."""
+    from bloomfilter_spark.operators.file_index import pruned_read
+    table = str(tmp_path / "t3")
+    index = str(tmp_path / "i3")
+    state = str(tmp_path / "s3.json")
+    # orphan: rows in the table that no indexer run has seen
+    spark.range(500).select(F.col("id").alias("user_id"),
+                            F.lit("orphan").alias("payload")) \
+        .coalesce(1).write.mode("append").parquet(table)
+    ix = StreamingFileIndexer(table, index, ["user_id"], state_path=state)
+    batch = spark.range(1000, 1100).select(
+        F.col("id").alias("user_id"), F.lit("new").alias("payload"))
+    ix(batch, 0)
+    idx = spark.read.parquet(index)
+    probe = spark.createDataFrame([(42,), (1050,)], "user_id long")
+    got = (pruned_read(spark, table, idx, ["user_id"], probe)
+           .join(probe, "user_id").count())
+    assert got == 2  # both the orphan row and the streamed row are found
+
+
+def test_streaming_index_refuses_mismatched_params(spark, tmp_path):
+    import pytest
+    table = str(tmp_path / "t4")
+    index = str(tmp_path / "i4")
+    state = str(tmp_path / "s4.json")
+    batch = spark.range(10).select(F.col("id").alias("user_id"))
+    StreamingFileIndexer(table, index, ["user_id"], state_path=state)(batch, 0)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        StreamingFileIndexer(table, index, ["other_col"], state_path=state)

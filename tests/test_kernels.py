@@ -344,3 +344,21 @@ def test_params_only_zero_sketch():
         zero = type(proto)._from_payload(params, b"")
         merged = zero.merge(proto)             # zero is the merge identity
         assert merged.to_bytes() == proto.to_bytes()
+
+
+def test_state_nbytes_reflects_dense_state(rng):
+    """Planning must see the in-memory cost, not the (sparse) wire size:
+    an empty big-m Bloom serializes to ~20 B but costs m/8 in every
+    partial task."""
+    bf = BloomFilter(1 << 25, 5)
+    assert bf.state_nbytes == (1 << 25) // 8
+    assert len(bf.to_bytes()) < 100
+    assert HyperLogLog(14).state_nbytes == 1 << 14
+
+
+def test_v1_blob_rejected_with_version_error():
+    import struct
+    import pytest
+    v1 = struct.pack("<4sBBI", b"SKCH", 1, 1, 13) + b"x" * 13 + b"\x00" * 128
+    with pytest.raises(ValueError, match="version"):
+        BloomFilter.from_bytes(v1)
