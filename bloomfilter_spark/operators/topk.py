@@ -42,7 +42,8 @@ def top_k_per_group(df: DataFrame, group_cols, order_col, k: int,
 def cms_heavy_hitters(df: DataFrame, key_cols, k: int,
                       candidates_per_partition: int = 256,
                       eps: float = 1e-4, delta: float = 1e-3,
-                      seed: int = DEFAULT_SEED) -> DataFrame:
+                      seed: int = DEFAULT_SEED,
+                      conservative: bool = False) -> DataFrame:
     """Approximate heavy hitters at unbounded key cardinality.
 
     1. per-partition exact local top candidates (bounded memory, mapInPandas)
@@ -52,13 +53,17 @@ def cms_heavy_hitters(df: DataFrame, key_cols, k: int,
     A true global heavy hitter is a local heavy hitter in at least one
     partition at this candidate width, so the candidate union covers the
     answer with high probability; CMS never undercounts, so ranking errs
-    only by eps*N overcounts.
+    only by eps*N overcounts. ``conservative=True`` uses Estan-Varghese
+    conservative update in each partial (tighter overcounts at the same
+    eps*N bound; merged partials keep exact <= est <= plain-CMS est).
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     keyed = df.select(F.concat_ws("\x1f", *keys).alias("key")).where(
         F.col("key").isNotNull())
 
-    cms = build_sketch(keyed, ["key"], lambda: CountMinSketch(eps=eps, delta=delta),
+    cms = build_sketch(keyed, ["key"],
+                       lambda: CountMinSketch(eps=eps, delta=delta,
+                                              conservative=conservative),
                        seed=seed)
 
     def local_candidates(it: Iterable[pd.DataFrame]):

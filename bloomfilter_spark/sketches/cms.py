@@ -27,7 +27,8 @@ class CountMinSketch(Sketch):
     HASH_KEYED = True
 
     def __init__(self, width: int | None = None, depth: int | None = None,
-                 eps: float | None = None, delta: float | None = None):
+                 eps: float | None = None, delta: float | None = None,
+                 conservative: bool = False):
         if width is None:
             eps = eps or 1e-4
             width = math.ceil(math.e / eps)
@@ -36,6 +37,14 @@ class CountMinSketch(Sketch):
             depth = max(1, math.ceil(math.log(1.0 / delta)))
         self.width = int(width)
         self.depth = int(depth)
+        #: conservative update (Estan & Varghese 2002): raise each cell
+        #: only to the key's new estimate instead of adding everywhere.
+        #: Always exact <= estimate <= plain-CMS estimate <= exact + eps*N.
+        #: Merging (elementwise add) keeps both inequalities but a merged
+        #: conservative sketch over-counts more than a single-writer one —
+        #: the distributed build trades some of the tightening for
+        #: mergeability (documented; the eps*N bound is unaffected).
+        self.conservative = bool(conservative)
         self.table = np.zeros((self.depth, self.width), dtype=np.uint64)
         self.total = 0  # N, for eps*N bound reporting
 
@@ -52,13 +61,26 @@ class CountMinSketch(Sketch):
         h = np.ascontiguousarray(hashes, dtype=U64)
         if h.size == 0:
             return
-        idx = self._row_indices(h)
         if counts is None:
             w = None
             self.total += h.size
         else:
             w = np.ascontiguousarray(counts, dtype=np.float64)
             self.total += int(w.sum())
+        if self.conservative:
+            # batch form: fold the batch to (unique key, count), read each
+            # key's pre-batch estimate, scatter-MAX cells up to est+count.
+            # Induction keeps min-cell >= true count (>= exact), and no
+            # cell ever exceeds the plain-update value (<= plain CMS).
+            uniq, inv = np.unique(h, return_inverse=True)
+            per_key = np.bincount(inv, weights=w).astype(np.uint64) if w is not None \
+                else np.bincount(inv).astype(np.uint64)
+            idx = self._row_indices(uniq)
+            rows = np.arange(self.depth)[:, None]
+            target = self.table[rows, idx].min(axis=0) + per_key
+            np.maximum.at(self.table, (rows, idx), target[None, :])
+            return
+        idx = self._row_indices(h)
         for j in range(self.depth):
             binc = np.bincount(idx[j], weights=w, minlength=self.width)
             self.table[j] += binc.astype(np.uint64)
@@ -73,7 +95,8 @@ class CountMinSketch(Sketch):
         return ests.min(axis=0).astype(np.int64)
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
-        if (self.width, self.depth) != (other.width, other.depth):
+        if (self.width, self.depth, self.conservative) != (
+                other.width, other.depth, other.conservative):
             raise ValueError("geometry mismatch: cannot merge CMS")
         self.table += other.table
         self.total += other.total
@@ -84,15 +107,18 @@ class CountMinSketch(Sketch):
         return math.e / self.width * self.total
 
     def _payload(self) -> tuple[bytes, bytes]:
-        params = struct.pack("<IIQ", self.width, self.depth, self.total)
+        params = struct.pack("<IIQB", self.width, self.depth, self.total,
+                             int(self.conservative))
         return params, self.table.astype("<u8").tobytes()
 
     @classmethod
     def _from_payload(cls, params: bytes, payload: bytes) -> "CountMinSketch":
-        width, depth, total = struct.unpack("<IIQ", params)
-        s = cls(width=width, depth=depth)
-        s.table = np.frombuffer(payload, dtype="<u8").astype(np.uint64).reshape(depth, width)
-        s.total = total
+        width, depth, total, cons = struct.unpack("<IIQB", params)
+        s = cls(width=width, depth=depth, conservative=bool(cons))
+        if payload:  # params-only zero sketch (warehouse factory) otherwise
+            s.table = np.frombuffer(payload, dtype="<u8") \
+                .astype(np.uint64).reshape(depth, width)
+            s.total = total
         return s
 
     def __repr__(self) -> str:

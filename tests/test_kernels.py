@@ -362,3 +362,39 @@ def test_v1_blob_rejected_with_version_error():
     v1 = struct.pack("<4sBBI", b"SKCH", 1, 1, 13) + b"x" * 13 + b"\x00" * 128
     with pytest.raises(ValueError, match="version"):
         BloomFilter.from_bytes(v1)
+
+
+def test_cms_conservative_bounds(rng):
+    """Estan–Varghese conservative update: exact <= conservative estimate
+    <= plain estimate <= exact + eps*N, batched + weighted + merged."""
+    keys = rng.zipf(1.5, 200000).astype(np.int64) % 5000
+    h = splitmix64(keys.view(np.uint64))
+    plain = CountMinSketch(width=1 << 11, depth=5)
+    cons = CountMinSketch(width=1 << 11, depth=5, conservative=True)
+    for chunk in np.array_split(h, 7):
+        plain.update(chunk)
+        cons.update(chunk)
+    uk, cnt = np.unique(keys, return_counts=True)
+    hq = splitmix64(uk.view(np.uint64))
+    ep, ec = plain.query(hq), cons.query(hq)
+    assert (ec >= cnt).all()           # never undercounts
+    assert (ec <= ep).all()            # never worse than plain CMS
+    assert (ec - cnt).sum() < (ep - cnt).sum()  # strictly tighter in aggregate
+
+    # merged conservative partials: both inequalities still hold
+    m = CountMinSketch(width=1 << 11, depth=5, conservative=True)
+    for chunk in np.array_split(h, 4):
+        part = CountMinSketch(width=1 << 11, depth=5, conservative=True)
+        part.update(chunk)
+        m.merge(part)
+    em = m.query(hq)
+    assert (em >= cnt).all() and (em <= ep).all()
+
+    # roundtrip preserves the flag; zero factory from params works
+    r = CountMinSketch.from_bytes(cons.to_bytes())
+    assert r.conservative and (r.table == cons.table).all()
+    params, _ = cons._payload()
+    z = CountMinSketch._from_payload(params, b"")
+    assert z.conservative and z.total == 0 and z.table.sum() == 0
+    with pytest.raises(ValueError):
+        cons.merge(CountMinSketch(width=1 << 11, depth=5))
