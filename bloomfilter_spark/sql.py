@@ -146,6 +146,23 @@ def theta_a_not_b_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
         for x, y in zip(a, b)], dtype="object")
 
 
+def theta_jaccard_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
+    """|A ∩ B| / |A ∪ B| from two theta sketches — the set-similarity
+    score near-dup pipelines threshold on, computable between any two
+    persisted sketch rows without touching raw data."""
+    from .sketches import theta_intersect
+
+    def jac(x, y):
+        if x is None or y is None:
+            return None
+        sa, sb = _parse(x), _parse(y)
+        u = sa.copy().merge(sb).estimate()  # copy: parses are cached
+        if u <= 0.0:
+            return 0.0
+        return float(theta_intersect(sa, sb).estimate() / u)
+    return pd.Series([jac(x, y) for x, y in zip(a, b)], dtype="object")
+
+
 def sketch_merge_pair(a: pd.Series, b: pd.Series) -> pd.Series:
     def m(x, y):
         if x is None:
@@ -167,6 +184,7 @@ SQL_FUNCTIONS = {
     "bloom_contains": (bloom_contains, "boolean"),
     "theta_intersect_estimate": (theta_intersect_estimate, "double"),
     "theta_a_not_b_estimate": (theta_a_not_b_estimate, "double"),
+    "theta_jaccard_estimate": (theta_jaccard_estimate, "double"),
     "sketch_merge_pair": (sketch_merge_pair, "binary"),
 }
 

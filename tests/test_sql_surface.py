@@ -145,3 +145,29 @@ def test_sql_null_key_hash_mixed_batch_raises(spark, events):
         .createOrReplaceTempView("mixed_h")
     with pytest.raises(Exception, match="NULL"):
         spark.sql("SELECT cms_count(sketch, h) FROM mixed_h").collect()
+
+
+def test_sql_theta_jaccard(spark):
+    """theta_jaccard_estimate == intersect/union of the same sketch pair,
+    within theta bounds of the true Jaccard of two overlapping sets."""
+    from bloomfilter_spark.sketches import ThetaSketch
+    import numpy as np
+    from bloomfilter_spark.util import splitmix64
+
+    a, b = ThetaSketch(4096), ThetaSketch(4096)
+    xs = np.arange(30_000, dtype=np.uint64)
+    a.update(splitmix64(xs[:20_000]))            # A = [0, 20k)
+    b.update(splitmix64(xs[10_000:]))            # B = [10k, 30k)
+    true_j = 10_000 / 30_000
+    spark.createDataFrame([(a.to_bytes(), b.to_bytes())], "a binary, b binary") \
+        .createOrReplaceTempView("jac_pair")
+    from bloomfilter_spark.sql import register_sketch_sql
+    register_sketch_sql(spark)
+    row = spark.sql("""
+        SELECT theta_jaccard_estimate(a, b) AS j,
+               theta_intersect_estimate(a, b) AS i,
+               theta_jaccard_estimate(a, NULL) AS nj
+        FROM jac_pair""").first()
+    assert abs(row["j"] - true_j) < 0.05
+    assert row["nj"] is None
+    assert row["i"] > 0
