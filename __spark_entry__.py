@@ -497,6 +497,31 @@ def _q_cms_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ok.cast("int").alias("cms_ok"))
 
 
+def _q_cms_conservative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservative-update CMS (Estan–Varghese 2002) vs plain CMS on the
+    same stream: per-type, the conservative estimate must still never
+    undercount AND never exceed the plain estimate — both sandwiched by
+    the eps*N bound. Same merged-partials distributed build as q21."""
+    from bloomfilter_spark.agg import build_sketch, with_cms_count
+    from bloomfilter_spark.sketches import CountMinSketch
+    # narrow width so overcounts actually occur and the tightening is real
+    w, d = 64, 5
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    plain = build_sketch(ev, ["event_type"],
+                         lambda: CountMinSketch(width=w, depth=d))
+    cons = build_sketch(ev, ["event_type"],
+                        lambda: CountMinSketch(width=w, depth=d,
+                                               conservative=True))
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_count"))
+    both = with_cms_count(
+        with_cms_count(exact, plain, ["event_type"], out_col="est_plain"),
+        cons, ["event_type"], out_col="est_cons")
+    ok = ((F.col("est_cons") >= F.col("exact_count"))
+          & (F.col("est_cons") <= F.col("est_plain")))
+    return both.select("event_type", "exact_count",
+                       ok.cast("int").alias("cons_sandwich_ok"))
+
+
 def _quantile_rank_flags(df: DataFrame, value_col: str, ests: dict[float, float],
                          bound: float, spark: SparkSession) -> DataFrame:
     """(q, rank_ok) rows: exact rank of each estimated quantile must sit
@@ -1119,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_theta_grouped_jvm": _q_theta_grouped_jvm,
         "q49_sparse_hll_warehouse": _q_sparse_hll_warehouse,
         "q50_file_pruned_lookup": _q_file_pruned_lookup,
+        "q51_cms_conservative": _q_cms_conservative,
     }
 
 
@@ -1537,6 +1563,12 @@ def oracle_sql() -> dict[str, str]:
                 (SELECT min(l_orderkey) FROM lineitem)
                 UNION ALL
                 (SELECT max(l_orderkey) FROM lineitem))
+        """,
+        "q51_cms_conservative": """
+            SELECT event_type, count(*) AS exact_count,
+                   1 AS cons_sandwich_ok
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY event_type
         """,
     }
 
