@@ -522,6 +522,21 @@ def _q_cms_conservative(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ok.cast("int").alias("cons_sandwich_ok"))
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-rule global line dedup (operators/dedup.dedup_lines) at word
+    granularity on the synthetic docs (they contain no newlines): every
+    unit whose corpus-wide count exceeds the cap vanishes from every
+    document, survivors keep original order. Full cleaned text is the
+    oracle value — DuckDB recomputes it with the same split/count/
+    reassemble pipeline, so a single mis-ordered or mis-dropped word
+    fails the hash."""
+    from bloomfilter_spark.operators.dedup import dedup_lines
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (dedup_lines(docs, "doc_id", "text", max_occurrences=920,
+                        delimiter=" ", out_col="text_clean")
+            .select("doc_id", "text_clean"))
+
+
 def _quantile_rank_flags(df: DataFrame, value_col: str, ests: dict[float, float],
                          bound: float, spark: SparkSession) -> DataFrame:
     """(q, rank_ok) rows: exact rank of each estimated quantile must sit
@@ -1145,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_sparse_hll_warehouse": _q_sparse_hll_warehouse,
         "q50_file_pruned_lookup": _q_file_pruned_lookup,
         "q51_cms_conservative": _q_cms_conservative,
+        "q52_line_dedup": _q_line_dedup,
     }
 
 
@@ -1569,6 +1585,21 @@ def oracle_sql() -> dict[str, str]:
                    1 AS cons_sandwich_ok
             FROM events WHERE event_type IS NOT NULL
             GROUP BY event_type
+        """,
+        "q52_line_dedup": """
+            WITH lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS line,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ), counted AS (
+              SELECT *, count(*) OVER (PARTITION BY line) AS cnt FROM lines
+            ), rebuilt AS (
+              SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_clean
+              FROM counted WHERE cnt <= 920 GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
     }
 

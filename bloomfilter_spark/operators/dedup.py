@@ -385,3 +385,47 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
                          (F.col("n_inter") /
                           (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
                          .alias("jaccard")))
+
+
+def dedup_lines(df: DataFrame, id_col: str, text_col: str,
+                max_occurrences: int = 1, delimiter: str = "\n",
+                out_col: str | None = None,
+                seed: int = DEFAULT_SEED) -> DataFrame:
+    """Global line-level deduplication (the C4 'discard any line that
+    appears more than K times in the corpus' rule, Raffel et al. 2020):
+    split each document on ``delimiter``, drop every unit whose total
+    occurrence count across the WHOLE corpus exceeds ``max_occurrences``,
+    and reassemble the survivors in original order.
+
+    Fully relational — no Python touches text:
+      explode(split) -> count per line over a window keyed by the LINE'S
+      64-bit hash (the shuffle carries 8-byte keys plus the line once,
+      never pairs) -> filter -> per-doc ordered reassembly via
+      array_sort(collect_list(struct(pos, line))).
+    Two shuffles total: one by line hash, one by doc id. A document whose
+    every line is dropped keeps a row with an empty string (training
+    pipelines filter empties in their quality stage, not silently here).
+    """
+    out_col = out_col or text_col
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter))
+         .alias("__pos", "__line"))
+    # key the exchange by the line's 8-byte hash (cheap comparator /
+    # partitioner) with the line itself as tiebreaker, so counts are EXACT
+    # even under a 64-bit collision
+    w = Window.partitionBy(F.xxhash64(F.lit(seed), F.col("__line")),
+                           F.col("__line"))
+    kept = (lines.withColumn("__cnt", F.count("*").over(w))
+                 .where(F.col("__cnt") <= max_occurrences))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("__pos", "__line"))),
+                       lambda s: s["__line"]),
+                   delimiter).alias(out_col)))
+    keep_cols = [c for c in df.columns if c != out_col]
+    return (df.select(*keep_cols)
+              .join(rebuilt, id_col, "left")
+              .na.fill({out_col: ""}))

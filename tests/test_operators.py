@@ -340,3 +340,43 @@ def test_keep_first_n_caps_and_is_deterministic(spark, events):
     again = keep_first_n(ev.repartition(17), ["user_id", "event_type"], 2,
                          ["event_id"])
     assert {r["event_id"] for r in again.select("event_id").collect()} == expected
+
+
+def test_dedup_lines_c4_rule(spark):
+    """C4 line-dedup: units over the global occurrence cap vanish from
+    every document, survivors keep original order, all-dropped docs keep
+    an empty-string row, and other columns pass through."""
+    from bloomfilter_spark.operators.dedup import dedup_lines
+    docs = spark.createDataFrame(
+        [(1, "alpha\nCOMMON\nbeta", "s1"),
+         (2, "COMMON\ngamma", "s2"),
+         (3, "COMMON\nCOMMON", "s3"),
+         (4, "delta\nalpha", "s4")],
+        "doc_id long, text string, src string")
+    out = {r["doc_id"]: (r["text"], r["src"])
+           for r in dedup_lines(docs, "doc_id", "text",
+                                max_occurrences=2).collect()}
+    # COMMON appears 4x (> 2) -> dropped everywhere; alpha appears 2x -> kept
+    assert out[1] == ("alpha\nbeta", "s1")
+    assert out[2] == ("gamma", "s2")
+    assert out[3] == ("", "s3")
+    assert out[4] == ("delta\nalpha", "s4")
+    assert len(out) == 4
+
+
+def test_dedup_lines_order_and_partition_invariance(spark):
+    from bloomfilter_spark.operators.dedup import dedup_lines
+    rows = [(i, " ".join(f"w{j % 7}" if j % 3 else f"u{i}_{j}"
+                         for j in range(20)))
+            for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = dedup_lines(docs.repartition(1), "doc_id", "text",
+                    max_occurrences=3, delimiter=" ")
+    b = dedup_lines(docs.repartition(16), "doc_id", "text",
+                    max_occurrences=3, delimiter=" ")
+    assert sorted(a.collect()) == sorted(b.collect())
+    # surviving unit order matches original subsequence order
+    kept = {r["doc_id"]: r["text"] for r in a.collect()}[5].split(" ")
+    orig = rows[5][1].split(" ")
+    it = iter(orig)
+    assert all(any(o == k for o in it) for k in kept)  # subsequence check
