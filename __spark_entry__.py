@@ -537,6 +537,36 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "text_clean"))
 
 
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/text.redact_pii — codegen regexp_replace
+    chain, no UDF) on documents with deterministic synthetic PII appended
+    (the corpus has none): per-doc email + phone + IP built from doc_id
+    identically in Spark and in the DuckDB oracle, then redacted. The
+    oracle SQL is GENERATED from PII_PATTERNS so the two regex chains
+    cannot drift."""
+    from bloomfilter_spark.functions.text import redact_pii
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id").cast("string")
+    injected = F.concat(F.col("text"), F.lit(" contact user"), d,
+                        F.lit("@example.com or +1-555-000-"), d,
+                        F.lit(" from 10.0.0."), d)
+    return docs.select("doc_id",
+                       redact_pii(injected).alias("text_redacted"))
+
+
+def _pii_oracle_sql() -> str:
+    from bloomfilter_spark.functions.text import PII_PATTERNS
+    expr = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+            "'@example.com or +1-555-000-' || CAST(doc_id AS VARCHAR) || "
+            "' from 10.0.0.' || CAST(doc_id AS VARCHAR)")
+    for pat, repl in PII_PATTERNS:
+        # DuckDB string literals are standard SQL: no backslash escaping,
+        # only quote doubling
+        pat_sql = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS text_redacted FROM documents"
+
+
 def _quantile_rank_flags(df: DataFrame, value_col: str, ests: dict[float, float],
                          bound: float, spark: SparkSession) -> DataFrame:
     """(q, rank_ok) rows: exact rank of each estimated quantile must sit
@@ -1161,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_file_pruned_lookup": _q_file_pruned_lookup,
         "q51_cms_conservative": _q_cms_conservative,
         "q52_line_dedup": _q_line_dedup,
+        "q53_pii_redaction": _q_pii_redaction,
     }
 
 
@@ -1601,6 +1632,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
+        "q53_pii_redaction": _pii_oracle_sql(),
     }
 
 if __name__ == "__main__":

@@ -129,3 +129,27 @@ def lang_id(col) -> Column:
         _LANG_ID_UDF = F.pandas_udf(_lang_id_batch, "string")
     c = F.col(col) if isinstance(col, str) else col
     return _LANG_ID_UDF(c)
+
+
+#: PII scrub patterns, applied IN ORDER (emails before phones so the
+#: digits in a mailbox name don't half-match a phone pattern). Patterns
+#: are restricted to syntax valid in both Java regex (Spark codegen) and
+#: RE2 (DuckDB oracle) so the redaction is exactly reproducible.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d. -]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col) -> Column:
+    """Scrub emails / IPv4 addresses / phone-like digit runs from a text
+    column — the standard pre-training privacy pass — as a chain of
+    codegen `regexp_replace` calls: no UDF, no Python, fully pushed into
+    whole-stage codegen. Patterns and order are module constants so the
+    behavior is auditable and the DuckDB oracle can replay them verbatim
+    (q53)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

@@ -380,3 +380,20 @@ def test_dedup_lines_order_and_partition_invariance(spark):
     orig = rows[5][1].split(" ")
     it = iter(orig)
     assert all(any(o == k for o in it) for k in kept)  # subsequence check
+
+
+def test_redact_pii_patterns(spark):
+    """Emails, IPv4s, and phone-like digit runs are scrubbed; clean text
+    is untouched; redaction order is deterministic (emails before
+    phones)."""
+    from bloomfilter_spark.functions.text import redact_pii
+    rows = [
+        ("mail jo.na+x@sub.example.co.uk now", "mail <EMAIL> now"),
+        ("srv 10.0.255.3 call +1-555-000-1234", "srv <IP> call <PHONE>"),
+        ("run 1234567890123 digits", "run <PHONE> digits"),
+        ("clean text only", "clean text only"),
+        ("a@b.io 1.2.3.4 +49 30 1234 5678 x", "<EMAIL> <IP> <PHONE> x"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "t string")
+    got = [r[0] for r in df.select(redact_pii("t")).collect()]
+    assert got == [want for _, want in rows]
