@@ -554,6 +554,17 @@ def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                        redact_pii(injected).alias("text_redacted"))
 
 
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (functions/text.repetition_ratios):
+    per-doc top-bigram fraction and duplicate-bigram fraction, full
+    per-document values against a DuckDB recomputation of the identical
+    gram construction — integer counts divide to bit-identical doubles."""
+    from bloomfilter_spark.functions.text import repetition_ratios
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (repetition_ratios(docs, "doc_id", "text", n=2)
+            .select("doc_id", "top_ngram_frac", "dup_ngram_frac"))
+
+
 def _pii_oracle_sql() -> str:
     from bloomfilter_spark.functions.text import PII_PATTERNS
     expr = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
@@ -1192,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_cms_conservative": _q_cms_conservative,
         "q52_line_dedup": _q_line_dedup,
         "q53_pii_redaction": _q_pii_redaction,
+        "q54_repetition_signals": _q_repetition_signals,
     }
 
 
@@ -1633,6 +1645,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
         "q53_pii_redaction": _pii_oracle_sql(),
+        "q54_repetition_signals": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     array_to_string(t[k : k + 1], ' ') AS gram
+              FROM toks,
+                   UNNEST(range(1, greatest(len(t) - 1, 1) + 1)) AS r(k)
+            ), per_gram AS (
+              SELECT doc_id, gram, count(*) AS cnt
+              FROM grams GROUP BY doc_id, gram
+            )
+            SELECT doc_id,
+                   CASE WHEN sum(cnt) <= 1 THEN 0.0
+                        ELSE max(cnt) / sum(cnt) END AS top_ngram_frac,
+                   CASE WHEN sum(cnt) <= 1 THEN 0.0
+                        ELSE (sum(cnt) - count(*)) / sum(cnt)
+                   END AS dup_ngram_frac
+            FROM per_gram GROUP BY doc_id
+        """,
     }
 
 if __name__ == "__main__":

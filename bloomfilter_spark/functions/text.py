@@ -153,3 +153,37 @@ def redact_pii(col) -> Column:
     for pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+def repetition_ratios(df, id_col: str, text_col: str, n: int = 2):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1) per
+    document, token n-gram granularity:
+
+      top_ngram_frac  — occurrences of the single most frequent n-gram
+                        over all n-gram occurrences (high => looping text)
+      dup_ngram_frac  — fraction of n-gram occurrences beyond first use
+                        (high => boilerplate / template spam)
+
+    Pure DataFrame algebra: explode n-grams (codegen transform/slice over
+    the split array), count per (doc, gram-hash), aggregate two ratios
+    per doc. One shuffle on (doc, gram-hash); documents with fewer than
+    n tokens get ratio 0. Returns (id_col, top_ngram_frac,
+    dup_ngram_frac)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        )).alias("gram"))
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    return (per_gram.groupBy(id_col)
+            .agg((F.max("cnt") / F.sum("cnt")).alias("top_raw"),
+                 ((F.sum("cnt") - F.count("*")) / F.sum("cnt"))
+                 .alias("dup_raw"),
+                 F.sum("cnt").alias("total"))
+            .select(F.col(id_col),
+                    F.when(F.col("total") <= 1, F.lit(0.0))
+                     .otherwise(F.col("top_raw")).alias("top_ngram_frac"),
+                    F.when(F.col("total") <= 1, F.lit(0.0))
+                     .otherwise(F.col("dup_raw")).alias("dup_ngram_frac")))

@@ -397,3 +397,18 @@ def test_redact_pii_patterns(spark):
     df = spark.createDataFrame([(t,) for t, _ in rows], "t string")
     got = [r[0] for r in df.select(redact_pii("t")).collect()]
     assert got == [want for _, want in rows]
+
+
+def test_repetition_ratios_known_values(spark):
+    """Hand-computable bigram repetition: 'a b a b a' has bigrams
+    [a b, b a, a b, b a] -> top 2/4, dup (4-2)/4; all-unique text -> 0;
+    single-token text -> 0 by the too-short rule."""
+    from bloomfilter_spark.functions.text import repetition_ratios
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "w x y z"), (3, "solo")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["top_ngram_frac"], r["dup_ngram_frac"])
+           for r in repetition_ratios(docs, "doc_id", "text", n=2).collect()}
+    assert out[1] == (0.5, 0.5)
+    assert out[2] == (1 / 3, 0.0)  # 4 tokens -> 3 unique bigrams
+    assert out[3] == (0.0, 0.0)
