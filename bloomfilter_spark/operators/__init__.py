@@ -4,7 +4,8 @@ from .decontaminate import (build_reference_ngram_bloom,
                             word_ngram_hashes)
 from .file_index import (build_file_bloom_index, prune_files,
                          pruned_read)
-from .dedup import (dedup_exact, keep_first_n, minhash_lsh_candidates,
+from .dedup import (dedup_exact, dedup_lines, keep_first_n,
+                    minhash_lsh_candidates,
                     minhash_lsh_dedup, minhash_signatures,
                     ngram_jaccard_pairs, simhash_near_dups,
                     simhash_signatures)
@@ -23,7 +24,7 @@ from .topk import cms_heavy_hitters, exact_top_k, top_k_per_group
 
 __all__ = [
     "build_file_bloom_index", "prune_files", "pruned_read",
-    "dedup_exact", "minhash_signatures", "minhash_lsh_candidates",
+    "dedup_exact", "dedup_lines", "minhash_signatures", "minhash_lsh_candidates",
     "minhash_lsh_dedup", "simhash_signatures", "simhash_near_dups",
     "ngram_jaccard_pairs", "quantiles", "grouped_quantiles",
     "bloom_semi_join", "bloom_anti_join", "bloom_prefilter", "build_key_bloom",
