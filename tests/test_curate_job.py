@@ -37,6 +37,9 @@ def test_curate_corpus_job_spark_submit(tmp_path, spark, documents):
          "--reference", ref_path,
          "--contamination-threshold", "0.5",
          "--min-quality", "0.0",
+         "--redact-pii",
+         "--max-dup-ngram-frac", "0.99",
+         "--line-dedup-cap", "100000",
          "--mix", "source=src0:1.0,src1:0.5"],
         capture_output=True, text=True, timeout=600, env=env, cwd=ROOT)
     assert proc.returncode == 0, proc.stderr[-4000:]
@@ -45,7 +48,8 @@ def test_curate_corpus_job_spark_submit(tmp_path, spark, documents):
     line = [ln for ln in proc.stdout.splitlines() if ln.startswith('{"stages"')]
     assert line, proc.stdout[-2000:]
     stages = json.loads(line[-1])["stages"]
-    assert stages["input"] >= stages["quality"] >= stages["dedup_cap"] \
+    assert stages["input"] >= stages["quality"] >= stages["repetition"] \
+        >= stages["line_dedup"] >= stages["dedup_cap"] \
         >= stages["decontaminated"] >= stages["mixed"]
     # the reference slice's own copies are contaminated and dropped
     assert stages["decontaminated"] < stages["dedup_cap"]
