@@ -24,6 +24,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..config import DEFAULT_SEED
 from ..util import U64, splitmix64
 
+
+def _regex_quote(s: str) -> str:
+    """Java-regex literal quoting (Pattern.quote): F.split treats its
+    pattern as a Java regex while F.array_join rejoins literally — without
+    this a regex-special delimiter ('.', '|', '+', '(') silently mis-splits
+    every document."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -390,34 +398,53 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
 def dedup_lines(df: DataFrame, id_col: str, text_col: str,
                 max_occurrences: int = 1, delimiter: str = "\n",
                 out_col: str | None = None,
-                seed: int = DEFAULT_SEED) -> DataFrame:
+                seed: int = DEFAULT_SEED,
+                broadcast_over_cap: bool = True) -> DataFrame:
     """Global line-level deduplication (the C4 'discard any line that
     appears more than K times in the corpus' rule, Raffel et al. 2020):
     split each document on ``delimiter``, drop every unit whose total
     occurrence count across the WHOLE corpus exceeds ``max_occurrences``,
     and reassemble the survivors in original order.
 
-    Fully relational — no Python touches text:
-      explode(split) -> count per line over a window keyed by the LINE'S
-      64-bit hash (the shuffle carries 8-byte keys plus the line once,
-      never pairs) -> filter -> per-doc ordered reassembly via
-      array_sort(collect_list(struct(pos, line))).
-    Two shuffles total: one by line hash, one by doc id. A document whose
-    every line is dropped keeps a row with an empty string (training
-    pipelines filter empties in their quality stage, not silently here).
+    Fully relational — no Python touches text — and skew-safe: web corpora
+    have lines (empty string, boilerplate headers) appearing 10^9-10^10
+    times, so occurrences must NEVER be shuffled by line. Instead:
+
+      1. counts: groupBy(line_hash, line).count() — HashAggregate emits a
+         map-side partial, so each task contributes its DISTINCT lines to
+         the exchange; the hot line costs one row per task, not one row
+         per occurrence.
+      2. the over-cap line set (cnt > K) is broadcast and occurrences are
+         dropped with a broadcast LEFT ANTI join — zero shuffle of
+         occurrence rows. The set is bounded by
+         total_occurrences / (max_occurrences+1) DISTINCT lines; with the
+         C4-style caps this is tiny. For max_occurrences=1 on a
+         duplicate-heavy corpus it can be large — pass
+         ``broadcast_over_cap=False`` to fall back to a shuffled anti-join
+         (AQE skew-join splits the hot streamed partitions).
+      3. per-doc ordered reassembly via
+         array_sort(collect_list(struct(pos, line))).
+
+    The line's 64-bit hash rides along as the cheap join/agg comparator,
+    with the line itself as tiebreaker, so counts are EXACT even under a
+    collision. A document whose every line is dropped keeps a row with an
+    empty string (training pipelines filter empties in their quality
+    stage, not silently here).
     """
     out_col = out_col or text_col
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delimiter))
+        F.posexplode(F.split(F.col(text_col), _regex_quote(delimiter)))
          .alias("__pos", "__line"))
-    # key the exchange by the line's 8-byte hash (cheap comparator /
-    # partitioner) with the line itself as tiebreaker, so counts are EXACT
-    # even under a 64-bit collision
-    w = Window.partitionBy(F.xxhash64(F.lit(seed), F.col("__line")),
-                           F.col("__line"))
-    kept = (lines.withColumn("__cnt", F.count("*").over(w))
-                 .where(F.col("__cnt") <= max_occurrences))
+    occ = lines.withColumn(
+        "__lh", F.xxhash64(F.lit(seed), F.col("__line")))
+    over_cap = (occ.groupBy("__lh", "__line")
+                   .agg(F.count("*").alias("__cnt"))
+                   .where(F.col("__cnt") > max_occurrences)
+                   .select("__lh", "__line"))
+    if broadcast_over_cap:
+        over_cap = F.broadcast(over_cap)
+    kept = occ.join(over_cap, ["__lh", "__line"], "left_anti")
     rebuilt = (kept.groupBy(id_col)
                .agg(F.array_join(
                    F.transform(

@@ -382,6 +382,54 @@ def test_dedup_lines_order_and_partition_invariance(spark):
     assert all(any(o == k for o in it) for k in kept)  # subsequence check
 
 
+def test_dedup_lines_hot_line_skew_safe(spark):
+    """One boilerplate line carries >=50% of all occurrences; the plan
+    must partial-aggregate map-side (counts shuffle carries distinct
+    lines, never occurrences) and drop occurrences with a broadcast anti
+    join (occurrence rows are never shuffled by line)."""
+    from bloomfilter_spark.operators.dedup import dedup_lines
+    hot = "BOILERPLATE"
+    rows = [(i, "\n".join([hot, hot, f"u{i}a", f"u{i}b"])) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string") \
+                .repartition(8)
+    out = dedup_lines(docs, "doc_id", "text", max_occurrences=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the count aggregation partial-aggregates before its exchange: the
+    # hot line contributes one row per task, not one row per occurrence
+    assert "partial_count" in plan
+    # occurrence rows are filtered via broadcast LEFT ANTI — no exchange
+    # keyed by the line between the explode and the per-doc reassembly
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert all(got[i] == f"u{i}a\nu{i}b" for i in range(200))
+
+    # shuffled-anti-join fallback for huge over-cap sets: same rows
+    alt = dedup_lines(docs, "doc_id", "text", max_occurrences=3,
+                      broadcast_over_cap=False)
+    assert sorted(alt.collect()) == sorted(out.collect())
+
+
+def test_dedup_lines_regex_special_delimiter(spark):
+    """A regex-special delimiter ('.', '|', '+') must split literally:
+    F.split takes a Java regex but array_join rejoins literally, so the
+    delimiter is Pattern.quote()d internally."""
+    from bloomfilter_spark.operators.dedup import dedup_lines
+    docs = spark.createDataFrame(
+        [(1, "keep.DUP.also"), (2, "DUP.tail"), (3, "DUP.DUP")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_lines(docs, "doc_id", "text", max_occurrences=2,
+                                delimiter=".").collect()}
+    assert out == {1: "keep.also", 2: "tail", 3: ""}
+    docs2 = spark.createDataFrame(
+        [(1, "a|DUP|b"), (2, "DUP|c"), (3, "DUP|DUP")],
+        "doc_id long, text string")
+    out2 = {r["doc_id"]: r["text"]
+            for r in dedup_lines(docs2, "doc_id", "text", max_occurrences=2,
+                                 delimiter="|").collect()}
+    assert out2 == {1: "a|b", 2: "c", 3: ""}
+
+
 def test_redact_pii_patterns(spark):
     """Emails, IPv4s, and phone-like digit runs are scrubbed; clean text
     is untouched; redaction order is deterministic (emails before
