@@ -16,11 +16,12 @@ provides it as a first-class, engine-controlled index table:
   scan: `input_file_name()` is the grouping key, so the build is the
   salted grouped-sketch topology (`agg.grouped_sketch_table`) and each
   file's filter is sized for that file's own row count.
-* Probing is driver-side over the (tiny) index table: |files| rows of
-  O(m/8)-byte sparse-serialized filters. Zero false negatives means a
-  file is skipped ONLY if it provably contains none of the probe keys —
-  the pruned scan is row-identical to the full-scan filter. False
-  positives cost one extra file read, bounded by the configured fpr.
+* Probing is distributed: the distinct probe-key hashes are broadcast
+  and every file's filter is tested executor-side; only matching file
+  names reach the driver. Zero false negatives means a file is skipped
+  ONLY if it provably contains none of the probe keys — the pruned scan
+  is row-identical to the full-scan filter. False positives cost one
+  extra file read, bounded by the configured fpr.
 * The index is a plain (file, n_rows, sketch) DataFrame: persist it with
   `warehouse.save_sketch_table` and refresh incrementally — newly landed
   files only (the build is per-file, so old rows never rescan).
@@ -36,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..agg import hash_col
 from ..config import DEFAULT_SEED
-from ..sketches import BloomFilter, Sketch
+from ..sketches import BloomFilter
 from ..sizing import suggest_sizing
 
 __all__ = ["build_file_bloom_index", "prune_files", "pruned_read"]
@@ -76,9 +77,15 @@ def build_file_bloom_index(spark: SparkSession, path: str,
     tbl = grouped_sketch_table(df, ["__file"], list(cols),
                                lambda: BloomFilter(m, k), seed=seed,
                                salt=salt, pre_partitioned=True)
+    # the index is self-describing: key_types records the indexed columns'
+    # Spark types so prune_files can cast probes before hashing (xxhash64
+    # is type-sensitive — an int probe against a long-keyed index would
+    # silently prune every file, violating zero-false-negatives)
+    key_types = ",".join(src.schema[c].dataType.simpleString() for c in cols)
     return (tbl.join(counts, "__file")
                .withColumnRenamed("__file", "file")
-               .select("file", "n_rows", "sketch"))
+               .withColumn("key_types", F.lit(key_types))
+               .select("file", "n_rows", "key_types", "sketch"))
 
 
 def prune_files(index_df: DataFrame, cols: Sequence[str], keys_df: DataFrame,
@@ -87,13 +94,31 @@ def prune_files(index_df: DataFrame, cols: Sequence[str], keys_df: DataFrame,
     key tuples (columns must match ``cols`` of the build). Zero false
     negatives: every file actually holding a key is returned.
 
-    Driver-side: the probe set is hashed JVM-side (one int64 per key),
-    then each file's filter — typically a few hundred sparse-serialized
-    rows — is tested vectorized. For probe sets beyond driver comfort,
-    pre-aggregate them (`keys_df.distinct()`): membership only needs the
-    distinct key hashes.
+    Fully distributed probe: the DISTINCT key hashes (8 bytes per key
+    tuple, deduplicated JVM-side) are broadcast, and each index row's
+    filter is tested vectorized WHERE IT LIVES — only matching file names
+    come back to the driver (≤ |files| strings). At 10^5-10^6 files the
+    driver never materializes a single sketch blob; the executor-side cost
+    is one filter parse + one vectorized k-probe pass per file row.
+
+    Probe columns are cast to the index's recorded ``key_types`` before
+    hashing (xxhash64 is type-sensitive; an int probe against a long-keyed
+    index would otherwise hash differently and silently prune every file).
+    Indexes persisted before key_types existed probe as-is — then callers
+    must match types, as `pruned_read` does.
     """
     probe = keys_df
+    if "key_types" in index_df.columns:
+        first = index_df.select("key_types").first()
+        if first is not None and first[0]:
+            types = first[0].split(",")
+            if len(types) != len(cols):
+                raise ValueError(
+                    f"index was built over {len(types)} key column(s) "
+                    f"({first[0]}), probe has {len(cols)}: {list(cols)}")
+            probe = probe.select(*[
+                F.col(c).cast(t).alias(c) for c, t in zip(cols, types)],
+                *[c for c in probe.columns if c not in cols])
     for c in cols:  # NULL components are unanswerable (xxhash64 would
         probe = probe.where(F.col(c).isNotNull())  # hash them as phantoms)
     hashes = np.array(
@@ -101,16 +126,27 @@ def prune_files(index_df: DataFrame, cols: Sequence[str], keys_df: DataFrame,
          probe.select(hash_col([F.col(c) for c in cols], seed)
                       .alias("__h")).distinct().collect()],
         dtype=np.int64).view(np.uint64)
-    keep: dict[str, None] = {}  # ordered de-dupe: an incrementally
-    # maintained index may hold a file twice after a crash-replay; a
-    # duplicate path in the result would make pruned_read scan it twice
-    for row in index_df.select("file", "sketch").collect():
-        if row["file"] in keep:
-            continue
-        bf: Sketch = BloomFilter.from_bytes(bytes(row["sketch"]))
-        if hashes.size and bool(bf.contains(hashes).any()):
-            keep[row["file"]] = None
-    return list(keep)
+    if not hashes.size:
+        return []
+    bc = index_df.sparkSession.sparkContext.broadcast(hashes)
+
+    def fn(it):
+        hs = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            may = [bool(BloomFilter.from_bytes(bytes(b)).contains(hs).any())
+                   for b in pdf["sketch"]]
+            out = pdf.loc[may, ["file"]]
+            if len(out):
+                yield out
+
+    matched = (index_df.select("file", "sketch")
+                       .mapInPandas(fn, schema="file string").collect())
+    # sorted de-dupe: an incrementally maintained index may hold a file
+    # twice after a crash-replay (pruned_read must not scan it twice), and
+    # executor arrival order is nondeterministic
+    return sorted({row["file"] for row in matched})
 
 
 def pruned_read(spark: SparkSession, path: str, index_df: DataFrame,

@@ -113,3 +113,56 @@ def test_prune_files_dedupes_double_indexed_file(spark, keyed_table):
     n = (pruned_read(spark, keyed_table, doubled, ["user_id"], probe)
          .join(probe, "user_id").count())
     assert n == 1
+
+
+def test_prune_files_casts_probe_via_index_key_types(spark, keyed_table):
+    """The index records its key column types; prune_files itself (not
+    just pruned_read) must cast an int-typed probe to the long-keyed
+    index before hashing — a direct caller skipping pruned_read gets the
+    same zero-false-negative guarantee."""
+    idx = build_file_bloom_index(spark, keyed_table, ["user_id"], fpr=0.001)
+    probe_int = spark.createDataFrame([(5,), (40_000,)], "user_id int")
+    probe_long = spark.createDataFrame([(5,), (40_000,)], "user_id long")
+    assert (prune_files(idx, ["user_id"], probe_int)
+            == prune_files(idx, ["user_id"], probe_long))
+    assert len(prune_files(idx, ["user_id"], probe_int)) >= 1
+
+
+def test_prune_files_wrong_key_arity_raises(spark, keyed_table):
+    idx = build_file_bloom_index(spark, keyed_table, ["user_id", "bucket"],
+                                 fpr=0.001)
+    probe = spark.createDataFrame([(5,)], "user_id long")
+    with pytest.raises(ValueError, match="key column"):
+        prune_files(idx, ["user_id"], probe)
+
+
+def test_prune_files_distributed_over_many_files(spark):
+    """Probe an index of 10^4 synthetic file rows: membership is
+    evaluated executor-side (the driver never materializes the sketch
+    column), and exactly the files holding probe keys come back."""
+    from bloomfilter_spark.agg import hash_col
+    from bloomfilter_spark.sketches import BloomFilter
+
+    import numpy as np
+
+    n_files = 10_000
+    probe_keys = [123, 7777]
+    # one job hashes every key the engine's way; filters build locally
+    all_h = np.array(
+        [r["h"] for r in spark.range(n_files * 10)
+         .select(hash_col([F.col("id").cast("long")]).alias("h"))
+         .orderBy("id").collect()],
+        dtype=np.int64).view(np.uint64)
+    rows = []
+    for i in range(n_files):
+        bf = BloomFilter(1 << 10, 3)
+        bf.update(all_h[i * 10:(i + 1) * 10])
+        rows.append((f"file_{i:05d}", 10, "bigint", bf.to_bytes()))
+    idx = spark.createDataFrame(
+        rows, "file string, n_rows long, key_types string, sketch binary") \
+        .repartition(16)
+    probe = spark.createDataFrame([(k,) for k in probe_keys], "id long")
+    files = prune_files(idx, ["id"], probe)
+    # zero FN: the true owner files are present; FPs bounded by geometry
+    assert "file_00012" in files and "file_00777" in files
+    assert len(files) < 50
