@@ -193,17 +193,85 @@ def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str,
                   .where(F.col("__rn") <= k).drop("__rn"))
 
 
+def suggest_lsh_bits(n_rows: int, target_occupancy: int = 8) -> int:
+    """Bucket width for ~linear near-dup candidate growth: with
+    ``n_bits = log2(n / target_occupancy)`` expected bucket occupancy is
+    a CONSTANT (~target_occupancy) as the corpus grows, so per-table
+    candidate pairs stay ~n * occupancy / 2 instead of n^2 / 2^n_bits.
+    Raise n_tables (not occupancy) to buy recall back at larger n_bits."""
+    import math
+    return max(4, min(30, math.ceil(math.log2(max(n_rows, 2)
+                                              / max(target_occupancy, 1)))))
+
+
+def _neardup_candidates(df: DataFrame, id_col: str, vec_col: str,
+                        n_bits: int, n_tables: int, seed: int,
+                        max_bucket: int | None = None) -> DataFrame:
+    """(id_a, id_b) distinct candidate pairs from the union of n_tables
+    independent hyperplane tables — one corpus pass computes ALL tables'
+    buckets (stacked-plane matmul, like lsh_ann_topk), the self-join key
+    is (table_id, bucket). ``max_bucket`` drops buckets above that
+    occupancy before pairing (degenerate buckets — zero vectors, dense
+    clusters — would otherwise go quadratic; dropping trades bounded
+    recall on exactly those buckets, and the other tables usually still
+    catch their true pairs)."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _table_planes(dim, n_bits, n_tables, seed)
+    flat_planes = planes.reshape(n_tables * n_bits, dim)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+    bc = df.sparkSession.sparkContext.broadcast(flat_planes)
+    id_field = df.schema[id_col]
+    sig_schema = (f"{id_col} {id_field.dataType.simpleString()}, "
+                  f"table_id int, bucket int")
+
+    def all_buckets(it: Iterable[pd.DataFrame]):
+        pl = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = _as_matrix(pdf[vec_col])
+            bits = (mat @ pl.T) > 0
+            bits = bits.reshape(len(pdf), n_tables, n_bits)
+            buckets = (bits * weights[None, None, :]).sum(axis=2) \
+                .astype(np.int32)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                "table_id": np.tile(np.arange(n_tables, dtype=np.int32),
+                                    len(pdf)),
+                "bucket": buckets.ravel()})
+
+    sigs = df.select(id_col, vec_col).mapInPandas(all_buckets,
+                                                  schema=sig_schema)
+    if max_bucket is not None:
+        w = Window.partitionBy("table_id", "bucket")
+        sigs = (sigs.withColumn("__occ", F.count("*").over(w))
+                    .where(F.col("__occ") <= max_bucket).drop("__occ"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (a.join(b, on=[F.col("a.table_id") == F.col("b.table_id"),
+                          F.col("a.bucket") == F.col("b.bucket"),
+                          F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b")).distinct())
+
+
 def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.95, n_bits: int = 12,
-                        seed: int = DEFAULT_SEED) -> DataFrame:
-    """All-pairs cosine >= threshold, candidates restricted to shared LSH
-    buckets (high-threshold pairs collide with high probability)."""
-    sigs = hyperplane_signatures(df, id_col, vec_col, n_bits, seed=seed)
-    a, b = sigs.alias("a"), sigs.alias("b")
-    pairs = (a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
-                           F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-              .select(F.col(f"a.{id_col}").alias("id_a"),
-                      F.col(f"b.{id_col}").alias("id_b")).distinct())
+                        n_tables: int = 4, seed: int = DEFAULT_SEED,
+                        max_bucket: int | None = None) -> DataFrame:
+    """All-pairs cosine >= threshold, candidates restricted to the UNION
+    of ``n_tables`` independent LSH tables (banded, like
+    minhash_lsh_candidates): high-threshold pairs collide in at least one
+    table with probability 1-(1-p^n_bits)^n_tables where
+    p = 1 - acos(cos)/pi, while random pairs stay apart.
+
+    Scale sizing: per-table candidate pairs grow ~n^2 / 2^n_bits, so
+    n_bits must track log2(n) — use ``suggest_lsh_bits(n)`` for constant
+    bucket occupancy (~linear candidates), and raise n_tables to recover
+    the recall the narrower buckets cost. ``max_bucket`` caps degenerate
+    buckets. Exactness: candidates are reranked with exact JVM-side
+    cosine, so extra candidates never add false positives."""
+    pairs = _neardup_candidates(df, id_col, vec_col, n_bits, n_tables,
+                                seed, max_bucket)
     corpus = df.select(F.col(id_col), F.col(vec_col))
     va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))

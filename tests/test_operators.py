@@ -232,6 +232,59 @@ def test_embedding_near_dups_finds_duplicates(spark, embeddings):
     assert want <= found
 
 
+def test_embedding_neardup_candidates_scale_linearly(spark):
+    """Doubling the corpus with n_bits sized by suggest_lsh_bits keeps
+    candidate-pair growth ~linear (constant bucket occupancy) while the
+    injected near-duplicates are still recalled — the banded sizing rule
+    that prevents the fixed-width n^2/2^bits blowup at 100x."""
+    from bloomfilter_spark.operators.similarity import (
+        _neardup_candidates, suggest_lsh_bits)
+    rng = np.random.default_rng(11)
+
+    def corpus(n):
+        base = rng.standard_normal((n, 16)).astype("float32")
+        rows = [(i, base[i].tolist()) for i in range(n)]
+        # 10 injected near-dups of the first 10 vectors
+        for i in range(10):
+            v = base[i] + rng.standard_normal(16).astype("float32") * 0.01
+            rows.append((1_000_000 + i, v.tolist()))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    counts, recalls = [], []
+    for n in (2000, 4000):
+        bits = suggest_lsh_bits(n)
+        cands = _neardup_candidates(corpus(n), "vec_id", "embedding",
+                                    n_bits=bits, n_tables=4, seed=42)
+        got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+        counts.append(len(got))
+        recalls.append(sum((i, 1_000_000 + i) in got for i in range(10)))
+    assert suggest_lsh_bits(4000) == suggest_lsh_bits(2000) + 1
+    assert recalls[0] >= 9 and recalls[1] >= 9
+    # quadratic would be ~4x; constant-occupancy banding keeps it ~2x
+    assert counts[1] <= 3.0 * counts[0], (counts, recalls)
+
+
+def test_embedding_neardup_max_bucket_cap(spark):
+    """A degenerate dense bucket (many copies of one vector) is dropped
+    by max_bucket without losing pairs that other, uncapped buckets
+    catch; results stay a subset of the uncapped pairs."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((200, 16)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    hot = base[0]
+    rows += [(10_000 + j, (hot + rng.standard_normal(16).astype("float32")
+                           * 0.001).tolist()) for j in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    free = embedding_near_dups(df, "vec_id", "embedding", threshold=0.999,
+                               n_bits=6, n_tables=4)
+    capped = embedding_near_dups(df, "vec_id", "embedding", threshold=0.999,
+                                 n_bits=6, n_tables=4, max_bucket=20)
+    free_pairs = {(r["id_a"], r["id_b"]) for r in free.collect()}
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert capped_pairs <= free_pairs
+    assert len(free_pairs) >= 50 * 51 // 2  # the hot cluster's pairs
+
+
 def test_ivf_train_deterministic(spark, embeddings):
     a = ivf_train(embeddings, "embedding", n_lists=8, max_train=200)
     b = ivf_train(embeddings.repartition(7), "embedding", n_lists=8,
