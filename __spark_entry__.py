@@ -1645,7 +1645,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
         "q53_pii_redaction": _pii_oracle_sql(),
-        "q54_repetition_signals": """
+        "q54_repetition_signals": r"""
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
               FROM documents

@@ -168,7 +168,14 @@ def repetition_ratios(df, id_col: str, text_col: str, n: int = 2):
     the split array), count per (doc, gram-hash), aggregate two ratios
     per doc. One shuffle on (doc, gram-hash); documents with fewer than
     n tokens get ratio 0. Returns (id_col, top_ngram_frac,
-    dup_ngram_frac)."""
+    dup_ngram_frac).
+
+    Grams are counted by xxhash64 of the gram string, not the string —
+    shuffling 8-byte keys instead of text. Two distinct grams colliding
+    within ONE document (probability ~g^2/2^65 for g grams/doc, i.e.
+    ~5e-12 even at g=10^4) would merge their counts and nudge the ratios;
+    an exact-string oracle (q54) agrees only under this no-collision
+    assumption, which at per-document cardinalities is safe."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     grams = df.select(
         F.col(id_col),

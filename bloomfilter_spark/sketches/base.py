@@ -21,8 +21,11 @@ import numpy as np
 
 _MAGIC = b"SKCH"
 # v2: Bloom/HLL payloads carry a mode byte (dense | sparse index/value
-# pairs). v1 blobs (raw dense arrays, no mode byte) are rejected with a
-# clear version error instead of a confusing payload-shape error.
+# pairs). v1 blobs of THOSE types (raw dense arrays, no mode byte) are
+# rejected with a clear version error instead of a confusing
+# payload-shape error; every other type's payload layout is unchanged, so
+# its v1 blobs remain readable (MIN_WIRE_VERSION below) — a persisted
+# warehouse only needs the Bloom/HLL tables rebuilt, not everything.
 _VERSION = 2
 
 
@@ -31,6 +34,9 @@ class Sketch(ABC):
     TYPE_TAG: int = 0
     #: True if update() consumes uint64 hashes, False if float64 values
     HASH_KEYED: bool = True
+    #: oldest wire version whose payload layout this type still parses;
+    #: bumped per-type only when that type's payload actually changes
+    MIN_WIRE_VERSION: int = 1
 
     @abstractmethod
     def update(self, data: np.ndarray) -> None: ...
@@ -55,12 +61,13 @@ class Sketch(ABC):
     @classmethod
     def from_bytes(cls, buf: bytes) -> "Sketch":
         magic, version, tag, plen = struct.unpack_from("<4sBBI", buf, 0)
-        if magic != _MAGIC or version != _VERSION:
+        if magic != _MAGIC or not (cls.MIN_WIRE_VERSION <= version <= _VERSION):
             raise ValueError(
                 f"bad sketch serialization header (magic={magic!r}, "
-                f"version={version}, this engine writes v{_VERSION}; "
-                f"v1 predates the sparse Bloom/HLL wire format — rebuild "
-                f"the sketch table)")
+                f"version={version}, this engine writes v{_VERSION} and "
+                f"{cls.__name__} reads v{cls.MIN_WIRE_VERSION}+; older "
+                f"blobs predate a payload-layout change for this type — "
+                f"rebuild the sketch table)")
         if tag != cls.TYPE_TAG:
             raise ValueError(f"sketch type mismatch: got {tag}, want {cls.TYPE_TAG}")
         off = struct.calcsize("<4sBBI")

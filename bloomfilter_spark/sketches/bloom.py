@@ -35,6 +35,8 @@ _VARIANT_NAMES = {v: k for k, v in _VARIANTS.items()}
 
 class BloomFilter(Sketch):
     TYPE_TAG = 1
+    # v2 added the sparse/dense payload mode byte for this type
+    MIN_WIRE_VERSION = 2
     HASH_KEYED = True
 
     def __init__(self, num_bits: int, num_hashes: int, variant: str = "km64"):

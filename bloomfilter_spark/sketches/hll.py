@@ -33,6 +33,8 @@ def _alpha(m: int) -> float:
 
 class HyperLogLog(Sketch):
     TYPE_TAG = 2
+    # v2 added the sparse/dense payload mode byte for this type
+    MIN_WIRE_VERSION = 2
     HASH_KEYED = True
 
     def __init__(self, p: int = 14):

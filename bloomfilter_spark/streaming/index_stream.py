@@ -81,7 +81,16 @@ class StreamingFileIndexer:
 
     def _restore(self) -> None:
         if not self.state_path or not os.path.exists(self.state_path):
+            # No JSON state (state_path=None, or first run): bootstrap the
+            # indexed set from the index table itself so a restarted
+            # indexer does not re-index every existing file and grow the
+            # index unboundedly. Deferred to the first batch (needs a
+            # SparkSession). The table carries no epoch info, so
+            # last_epoch stays -1 — a replayed epoch falls through to the
+            # not-yet-indexed sweep, which the bootstrap makes a no-op.
+            self._needs_bootstrap = True
             return
+        self._needs_bootstrap = False
         with open(self.state_path, "rb") as fh:
             st = json.load(fh)
         saved = st.get("params")
@@ -96,6 +105,28 @@ class StreamingFileIndexer:
         self.indexed = set(st["indexed"])
         self.files_indexed = st.get("files_indexed", len(self.indexed))
         self.rows_indexed = st.get("rows_indexed", 0)
+
+    def _files_already_indexed(self, spark) -> set[str]:
+        """Distinct file paths already present in the index table (empty
+        set if the table does not exist yet). Index rows store
+        ``input_file_name()`` URIs (file:///...); normalize back to the
+        plain paths ``list_files`` yields so set subtraction works. A
+        custom object-store lister must yield paths matching its
+        filesystem's input_file_name scheme (e.g. s3a://) for the
+        bootstrap to recognize them."""
+        try:
+            rows = (spark.read.parquet(self.index_path)
+                    .select("file").distinct().collect())
+        except Exception:
+            return set()  # no index yet — fresh start
+
+        def norm(p: str) -> str:
+            if p.startswith("file:"):
+                from urllib.parse import unquote, urlparse
+                return unquote(urlparse(p).path)
+            return p
+
+        return {norm(r["file"]) for r in rows}
 
     def _persist(self) -> None:
         if not self.state_path:
@@ -115,6 +146,10 @@ class StreamingFileIndexer:
         if epoch_id <= self.last_epoch:
             return  # replayed epoch: rows written + files indexed already
         spark = batch_df.sparkSession
+        if self._needs_bootstrap:
+            self.indexed |= self._files_already_indexed(spark)
+            self.files_indexed = max(self.files_indexed, len(self.indexed))
+            self._needs_bootstrap = False
         batch_df.write.mode("append").parquet(self.table_path)
         # index EVERY file not yet in the index, not just this append's:
         # a crash between the data append and _persist leaves orphan files

@@ -112,3 +112,28 @@ def test_streaming_index_refuses_mismatched_params(spark, tmp_path):
     StreamingFileIndexer(table, index, ["user_id"], state_path=state)(batch, 0)
     with pytest.raises(ValueError, match="refusing to resume"):
         StreamingFileIndexer(table, index, ["other_col"], state_path=state)
+
+
+def test_streaming_index_stateless_restart_bootstraps_from_table(spark, tmp_path):
+    """With state_path=None, a restarted indexer must bootstrap its
+    indexed set from the index table itself instead of re-indexing every
+    existing file and growing the index without bound."""
+    table = str(tmp_path / "t5")
+    index = str(tmp_path / "i5")
+    batch = spark.range(100).select(F.col("id").alias("user_id"),
+                                    F.lit("x").alias("payload"))
+    a = StreamingFileIndexer(table, index, ["user_id"])
+    a(batch, 0)
+    n_index = spark.read.parquet(index).count()
+    assert n_index >= 1
+
+    # stateless restart: epoch counter resets (no epoch info survives),
+    # but the already-indexed files must NOT be re-indexed
+    b = StreamingFileIndexer(table, index, ["user_id"])
+    b(batch, 0)  # new process's epoch 0 — appends data, indexes only it
+    idx = spark.read.parquet(index)
+    files = [r["file"] for r in idx.select("file").collect()]
+    assert len(files) == len(set(files))  # no duplicate index rows
+    assert spark.read.parquet(table).count() == 200
+    # the bootstrap recognized every previously indexed file
+    assert b.files_indexed == len(files)

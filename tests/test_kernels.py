@@ -398,3 +398,43 @@ def test_cms_conservative_bounds(rng):
     assert z.conservative and z.total == 0 and z.table.sum() == 0
     with pytest.raises(ValueError):
         cons.merge(CountMinSketch(width=1 << 11, depth=5))
+
+
+def test_wire_version_compat_per_type(rng):
+    """v1 blobs stay readable for sketch types whose payload layout never
+    changed (theta, t-digest, KLL, CMS); only Bloom/HLL — whose v2 payload
+    added the sparse/dense mode byte — reject v1, with a clear error."""
+    import struct
+    import pytest
+    from bloomfilter_spark.sketches.theta import ThetaSketch
+    from bloomfilter_spark.sketches.base import _MAGIC
+
+    def as_v1(sk):
+        blob = sk.to_bytes()
+        magic, version, tag, plen = struct.unpack_from("<4sBBI", blob, 0)
+        head = struct.pack("<4sBBI", magic, 1, tag, plen)
+        return head + blob[struct.calcsize("<4sBBI"):]
+
+    th = ThetaSketch(k=64)
+    th.update(rng.integers(0, 2**63, 1000, dtype=np.int64).view(np.uint64))
+    back = ThetaSketch.from_bytes(as_v1(th))
+    assert back.estimate() == th.estimate()
+
+    td = TDigest()
+    td.update(rng.standard_normal(500))
+    assert TDigest.from_bytes(as_v1(td)).quantile(0.5) == td.quantile(0.5)
+
+    cms = CountMinSketch(width=256, depth=4)
+    cms.update(rng.integers(0, 2**63, 500, dtype=np.int64).view(np.uint64))
+    assert np.array_equal(CountMinSketch.from_bytes(as_v1(cms)).table,
+                          cms.table)
+
+    bf = BloomFilter(1 << 12, 4)
+    bf.update(rng.integers(0, 2**63, 100, dtype=np.int64).view(np.uint64))
+    with pytest.raises(ValueError, match="reads v2"):
+        BloomFilter.from_bytes(as_v1(bf))
+    h = HyperLogLog(p=10)
+    h.update(rng.integers(0, 2**63, 100, dtype=np.int64).view(np.uint64))
+    with pytest.raises(ValueError, match="reads v2"):
+        HyperLogLog.from_bytes(as_v1(h))
+    assert _MAGIC == b"SKCH"
