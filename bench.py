@@ -43,8 +43,8 @@ BENCH_QUERIES = [
     "q05_heavy_hitters", "q09_sessionization", "q11_ann_cosine_topk",
     "q14_shipping_priority", "q15_asof_join",
     "q20_hll_distinct_users", "q21_cms_type_counts", "q22_kll_value_quantiles",
-    "q25_minhash_neardup", "q40_theta_set_ops", "q43_stratified_sample",
-    "q45_decontamination",
+    "q25_minhash_neardup", "q27_lang_id", "q40_theta_set_ops",
+    "q43_stratified_sample", "q45_decontamination",
 ]
 
 

@@ -1,14 +1,13 @@
 """Text-analysis column functions for large-scale corpus pipelines.
 
-Everything that can be a Catalyst expression is one (JVM-side, whole-stage
-codegen — token counts, quality ratios, fingerprints); language-ID is a
-vectorized pandas UDF (marker-word counting via pandas str ops, no per-row
-Python loops).
+Everything is a Catalyst expression (JVM-side, whole-stage codegen) —
+token counts, quality ratios, fingerprints, PII redaction, repetition
+signals, and language-ID (marker counting via codegen regexp_count, no
+Python anywhere on the text path).
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, functions as F
 
 from ..config import DEFAULT_SEED
@@ -96,39 +95,35 @@ _LANG_MARKERS = {
 }
 
 
-def _lang_id_batch(texts: pd.Series) -> pd.Series:
-    """N-gram-marker language guesser: counts per-language stopword markers
-    with vectorized str.count, argmax wins (first language in _LANG_MARKERS
-    order on ties); 'und' (undetermined) when no marker fires.
-
-    Normalization is deliberately ASCII-only ([^a-zA-Z0-9_\\s], not \\w) so
-    the computation is reproducible bit-for-bit in RE2-based engines
-    (DuckDB oracle in __spark_entry__._lang_id_oracle_sql) — the markers
-    themselves are ASCII stopwords, so this loses nothing."""
-    padded = (" " + texts.fillna("").str.lower()
-              .str.replace(r"[^a-zA-Z0-9_\s]", " ", regex=True)
-              .str.replace(r"\s+", " ", regex=True) + " ")
-    best_lang = pd.Series(["und"] * len(texts), index=texts.index)
-    best_score = pd.Series([0] * len(texts), index=texts.index)
-    for lang, markers in _LANG_MARKERS.items():
-        score = sum(padded.str.count(m.replace(" ", r"\s")) for m in markers)
-        better = score > best_score
-        best_lang = best_lang.where(~better, lang)
-        best_score = best_score.where(~better, score)
-    return best_lang
-
-
-_LANG_ID_UDF = None
-
-
 def lang_id(col) -> Column:
-    """Language-ID column (vectorized pandas UDF; built lazily because
-    pandas_udf needs an active SparkSession)."""
-    global _LANG_ID_UDF
-    if _LANG_ID_UDF is None:
-        _LANG_ID_UDF = F.pandas_udf(_lang_id_batch, "string")
+    """N-gram-marker language guesser, pure Catalyst: per-language
+    stopword-marker occurrences via codegen `regexp_count`, argmax wins
+    (first language in _LANG_MARKERS order on ties); 'und' (undetermined)
+    when no marker fires. No Python on the text path — at 100 TB the
+    document bytes never cross the Arrow pipe for this signal.
+
+    Normalization is deliberately ASCII-only ([^a-zA-Z0-9_\\s], not \\w)
+    and every pattern is valid in both Java regex and RE2, so the
+    computation is reproducible bit-for-bit in RE2-based engines (DuckDB
+    oracle in __spark_entry__._lang_id_oracle_sql) — the markers
+    themselves are ASCII stopwords, so this loses nothing."""
     c = F.col(col) if isinstance(col, str) else col
-    return _LANG_ID_UDF(c)
+    padded = F.concat(
+        F.lit(" "),
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))),
+                             r"[^a-zA-Z0-9_\s]", " "),
+            r"\s+", " "),
+        F.lit(" "))
+    scores = {
+        lang: sum((F.regexp_count(padded, F.lit(m.replace(" ", r"\s")))
+                   for m in markers), start=F.lit(0))
+        for lang, markers in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    out = F.when(best <= 0, F.lit("und"))
+    for lang in _LANG_MARKERS:  # first language in order wins ties
+        out = out.when(scores[lang] == best, F.lit(lang))
+    return out
 
 
 #: PII scrub patterns, applied IN ORDER (emails before phones so the
