@@ -418,6 +418,34 @@ def _q_sql_surface_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("int").alias("within_bound")))
 
 
+def _q_sql_group_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY re-aggregation entirely in SQL (sql.py sketch_merge, a
+    grouped-agg pandas UDF): per-day HLL sketches rolled up to per-week
+    estimates with no drop back to the Python API — the 'coarser rollup
+    from a persisted sketch table' pattern. Emits the exact weekly count
+    (oracle-matchable) + within-3-sigma flag."""
+    from bloomfilter_spark.agg import grouped_sketch_table
+    from bloomfilter_spark.sketches import HyperLogLog
+    from bloomfilter_spark.sql import register_sketch_sql
+    register_sketch_sql(spark)
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+          .withColumn("day", F.to_date("ts")))
+    grouped_sketch_table(ev, ["day"], ["user_id"],
+                         lambda: HyperLogLog(14), salt=4) \
+        .createOrReplaceTempView("q55_daily_sketches")
+    est = spark.sql("""
+        SELECT weekofyear(day) AS week,
+               sketch_estimate(sketch_merge(sketch)) AS approx_users
+        FROM q55_daily_sketches GROUP BY weekofyear(day)""")
+    exact = ev.groupBy(F.weekofyear("day").alias("week")).agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    return (exact.join(est, "week")
+                 .select("week", "exact_users",
+                         _hll_within("exact_users", "approx_users")
+                         .cast("int").alias("within_bound")))
+
+
 # --------------------------------------------------------------------------
 # sketch queries in bound-assertion form: each emits the EXACT quantity the
 # oracle can recompute plus a within-published-error-bound flag whose oracle
@@ -1191,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_streaming_bloom_dedup": _q_streaming_bloom_dedup,
         "q40_theta_set_ops": _q_theta_set_ops,
         "q41_sql_surface_hll": _q_sql_surface_hll,
+        "q55_sql_group_merge": _q_sql_group_merge,
         "q42_kll_preagg_quantiles": _q_kll_preagg_quantiles,
         "q43_stratified_sample": _q_stratified_sample,
         "q44_budget_mixing": _q_budget_mixing,
@@ -1552,6 +1581,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS exact_users,
                    1 AS within_bound
             FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+        """,
+        "q55_sql_group_merge": """
+            SELECT weekofyear(CAST(ts AS DATE)) AS week,
+                   count(DISTINCT user_id) AS exact_users,
+                   1 AS within_bound
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1
         """,
         "q42_kll_preagg_quantiles": """
             SELECT CAST(q AS DOUBLE) AS q, rank_ok

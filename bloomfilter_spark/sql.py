@@ -31,11 +31,22 @@ convenience; interpolating `bloomfilter_spark.config.DEFAULT_SEED` as a
 literal keeps the hash inside whole-stage codegen and is preferred in hot
 paths.
 
+Plus ONE aggregate, so GROUP BY re-aggregation needs no drop out of SQL:
+
+  sketch_merge(sketch) -> binary           merge all of a group's sketches
+
+    SELECT week, sketch_estimate(sketch_merge(sketch)) AS users
+    FROM daily_sketches GROUP BY week
+
 Scale note: these are per-row scalar functions over *sketch rows* (one row
 per key/day/shard — already aggregated state, usually thousands of rows,
 never the raw corpus), so the pandas-UDF hop is off the 100 TB data path
-by construction. Merging MANY sketch rows (a GROUP BY) is aggregation, not
-a scalar function — use agg.merge_grouped_sketches for that.
+by construction. `sketch_merge` is a grouped-agg pandas UDF: Spark ships
+each group's rows to one task with no partial aggregation — fine here
+because groups are coarser rollups of already-aggregated rows (days into
+a week), i.e. a handful of blobs per group, never raw data. For merging
+HUGE sketch-row tables (millions of rows per output group) prefer
+agg.merge_grouped_sketches, whose tree merge partial-aggregates.
 """
 
 from __future__ import annotations
@@ -174,9 +185,26 @@ def sketch_merge_pair(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([m(x, y) for x, y in zip(a, b)])
 
 
+def sketch_merge(sketch: pd.Series) -> bytes:
+    """GROUP BY aggregate: merge every non-NULL sketch blob of the group
+    (same type/params, as the builders guarantee per table). The
+    Series->scalar type hints make pandas_udf infer a grouped-agg UDF, so
+    after registration this works directly under spark.sql GROUP BY and
+    as an unbounded-window function. Returns NULL for an all-NULL group
+    (the merge identity, matching sketch_merge_pair)."""
+    acc: Sketch | None = None
+    for b in sketch:
+        if b is None:
+            continue
+        sk = sketch_from_bytes(bytes(b))  # fresh parse: acc mutates
+        acc = sk if acc is None else acc.merge(sk)
+    return None if acc is None else acc.to_bytes()
+
+
 #: function name -> (python impl, SQL return type). The pandas_udf
 #: wrappers are built lazily inside register_sketch_sql because the
 #: decorator needs an active SparkSession (return-type resolution).
+#: sketch_merge's Series->scalar hints make it the one GROUPED_AGG here.
 SQL_FUNCTIONS = {
     "sketch_estimate": (sketch_estimate, "double"),
     "sketch_quantile": (sketch_quantile, "double"),
@@ -186,6 +214,7 @@ SQL_FUNCTIONS = {
     "theta_a_not_b_estimate": (theta_a_not_b_estimate, "double"),
     "theta_jaccard_estimate": (theta_jaccard_estimate, "double"),
     "sketch_merge_pair": (sketch_merge_pair, "binary"),
+    "sketch_merge": (sketch_merge, "binary"),
 }
 
 

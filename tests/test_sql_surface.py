@@ -171,3 +171,38 @@ def test_sql_theta_jaccard(spark):
     assert abs(row["j"] - true_j) < 0.05
     assert row["nj"] is None
     assert row["i"] > 0
+
+
+def test_sql_group_merge_weekly_rollup(spark, events):
+    """Per-week estimates computed from a per-day sketch table in PURE
+    spark.sql (sketch_merge grouped-agg + sketch_estimate) agree exactly
+    with the kernel-side merge of the same daily blobs."""
+    ev = (events.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+                .withColumn("day", F.to_date("ts")))
+    daily = grouped_sketch_table(ev, ["day"], ["user_id"],
+                                 lambda: HyperLogLog(12), salt=2)
+    daily.createOrReplaceTempView("daily_hll")
+    got = {r["week"]: r["est"] for r in spark.sql("""
+        SELECT weekofyear(day) AS week,
+               sketch_estimate(sketch_merge(sketch)) AS est
+        FROM daily_hll GROUP BY weekofyear(day)""").collect()}
+
+    # kernel reference: merge each week's daily blobs by hand
+    from collections import defaultdict
+    by_week = defaultdict(list)
+    for row in daily.collect():
+        by_week[row["day"].isocalendar()[1]].append(bytes(row["sketch"]))
+    assert set(got) == set(by_week)
+    for week, blobs in by_week.items():
+        acc = HyperLogLog.from_bytes(blobs[0])
+        for b in blobs[1:]:
+            acc = acc.merge(HyperLogLog.from_bytes(b))
+        assert got[week] == acc.estimate()
+
+
+def test_sql_group_merge_all_null_group_is_null(spark):
+    spark.createDataFrame([(1, None), (1, None)], "g int, sketch binary") \
+         .createOrReplaceTempView("null_sketches")
+    row = spark.sql("SELECT sketch_merge(sketch) AS m FROM null_sketches "
+                    "GROUP BY g").first()
+    assert row["m"] is None
