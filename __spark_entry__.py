@@ -1053,6 +1053,67 @@ def _q_grouped_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ok.cast("int").alias("rank_ok"))
 
 
+def _q_cms_grouped_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key CMS tables built JVM-side (jvm_build.cms_grouped_build_jvm:
+    codegen cell counting, O(keys x d*w) rows to assembly) and queried
+    from the SQL surface (cms_count + the engine's salted xxhash64): each
+    event_type's sketch point-queries that type's smallest user_id, and
+    the estimate must sit in the published sandwich
+    exact <= est <= exact + 2*eps*N_key."""
+    from bloomfilter_spark.jvm_build import cms_grouped_build_jvm
+    from bloomfilter_spark.sql import register_sketch_sql
+    register_sketch_sql(spark)
+    eps = 1e-4
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+    tbl = cms_grouped_build_jvm(ev, ["event_type"], ["user_id"],
+                                eps=eps, delta=1e-3)
+    probe = ev.groupBy("event_type").agg(F.min("user_id").alias("u"),
+                                         F.count("*").alias("n_key"))
+    exact = (ev.join(probe.select("event_type", "u"), "event_type")
+               .where(F.col("user_id") == F.col("u"))
+               .groupBy("event_type")
+               .agg(F.count("*").alias("exact_count")))
+    tbl.join(probe, "event_type").join(exact, "event_type") \
+       .createOrReplaceTempView("q56_cms_grouped")
+    est = spark.sql("""
+        SELECT event_type, exact_count, n_key,
+               cms_count(sketch, xxhash64(sketch_seed(), u)) AS est_count
+        FROM q56_cms_grouped""")
+    ok = ((F.col("est_count") >= F.col("exact_count"))
+          & (F.col("est_count") <= F.col("exact_count")
+             + F.floor(F.lit(2 * eps) * F.col("n_key")) + F.lit(1)))
+    return est.select("event_type", "exact_count",
+                      ok.cast("int").alias("cms_ok"))
+
+
+def _q_kll_grouped_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key KLL built via the grouped pre-aggregated path
+    (jvm_build.quantile_grouped_build_preagg: codegen value histogram,
+    one weighted insert per key) with the median read back through the
+    SQL surface; exact-rank verification as in q32."""
+    from bloomfilter_spark.jvm_build import quantile_grouped_build_preagg
+    from bloomfilter_spark.sketches import KLL
+    from bloomfilter_spark.sql import register_sketch_sql
+    register_sketch_sql(spark)
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    quantile_grouped_build_preagg(ev, ["event_type"], "value",
+                                  lambda: KLL(200)) \
+        .createOrReplaceTempView("q57_kll_grouped")
+    est = spark.sql("""
+        SELECT event_type, sketch_quantile(sketch, 0.5) AS p50
+        FROM q57_kll_grouped""")
+    ranked = (ev.join(est, "event_type")
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n_rows"),
+                     F.sum((F.col("value") <= F.col("p50")).cast("long"))
+                      .alias("rank_le")))
+    bound = 4 * KLL(200).rank_error_bound()
+    ok = (F.abs(F.col("rank_le") / F.col("n_rows") - 0.5) <= F.lit(bound))
+    return ranked.select("event_type", "n_rows",
+                         ok.cast("int").alias("rank_ok"))
+
+
 def _q_streaming_stateful_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming per-key HLL (applyInPandasWithState): the final
     streamed estimate per event_type must sit within the 3-sigma HLL bound
@@ -1220,6 +1281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_theta_set_ops": _q_theta_set_ops,
         "q41_sql_surface_hll": _q_sql_surface_hll,
         "q55_sql_group_merge": _q_sql_group_merge,
+        "q56_cms_grouped_jvm": _q_cms_grouped_jvm,
+        "q57_kll_grouped_preagg": _q_kll_grouped_preagg,
         "q42_kll_preagg_quantiles": _q_kll_preagg_quantiles,
         "q43_stratified_sample": _q_stratified_sample,
         "q44_budget_mixing": _q_budget_mixing,
@@ -1589,6 +1652,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id IS NOT NULL AND ts IS NOT NULL
             GROUP BY 1
+        """,
+        "q56_cms_grouped_jvm": """
+            WITH m AS (
+              SELECT event_type, min(user_id) AS u
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+              GROUP BY event_type
+            )
+            SELECT e.event_type, count(*) AS exact_count, 1 AS cms_ok
+            FROM events e
+            JOIN m ON e.event_type = m.event_type AND e.user_id = m.u
+            GROUP BY e.event_type
+        """,
+        "q57_kll_grouped_preagg": """
+            SELECT event_type, count(*) AS n_rows, 1 AS rank_ok
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
         """,
         "q42_kll_preagg_quantiles": """
             SELECT CAST(q AS DOUBLE) AS q, rank_ok

@@ -346,6 +346,116 @@ def cms_build_jvm(df: DataFrame, cols, width: int | None = None,
     return sk
 
 
+def cms_grouped_build_jvm(df: DataFrame, keys, cols,
+                          width: int | None = None, depth: int | None = None,
+                          eps: float | None = None, delta: float | None = None,
+                          seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-key Count-Min sketch table (keys..., sketch binary) with the
+    counting done JVM-side — the grouped analog of `cms_build_jvm`,
+    byte-identical per key to the kernel grouped build
+    (`agg.grouped_sketch_table` with a CMS factory; tested).
+
+    Plan: each row explodes into its d (row, col) cells (same K-M column
+    derivation as cms_build_jvm), one codegen `groupBy(keys, r, c).count()`
+    with map-side partial aggregation, then `applyInPandas` per key
+    assembles the table cells into a blob. Shuffle volume is bounded by
+    cells-touched-per-task and at most |keys| * d*w rows reach the
+    assembly stage — never n. This is the 100 TB path for per-day /
+    per-source heavy-hitter tables that must remain MERGEABLE and
+    persistable (warehouse.save_sketch_table); for a terminal per-key
+    top-k answer, `operators.topk.cms_heavy_hitters` per partition of the
+    key is the query-side consumer."""
+    from .sketches.cms import CountMinSketch
+    proto = CountMinSketch(width=width, depth=depth, eps=eps, delta=delta)
+    w, d = proto.width, proto.depth
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cs = _cols(cols)
+    spark = df.sparkSession
+    out_schema = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
+    ) + ", sketch binary"
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = CountMinSketch(width=w, depth=d)
+        sk.table[pdf["r"].to_numpy(dtype=np.int64),
+                 pdf["c"].to_numpy(dtype=np.int64)] = \
+            pdf["n"].to_numpy(dtype=np.int64).view(U64)
+        sk.total = int(pdf.loc[pdf["r"] == 0, "n"].sum())
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row["sketch"] = [sk.to_bytes()]
+        return pd.DataFrame(row)
+
+    with _wrap_arithmetic(spark):
+        base = (df.where(_notnull(cs))
+                  .select(*keys, hash_col(cs, seed).alias("__h"))
+                  .withColumn("__h2",
+                              _splitmix64_col(F.col("__h")).bitwiseOR(F.lit(1))))
+        structs = []
+        for j in range(1, d + 1):
+            base = base.withColumn(f"__g{j}", F.expr(f"__h + {j}L * __h2"))
+            rem = (f"(__g{j} - (shiftrightunsigned(__g{j}, 1) div {w}L)"
+                   f" * {2 * w}L)")
+            col = f"(CASE WHEN {rem} >= {w}L THEN {rem} - {w}L ELSE {rem} END)"
+            structs.append(f"struct({j - 1} AS r, {col} AS c)")
+        cells = (base.selectExpr(*keys,
+                                 f"explode(array({', '.join(structs)})) AS p")
+                     .groupBy(*keys, "p.r", "p.c")
+                     .agg(F.count("*").alias("n")))
+        out = cells.groupBy(*keys).applyInPandas(assemble, schema=out_schema)
+        # materialize inside the wrap window so the executed plan carries
+        # the non-ANSI evaluation mode it was built with
+        out = out.cache()
+        out.count()
+    return out
+
+
+def quantile_grouped_build_preagg(df: DataFrame, keys, col, factory,
+                                  max_cardinality: int = 2_000_000) -> DataFrame:
+    """Per-key quantile-sketch table (keys..., sketch binary) via the
+    pre-aggregated path — the grouped analog of `quantile_build_preagg`.
+
+    `groupBy(keys, value).count()` runs in codegen with map-side partial
+    aggregation, so only (key, distinct-value, count) triples cross the
+    Arrow pipe — |keys| * per-key-cardinality rows, never n — and each
+    key's sketch absorbs its pairs via one weighted insert. Pairs are
+    sorted by value before insertion, making the blob a deterministic
+    function of the key's value histogram (partition/cluster invariant —
+    tested); the same published rank bounds hold (update_weighted).
+
+    ``max_cardinality`` bounds the per-key distinct-value count (checked
+    per key at assembly); beyond it use the kernel grouped build
+    (`agg.grouped_sketch_table`), whose cost is per-row but
+    unconditional."""
+    sk0 = factory()
+    if sk0.HASH_KEYED:
+        raise ValueError("quantile_grouped_build_preagg is for value "
+                         "sketches (KLL/TDigest), not hash-keyed ones")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    c = _cols([col])[0].cast("double")
+    out_schema = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
+    ) + ", sketch binary"
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cardinality:
+            raise ValueError(
+                f"key {tuple(pdf[k].iloc[0] for k in keys)!r} has > "
+                f"{max_cardinality} distinct values; use the kernel "
+                "grouped build (agg.grouped_sketch_table)")
+        pdf = pdf.sort_values("__v")
+        sk = factory()
+        sk.update_weighted(pdf["__v"].to_numpy(dtype=np.float64),
+                           pdf["__w"].to_numpy(dtype=np.int64))
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row["sketch"] = [sk.to_bytes()]
+        return pd.DataFrame(row)
+
+    cells = (df.where(c.isNotNull() & ~F.isnan(c))
+               .groupBy(*keys, c.alias("__v"))
+               .agg(F.count(F.lit(1)).alias("__w")))
+    return cells.groupBy(*keys).applyInPandas(assemble, schema=out_schema)
+
+
 def build_sharded_bloom_jvm(df: DataFrame, cols, capacity: int,
                             fpr: float = 0.01, n_shards: int = 32,
                             seed: int = DEFAULT_SEED) -> DataFrame:

@@ -152,3 +152,77 @@ def test_hll_grouped_estimate_jvm_accuracy(spark, lineitem):
     tol = 3 * 1.04 / (1 << p) ** 0.5
     for r in est.join(exact, "l_returnflag").collect():
         assert abs(r["est"] - r["exact"]) <= tol * r["exact"] + 3
+
+
+def test_cms_grouped_build_jvm_byte_identical(spark, events):
+    """Per-key CMS blobs from the JVM-reduced grouped build equal the
+    kernel grouped build byte-for-byte."""
+    from bloomfilter_spark.agg import grouped_sketch_table
+    from bloomfilter_spark.jvm_build import cms_grouped_build_jvm
+    kern = {r["event_type"]: bytes(r["sketch"]) for r in grouped_sketch_table(
+        events, ["event_type"], ["user_id"],
+        lambda: CountMinSketch(width=4096, depth=5)).collect()}
+    jvm = {r["event_type"]: bytes(r["sketch"]) for r in cms_grouped_build_jvm(
+        events, ["event_type"], ["user_id"],
+        width=4096, depth=5).collect()}
+    assert kern == jvm and len(jvm) > 1
+
+
+def test_cms_grouped_build_jvm_partition_invariant(spark, events):
+    from bloomfilter_spark.jvm_build import cms_grouped_build_jvm
+    a = {r["event_type"]: bytes(r["sketch"]) for r in cms_grouped_build_jvm(
+        events, ["event_type"], ["user_id"], width=2048, depth=4).collect()}
+    b = {r["event_type"]: bytes(r["sketch"]) for r in cms_grouped_build_jvm(
+        events.repartition(13), ["event_type"], ["user_id"],
+        width=2048, depth=4).collect()}
+    assert a == b
+
+
+def test_quantile_grouped_build_preagg_matches_reference(spark, lineitem):
+    """Per-key KLL blobs from the grouped pre-agg build are byte-equal to
+    a driver-side reference: the same sorted (value, count) pairs fed
+    through one weighted insert."""
+    from collections import defaultdict
+    from bloomfilter_spark.jvm_build import quantile_grouped_build_preagg
+    from bloomfilter_spark.sketches import KLL
+    got = {r["l_returnflag"]: bytes(r["sketch"])
+           for r in quantile_grouped_build_preagg(
+               lineitem, ["l_returnflag"], "l_quantity",
+               lambda: KLL(200)).collect()}
+
+    pairs = defaultdict(dict)
+    for r in (lineitem.groupBy("l_returnflag",
+                               F.col("l_quantity").cast("double").alias("v"))
+                      .count().collect()):
+        pairs[r["l_returnflag"]][r["v"]] = r["count"]
+    assert set(got) == set(pairs)
+    for key, vw in pairs.items():
+        vs = np.array(sorted(vw), dtype=np.float64)
+        ws = np.array([vw[v] for v in vs], dtype=np.int64)
+        ref = KLL(200)
+        ref.update_weighted(vs, ws)
+        assert got[key] == ref.to_bytes()
+
+
+def test_quantile_grouped_build_preagg_partition_invariant_and_bounds(spark, lineitem):
+    """Blob determinism across physical layouts + the KLL rank guarantee
+    per key (epsilon ~ 1.7%/sqrt-ish at k=200; use a loose 5% bound)."""
+    from bloomfilter_spark.jvm_build import quantile_grouped_build_preagg
+    from bloomfilter_spark.sketches import KLL
+    a = {r["l_returnflag"]: bytes(r["sketch"])
+         for r in quantile_grouped_build_preagg(
+             lineitem, ["l_returnflag"], "l_extendedprice",
+             lambda: KLL(200)).collect()}
+    b = {r["l_returnflag"]: bytes(r["sketch"])
+         for r in quantile_grouped_build_preagg(
+             lineitem.repartition(11), ["l_returnflag"], "l_extendedprice",
+             lambda: KLL(200)).collect()}
+    assert a == b
+    for key, blob in a.items():
+        vals = np.array([r["v"] for r in lineitem
+                        .where(F.col("l_returnflag") == key)
+                        .select(F.col("l_extendedprice").cast("double")
+                                .alias("v")).collect()])
+        est = KLL.from_bytes(blob).quantile(0.5)
+        rank = (vals <= est).mean()
+        assert 0.45 <= rank <= 0.55, (key, rank)
