@@ -1087,6 +1087,34 @@ def _q_cms_grouped_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ok.cast("int").alias("cms_ok"))
 
 
+def _q_bloom_grouped_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key Bloom 'seen-set' tables built JVM-side
+    (jvm_build.bloom_grouped_build_jvm: codegen probes + bit_or words,
+    O(keys x m/64) rows to assembly) and probed from the SQL surface:
+    every key's own members MUST be found in that key's filter (the
+    reference's zero-false-negative law, per key)."""
+    from bloomfilter_spark.jvm_build import bloom_grouped_build_jvm
+    from bloomfilter_spark.sql import register_sketch_sql
+    register_sketch_sql(spark)
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+    tbl = bloom_grouped_build_jvm(ev, ["event_type"], ["user_id"],
+                                  capacity=ev.count(), fpr=0.01)
+    members = ev.select("event_type", "user_id").distinct()
+    members.join(tbl, "event_type") \
+           .createOrReplaceTempView("q58_bloom_grouped")
+    found = spark.sql("""
+        SELECT event_type,
+               count(*) AS n_users,
+               sum(CASE WHEN bloom_contains(
+                     sketch, xxhash64(sketch_seed(), user_id))
+                   THEN 1 ELSE 0 END) AS n_found
+        FROM q58_bloom_grouped GROUP BY event_type""")
+    return found.select("event_type", "n_users",
+                        (F.col("n_found") == F.col("n_users"))
+                        .cast("int").alias("all_found"))
+
+
 def _q_kll_grouped_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key KLL built via the grouped pre-aggregated path
     (jvm_build.quantile_grouped_build_preagg: codegen value histogram,
@@ -1283,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_sql_group_merge": _q_sql_group_merge,
         "q56_cms_grouped_jvm": _q_cms_grouped_jvm,
         "q57_kll_grouped_preagg": _q_kll_grouped_preagg,
+        "q58_bloom_grouped_jvm": _q_bloom_grouped_jvm,
         "q42_kll_preagg_quantiles": _q_kll_preagg_quantiles,
         "q43_stratified_sample": _q_stratified_sample,
         "q44_budget_mixing": _q_budget_mixing,
@@ -1668,6 +1697,13 @@ def oracle_sql() -> dict[str, str]:
         "q57_kll_grouped_preagg": """
             SELECT event_type, count(*) AS n_rows, 1 AS rank_ok
             FROM events WHERE value IS NOT NULL GROUP BY event_type
+        """,
+        "q58_bloom_grouped_jvm": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   1 AS all_found
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY event_type
         """,
         "q42_kll_preagg_quantiles": """
             SELECT CAST(q AS DOUBLE) AS q, rank_ok

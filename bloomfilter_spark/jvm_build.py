@@ -409,6 +409,75 @@ def cms_grouped_build_jvm(df: DataFrame, keys, cols,
     return out
 
 
+def bloom_grouped_build_jvm(df: DataFrame, keys, cols,
+                            capacity: int | None = None, fpr: float = 0.01,
+                            m: int | None = None, k: int | None = None,
+                            seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-key Bloom filter table (keys..., sketch binary) with all probe
+    and OR work in codegen — the grouped analog of
+    `build_sharded_bloom_jvm`, byte-identical per key to the kernel
+    grouped build (`agg.grouped_sketch_table` with a Bloom factory;
+    tested). The per-day / per-source "seen-set" table: persist it
+    (warehouse.save_sketch_table), union it incrementally, probe it from
+    SQL (bloom_contains).
+
+    Plan: k (word, bit) probe pairs per row (same K-M derivation as the
+    kernel, n_shards=1 routing), one map-side-combined
+    `groupBy(keys, word).agg(bit_or(mask))`, then `applyInPandas` per key
+    packs words into a blob — at most |keys| * m/64 rows reach assembly,
+    never n.
+
+    Geometry is shared by every key (a mergeable table needs one (m, k)):
+    size via ``capacity`` = expected distinct insertions of the LARGEST
+    key + ``fpr``, or pass ``m``/``k`` directly. Smaller keys just run
+    sparser (sparse wire format absorbs the disk cost)."""
+    from .sizing import suggest_sizing
+    if m is None or k is None:
+        if capacity is None:
+            raise ValueError("pass capacity (+ fpr) or explicit m and k")
+        m, k = suggest_sizing(capacity, fpr)
+    proto = BloomFilter(m, k)           # clamps m to a power of two
+    m, wps = proto.num_bits, proto.num_bits // 64
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cs = _cols(cols)
+    spark = df.sparkSession
+    out_schema = ", ".join(
+        f"{kk} {df.schema[kk].dataType.simpleString()}" for kk in keys
+    ) + ", sketch binary"
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(m, k)
+        bf.words[pdf["w"].to_numpy(dtype=np.int64)] = \
+            pdf["bits"].to_numpy(dtype=np.int64).view(U64)
+        row = {kk: [pdf[kk].iloc[0]] for kk in keys}
+        row["sketch"] = [bf.to_bytes()]
+        return pd.DataFrame(row)
+
+    with _wrap_arithmetic(spark):
+        base = (df.where(_notnull(cs))
+                  .select(*keys, hash_col(cs, seed).alias("__h"))
+                  .withColumn("__h2",
+                              _splitmix64_col(F.col("__h")).bitwiseOR(F.lit(1))))
+        probes = []
+        for i in range(k):
+            p_i = (F.col("__h") + F.lit(i) * F.col("__h2")) \
+                .bitwiseAND(F.lit(m - 1))
+            probes.append(F.struct(
+                F.shiftrightunsigned(p_i, 6).alias("w"),
+                p_i.bitwiseAND(F.lit(63)).alias("b")))
+        words = (base.select(*keys, F.explode(F.array(*probes)).alias("p"))
+                     .select(*keys, F.col("p.w").alias("w"),
+                             F.expr("shiftleft(1L, CAST(p.b AS INT))")
+                              .alias("m"))
+                     .groupBy(*keys, "w").agg(F.bit_or("m").alias("bits")))
+        out = words.groupBy(*keys).applyInPandas(assemble, schema=out_schema)
+        # materialize inside the wrap window so the executed plan carries
+        # the non-ANSI evaluation mode it was built with
+        out = out.cache()
+        out.count()
+    return out
+
+
 def quantile_grouped_build_preagg(df: DataFrame, keys, col, factory,
                                   max_cardinality: int = 2_000_000) -> DataFrame:
     """Per-key quantile-sketch table (keys..., sketch binary) via the

@@ -226,3 +226,41 @@ def test_quantile_grouped_build_preagg_partition_invariant_and_bounds(spark, lin
         est = KLL.from_bytes(blob).quantile(0.5)
         rank = (vals <= est).mean()
         assert 0.45 <= rank <= 0.55, (key, rank)
+
+
+def test_bloom_grouped_build_jvm_byte_identical(spark, events):
+    """Per-key Bloom blobs from the JVM-reduced grouped build equal the
+    kernel grouped build byte-for-byte, and answer membership with zero
+    false negatives per key."""
+    from bloomfilter_spark.agg import grouped_sketch_table
+    from bloomfilter_spark.jvm_build import bloom_grouped_build_jvm
+    from bloomfilter_spark.sketches import BloomFilter
+    from bloomfilter_spark.agg import hash_col
+    from pyspark.sql import functions as F
+    m, k = 1 << 14, 5
+    kern = {r["event_type"]: bytes(r["sketch"]) for r in grouped_sketch_table(
+        events, ["event_type"], ["user_id"],
+        lambda: BloomFilter(m, k)).collect()}
+    jvm = {r["event_type"]: bytes(r["sketch"]) for r in bloom_grouped_build_jvm(
+        events, ["event_type"], ["user_id"], m=m, k=k).collect()}
+    assert kern == jvm and len(jvm) > 1
+
+    # zero FN: every key's own users are members of that key's filter
+    sample = (events.where(F.col("user_id").isNotNull())
+              .select("event_type",
+                      hash_col([F.col("user_id")]).alias("h"))
+              .limit(500).collect())
+    import numpy as np
+    for r in sample:
+        bf = BloomFilter.from_bytes(jvm[r["event_type"]])
+        assert bf.contains(np.array([r["h"]], dtype=np.int64).view(np.uint64))[0]
+
+
+def test_bloom_grouped_build_jvm_partition_invariant(spark, events):
+    from bloomfilter_spark.jvm_build import bloom_grouped_build_jvm
+    a = {r["event_type"]: bytes(r["sketch"]) for r in bloom_grouped_build_jvm(
+        events, ["event_type"], ["user_id"], capacity=20000, fpr=0.01).collect()}
+    b = {r["event_type"]: bytes(r["sketch"]) for r in bloom_grouped_build_jvm(
+        events.repartition(9), ["event_type"], ["user_id"],
+        capacity=20000, fpr=0.01).collect()}
+    assert a == b
