@@ -213,6 +213,12 @@ def main() -> None:
     hll = hll_box["hll"]
     spark.stop()
 
+    # second stamp AFTER the run: this host's grant ramps over minutes
+    # (rep lists often DESCEND 10-25x within one arm), so bracketing
+    # calibrations let a reader judge which reps saw real hardware
+    calib_end = (cpu_calibration()
+                 if os.environ.get("SPARK_GRAFT_CALIB", "1") != "0" else None)
+
     t_bloom = timings["build_bloom_sharded"]
     total_sketch = sum(timings[k] for k in
                        ("build_bloom_sharded", "build_hll", "build_cms_jvm",
@@ -229,6 +235,7 @@ def main() -> None:
         "n_turns": n_actual,
         "cores": cores,
         "cpu_calibration": calib,
+        "cpu_calibration_end": calib_end,
         "hll_estimate_convs": round(hll.estimate(), 1),
         "all_sketches_turns_per_sec": round(4 * n_actual / total_sketch, 1),
         "minhash_docs_per_sec": round(n_docs / timings["sig_minhash_1m"], 1),
