@@ -422,17 +422,18 @@ def _q_sql_group_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY re-aggregation entirely in SQL (sql.py sketch_merge, a
     grouped-agg pandas UDF): per-day HLL sketches rolled up to per-week
     estimates with no drop back to the Python API — the 'coarser rollup
-    from a persisted sketch table' pattern. Emits the exact weekly count
-    (oracle-matchable) + within-3-sigma flag."""
-    from bloomfilter_spark.agg import grouped_sketch_table
-    from bloomfilter_spark.sketches import HyperLogLog
+    from a persisted sketch table' pattern. The daily table itself comes
+    from the JVM-reduced grouped build (hll_grouped_build_jvm — registers
+    in codegen, O(days x 2^p) rows to assembly; byte-identical to the
+    kernel build). Emits the exact weekly count (oracle-matchable) +
+    within-3-sigma flag."""
+    from bloomfilter_spark.jvm_build import hll_grouped_build_jvm
     from bloomfilter_spark.sql import register_sketch_sql
     register_sketch_sql(spark)
     ev = (_t(spark, sf_dir, "events")
           .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
           .withColumn("day", F.to_date("ts")))
-    grouped_sketch_table(ev, ["day"], ["user_id"],
-                         lambda: HyperLogLog(14), salt=4) \
+    hll_grouped_build_jvm(ev, ["day"], ["user_id"], p=14) \
         .createOrReplaceTempView("q55_daily_sketches")
     est = spark.sql("""
         SELECT weekofyear(day) AS week,

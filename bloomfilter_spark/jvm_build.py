@@ -168,6 +168,42 @@ def hll_grouped_estimate_jvm(df: DataFrame, keys, cols, p: int = 14,
     return per_key.select(*keys, est.alias(out_col))
 
 
+def hll_grouped_build_jvm(df: DataFrame, keys, cols, p: int = 14,
+                          seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-key HLL sketch table (keys..., sketch binary), registers
+    computed JVM-side — the MERGEABLE counterpart of
+    `hll_grouped_estimate_jvm` (which is terminal: it returns estimates,
+    not state). Byte-identical per key to the kernel grouped build
+    (`agg.grouped_sketch_table`; tested). One map-side-combined
+    `groupBy(keys, register).agg(min(rest))` — ≤ |keys| * 2^p rows reach
+    assembly, never n — then `applyInPandas` packs each key's registers.
+    Persist (warehouse.save_sketch_table), union across corpora, estimate
+    from SQL (sketch_estimate)."""
+    HyperLogLog(p)  # validate p
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cs = _cols(cols)
+    h = hash_col(cs, seed)
+    reg = F.shiftrightunsigned(h, 64 - p)
+    mapped = F.shiftleft(h, p).bitwiseXOR(F.lit(_MIN64))  # unsigned-order key
+    out_schema = ", ".join(
+        f"{kk} {df.schema[kk].dataType.simpleString()}" for kk in keys
+    ) + ", sketch binary"
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = HyperLogLog(p)
+        rest = pdf["__mk"].to_numpy(dtype=np.int64).view(U64) ^ U64(1 << 63)
+        rho = np.minimum(clz64(rest) + 1, 64 - p + 1).astype(np.uint8)
+        sk.registers[pdf["__reg"].to_numpy(dtype=np.int64)] = rho
+        row = {kk: [pdf[kk].iloc[0]] for kk in keys}
+        row["sketch"] = [sk.to_bytes()]
+        return pd.DataFrame(row)
+
+    per_reg = (df.where(_notnull(cs))
+                 .groupBy(*keys, reg.alias("__reg"))
+                 .agg(F.min(mapped).alias("__mk")))
+    return per_reg.groupBy(*keys).applyInPandas(assemble, schema=out_schema)
+
+
 # --------------------------------------------------------------------------
 # one-scan JVM-reduced family build (HLL + CMS)
 # --------------------------------------------------------------------------
@@ -648,6 +684,47 @@ def theta_grouped_estimate_jvm(df: DataFrame, keys, cols, k: int = 4096,
     est = F.when(F.col("__th").isNull(), F.col("__n").cast("double")) \
            .otherwise(F.lit(float(k)) / theta_norm)
     return per_key.select(*keys, est.alias(out_col))
+
+
+def theta_grouped_build_jvm(df: DataFrame, keys, cols, k: int = 4096,
+                            seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-key theta sketch table (keys..., sketch binary) — the
+    MERGEABLE counterpart of `theta_grouped_estimate_jvm`, byte-identical
+    per key to the kernel grouped build (eager-trim canonical state:
+    retained = the k smallest distinct hashes, theta = the (k+1)-th;
+    tested). Plan: distinct (key, hash) -> per-key window rank in
+    unsigned order, keep rank <= k+1 (≤ |keys| * (k+1) rows reach
+    assembly) -> `applyInPandas` packs each key's retained set. The sort
+    is per-key, shuffle-partitioned, never global."""
+    from pyspark.sql import Window
+    from .sketches.theta import ThetaSketch, _THETA_MAX
+    ThetaSketch(k)  # validate k
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cs = _cols(cols)
+    hf = hash_col(cs, seed).bitwiseXOR(F.lit(_MIN64))  # unsigned-order key
+    out_schema = ", ".join(
+        f"{kk} {df.schema[kk].dataType.simpleString()}" for kk in keys
+    ) + ", sketch binary"
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.sort(pdf["__hf"].to_numpy(dtype=np.int64).view(U64)
+                      ^ U64(1 << 63))
+        arr = arr[arr < _THETA_MAX]
+        sk = ThetaSketch(k)
+        if arr.size > k:
+            sk.theta = arr[k]
+            arr = arr[:k]
+        sk.retained = arr
+        row = {kk: [pdf[kk].iloc[0]] for kk in keys}
+        row["sketch"] = [sk.to_bytes()]
+        return pd.DataFrame(row)
+
+    d = (df.where(_notnull(cs))
+           .select(*keys, hf.alias("__hf")).distinct())
+    w = Window.partitionBy(*keys).orderBy("__hf")
+    ranked = (d.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= k + 1).drop("__rn"))
+    return ranked.groupBy(*keys).applyInPandas(assemble, schema=out_schema)
 
 
 # --------------------------------------------------------------------------

@@ -264,3 +264,38 @@ def test_bloom_grouped_build_jvm_partition_invariant(spark, events):
         events.repartition(9), ["event_type"], ["user_id"],
         capacity=20000, fpr=0.01).collect()}
     assert a == b
+
+
+def test_hll_grouped_build_jvm_byte_identical(spark, events):
+    from bloomfilter_spark.agg import grouped_sketch_table
+    from bloomfilter_spark.jvm_build import hll_grouped_build_jvm
+    kern = {r["event_type"]: bytes(r["sketch"]) for r in grouped_sketch_table(
+        events, ["event_type"], ["user_id"],
+        lambda: HyperLogLog(12)).collect()}
+    jvm = {r["event_type"]: bytes(r["sketch"]) for r in hll_grouped_build_jvm(
+        events, ["event_type"], ["user_id"], p=12).collect()}
+    assert kern == jvm and len(jvm) > 1
+    # re-grouped (repartitioned) input gives the same blobs
+    jvm2 = {r["event_type"]: bytes(r["sketch"]) for r in hll_grouped_build_jvm(
+        events.repartition(7), ["event_type"], ["user_id"], p=12).collect()}
+    assert jvm == jvm2
+
+
+def test_theta_grouped_build_jvm_byte_identical(spark, events):
+    from bloomfilter_spark.agg import grouped_sketch_table
+    from bloomfilter_spark.jvm_build import theta_grouped_build_jvm
+    from bloomfilter_spark.sketches import ThetaSketch
+    # small k vs high-cardinality event_id so theta engages per key
+    kern = {r["event_type"]: bytes(r["sketch"]) for r in grouped_sketch_table(
+        events, ["event_type"], ["event_id"],
+        lambda: ThetaSketch(64)).collect()}
+    jvm = {r["event_type"]: bytes(r["sketch"]) for r in theta_grouped_build_jvm(
+        events, ["event_type"], ["event_id"], k=64).collect()}
+    assert kern == jvm and len(jvm) > 1
+    # theta engages (eager-trim to k) for at least one key; small keys
+    # stay exact (retained = all distinct, theta at max)
+    sizes = {ThetaSketch.from_bytes(b).retained.size for b in jvm.values()}
+    assert 64 in sizes
+    jvm2 = {r["event_type"]: bytes(r["sketch"]) for r in theta_grouped_build_jvm(
+        events.repartition(5), ["event_type"], ["event_id"], k=64).collect()}
+    assert jvm == jvm2
