@@ -1175,6 +1175,45 @@ def _q_streaming_stateful_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("int").alias("within_bound")))
 
 
+def _q_streaming_stateful_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming per-key KLL quantiles (applyInPandasWithState,
+    streaming/sketch_stream.stateful_grouped_quantile): the final
+    streamed median per event_type must satisfy the published KLL rank
+    bound against the exact per-key values. Emits the exact group size
+    (oracle-matchable) + rank-within-bound flag, mirroring q32's batch
+    form."""
+    import os
+    from bloomfilter_spark.sketches import KLL
+    from bloomfilter_spark.streaming import stateful_grouped_quantile
+    ev_schema = _t(spark, sf_dir, "events").schema
+    key = os.path.basename(os.path.normpath(sf_dir))
+    stream_dir = f"/tmp/bloomfilter_spark_stream/{key}/events"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(ev_schema).parquet(stream_dir)
+    out = stateful_grouped_quantile(stream, "event_type", "value",
+                                    quantiles=(0.5,))
+    name = "kll_state_" + str(abs(hash(sf_dir)) % 100000)
+    q = (out.writeStream.outputMode("update").format("memory")
+            .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    est = spark.sql(
+        f"""SELECT event_type, max_by(est, n_updates) AS p50 FROM {name}
+            WHERE q = 0.5 GROUP BY event_type""")
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ranked = (ev.join(est, "event_type")
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n_rows"),
+                     F.sum((F.col("value") <= F.col("p50")).cast("long"))
+                      .alias("rank_le")))
+    bound = 4 * KLL(200).rank_error_bound()
+    ok = (F.abs(F.col("rank_le") / F.col("n_rows") - 0.5) <= F.lit(bound))
+    return ranked.select("event_type", "n_rows",
+                         ok.cast("int").alias("rank_ok"))
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-3-gram Jaccard for 20 fixed doc pairs — the near-dup
     verification kernel as pure DataFrame set algebra, fully recomputed by
@@ -1313,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_cms_grouped_jvm": _q_cms_grouped_jvm,
         "q57_kll_grouped_preagg": _q_kll_grouped_preagg,
         "q58_bloom_grouped_jvm": _q_bloom_grouped_jvm,
+        "q59_streaming_kll_quantile": _q_streaming_stateful_quantile,
         "q42_kll_preagg_quantiles": _q_kll_preagg_quantiles,
         "q43_stratified_sample": _q_stratified_sample,
         "q44_budget_mixing": _q_budget_mixing,
@@ -1705,6 +1745,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IS NOT NULL AND user_id IS NOT NULL
             GROUP BY event_type
+        """,
+        "q59_streaming_kll_quantile": """
+            SELECT event_type, count(*) AS n_rows, 1 AS rank_ok
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
         """,
         "q42_kll_preagg_quantiles": """
             SELECT CAST(q AS DOUBLE) AS q, rank_ok

@@ -122,3 +122,58 @@ def stateful_grouped_hll(stream_df: DataFrame, key_col: str, value_col: str,
     return (hashed.groupBy(key_col)
                   .applyInPandasWithState(fn, out_schema, state_schema,
                                           "update", GroupStateTimeout.NoTimeout))
+
+
+def stateful_grouped_quantile(stream_df: DataFrame, key_col: str,
+                              value_col: str,
+                              factory: Callable[[], Sketch] = None,
+                              quantiles=(0.5, 0.9, 0.99)) -> DataFrame:
+    """Per-key running quantiles over a stream: one serialized value
+    sketch (KLL by default, any value sketch via ``factory``) per key in
+    Spark's state store, updated vectorized per batch-group; emits one
+    (key, q, est, n_updates) row per requested quantile in update mode —
+    the streaming 'latency quantiles per group' operator. The same
+    published rank bounds hold as for the batch build: the state is a
+    genuine KLL/t-digest folded over the stream, not a heuristic.
+    Watermark-compatible: pass an event-time watermarked stream for
+    bounded state."""
+    from ..sketches.kll import KLL
+    factory = factory or (lambda: KLL(200))
+    proto = factory()
+    if proto.HASH_KEYED:
+        raise ValueError("stateful_grouped_quantile needs a value sketch "
+                         "(KLL/TDigest), not a hash-keyed one")
+    qs = [float(q) for q in quantiles]
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("q", T.DoubleType()),
+        T.StructField("est", T.DoubleType()),
+        T.StructField("n_updates", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("sketch", T.BinaryType()),
+        T.StructField("n_updates", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        n = 0
+        if state.exists:
+            blob, n = state.get
+            sk = type(proto).from_bytes(bytes(blob))
+        else:
+            sk = factory()
+        for pdf in pdfs:
+            sk.update(pdf["__v"].to_numpy(dtype="float64"))
+            n += len(pdf)
+        state.update((sk.to_bytes(), n))
+        yield pd.DataFrame({key_col: [key[0]] * len(qs), "q": qs,
+                            "est": [float(sk.quantile(q)) for q in qs],
+                            "n_updates": [n] * len(qs)})
+
+    v = F.col(value_col).cast("double")
+    vals = (stream_df.where(v.isNotNull() & ~F.isnan(v))
+            .select(F.col(key_col).cast("string").alias(key_col),
+                    v.alias("__v")))
+    return (vals.groupBy(key_col)
+                .applyInPandasWithState(fn, out_schema, state_schema,
+                                        "update", GroupStateTimeout.NoTimeout))

@@ -381,3 +381,51 @@ def test_bloom_dedup_stream_null_keys_pass_through(spark, tmp_path):
     emitted = pd.concat(out, ignore_index=True)
     assert len(emitted[emitted["k"].isna()]) == 4   # 2 per epoch, kept
     assert len(emitted[emitted["k"].notna()]) == 1  # key 1 exactly once
+
+
+def test_stateful_grouped_quantile_stream(spark, tmp_path, events):
+    """Streaming per-key KLL: final streamed quantiles satisfy the
+    published rank bound against the exact per-key values, and n_updates
+    matches the exact row counts."""
+    from bloomfilter_spark.sketches import KLL
+    from bloomfilter_spark.streaming import stateful_grouped_quantile
+
+    src = str(tmp_path / "q_src")
+    ev = events.where(F.col("value").isNotNull())
+    ev.repartition(2).write.parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful_grouped_quantile(stream, "event_type", "value",
+                                    quantiles=(0.5, 0.9))
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("kll_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # keep each key's LAST emission (max n_updates = full stream folded)
+    res = spark.sql("""
+        SELECT event_type, q, est, n_updates FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type, q
+                                       ORDER BY n_updates DESC) AS rn
+          FROM kll_stream) WHERE rn = 1""").collect()
+    assert res
+    bound = 4 * KLL(200).rank_error_bound()
+    exact_n = {r["event_type"]: r["n"] for r in
+               ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert {r["event_type"] for r in res} == set(exact_n)
+    for r in res:
+        assert r["n_updates"] == exact_n[r["event_type"]]
+        vals = [x["value"] for x in
+                ev.where(F.col("event_type") == r["event_type"])
+                  .select(F.col("value").cast("double").alias("value"))
+                  .collect()]
+        rank = sum(v <= r["est"] for v in vals) / len(vals)
+        assert abs(rank - r["q"]) <= bound, (r["event_type"], r["q"], rank)
+
+
+def test_stateful_grouped_quantile_rejects_hash_keyed(spark):
+    import pytest
+    from bloomfilter_spark.sketches import HyperLogLog
+    from bloomfilter_spark.streaming import stateful_grouped_quantile
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="value sketch"):
+        stateful_grouped_quantile(df, "value", "value",
+                                  factory=lambda: HyperLogLog(12))
