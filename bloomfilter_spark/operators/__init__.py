@@ -9,6 +9,9 @@ from .dedup import (dedup_exact, dedup_lines, keep_first_n,
                     minhash_lsh_dedup, minhash_signatures,
                     ngram_jaccard_pairs, simhash_near_dups,
                     simhash_signatures)
+from .layout import (equidepth_bucket, hash_bucket, kll_cut_points,
+                     sketch_range_bucket, write_range_partitioned,
+                     zorder_key, zorder_write)
 from .multimodal import decode_and_featurize, sample_video_frames
 from .quantiles import grouped_quantiles, quantiles
 from .sampling import (hash_sample, sample_to_budget, sample_uniform_col,
@@ -41,4 +44,6 @@ __all__ = [
     "sample_to_budget", "sample_uniform_col",
     "decontaminate", "contamination_scores", "build_reference_ngram_bloom",
     "word_ngram_hashes",
+    "zorder_key", "zorder_write", "hash_bucket", "equidepth_bucket",
+    "kll_cut_points", "sketch_range_bucket", "write_range_partitioned",
 ]
