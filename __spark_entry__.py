@@ -1301,6 +1301,70 @@ def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries int, recall_ok int")
 
 
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): assemble documents into
+    fixed-budget training sequences via hash-bucketed next-fit-decreasing
+    (one shuffle; the only Python loop is one searchsorted per PACK).
+    Emits exact conservation values (doc count, token total, oversize
+    singleton count — all DuckDB-recomputable) plus the budget invariant
+    and the provable <= 2*total/budget + n_buckets pack-count bound."""
+    from bloomfilter_spark.operators.packing import pack_sequences, pack_stats
+    budget, n_buckets = 2000, 4
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("toks"))
+    packed = pack_sequences(docs, "doc_id", "toks", budget=budget,
+                            n_buckets=n_buckets)
+    row = pack_stats(packed, budget=budget, n_buckets=n_buckets).first()
+    return spark.createDataFrame(
+        [(row["n_docs"], row["total_tokens"],
+          int(row["within_budget"]), int(row["packs_bounded"]),
+          row["n_oversize"])],
+        "n_docs bigint, total_tokens bigint, within_budget int, "
+        "packs_bounded int, n_oversize bigint")
+
+
+def _q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering + Bloom file skipping (operators/layout.py):
+    lineitem rewritten along the Morton curve of
+    hash_bucket(l_partkey) x hash_bucket(l_suppkey), then single-key
+    probes on EACH interleaved dimension prune files while staying
+    row-identical to the full scan (zero FN). Emits the exact matched row
+    count for the min-partkey probe (oracle-recomputable) and
+    skipped-at-least-one-file flags for both dimensions."""
+    import tempfile
+
+    from bloomfilter_spark.operators.file_index import (
+        build_file_bloom_index, prune_files, pruned_read)
+    from bloomfilter_spark.operators.layout import hash_bucket, zorder_write
+    li = _t(spark, sf_dir, "lineitem")
+    path = tempfile.mkdtemp(prefix="q61_zorder_") + "/lineitem"
+    n_files = 8
+    zorder_write(li, path,
+                 [hash_bucket("l_partkey", 10), hash_bucket("l_suppkey", 10)],
+                 n_files=n_files, bits=10)
+
+    pk = li.agg(F.min("l_partkey")).first()[0]
+    sk = li.agg(F.min("l_suppkey")).first()[0]
+    pk_probe = spark.createDataFrame([(int(pk),)], "l_partkey long")
+    sk_probe = spark.createDataFrame([(int(sk),)], "l_suppkey long")
+
+    pk_idx = build_file_bloom_index(spark, path, ["l_partkey"], fpr=0.001)
+    sk_idx = build_file_bloom_index(spark, path, ["l_suppkey"], fpr=0.001)
+    pk_files = prune_files(pk_idx, ["l_partkey"], pk_probe)
+    sk_files = prune_files(sk_idx, ["l_suppkey"], sk_probe)
+
+    n_pruned = (pruned_read(spark, path, pk_idx, ["l_partkey"], pk_probe,
+                            files=pk_files)
+                .join(pk_probe, "l_partkey").count())
+    n_full = li.join(pk_probe, "l_partkey").count()
+    return spark.createDataFrame(
+        [(n_pruned, int(n_pruned == n_full),
+          int(0 < len(pk_files) < n_files),
+          int(0 < len(sk_files) < n_files))],
+        "n_rows_matched bigint, pruned_equals_full int, "
+        "partkey_files_skipped int, suppkey_files_skipped int")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1362,6 +1426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_theta_grouped_jvm": _q_theta_grouped_jvm,
         "q49_sparse_hll_warehouse": _q_sparse_hll_warehouse,
         "q50_file_pruned_lookup": _q_file_pruned_lookup,
+        "q60_sequence_packing": _q_sequence_packing,
+        "q61_zorder_pruning": _q_zorder_pruning,
         "q51_cms_conservative": _q_cms_conservative,
         "q52_line_dedup": _q_line_dedup,
         "q53_pii_redaction": _q_pii_redaction,
@@ -1819,6 +1885,20 @@ def oracle_sql() -> dict[str, str]:
                 (SELECT min(l_orderkey) FROM lineitem)
                 UNION ALL
                 (SELECT max(l_orderkey) FROM lineitem))
+        """,
+        "q60_sequence_packing": """
+            SELECT count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_tokens,
+                   1 AS within_budget, 1 AS packs_bounded,
+                   CAST(sum(CASE WHEN n_chars > 2000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oversize
+            FROM documents
+        """,
+        "q61_zorder_pruning": """
+            SELECT count(*) AS n_rows_matched, 1 AS pruned_equals_full,
+                   1 AS partkey_files_skipped, 1 AS suppkey_files_skipped
+            FROM lineitem
+            WHERE l_partkey = (SELECT min(l_partkey) FROM lineitem)
         """,
         "q51_cms_conservative": """
             SELECT event_type, count(*) AS exact_count,

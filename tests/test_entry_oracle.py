@@ -27,6 +27,7 @@ CHECKED = [
     "q27_lang_id", "q28_multimodal_features", "q29_sketch_cube",
     "q32_grouped_kll_quantiles", "q33_streaming_stateful_hll",
     "q34_ngram_jaccard", "q35_embedding_neardup_lsh", "q36_ann_lsh_recall",
+    "q60_sequence_packing", "q61_zorder_pruning",
 ]
 
 
