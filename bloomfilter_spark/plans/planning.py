@@ -7,8 +7,9 @@ runs (SURVEY.md §4, §7 hard parts c/d):
 - how many shards / merge partitions / shuffle partitions?
 - what does the two-cluster-size scaling contract require?
 
-Pure arithmetic — no SparkSession needed; used by the submit script and by
-operators to pick defaults.
+Pure arithmetic — no SparkSession needed (except `diagnose_skew`, which
+measures a real DataFrame); used by the submit script and by operators to
+pick defaults.
 """
 
 from __future__ import annotations
@@ -62,6 +63,43 @@ def shuffle_partitions_for(input_bytes: int, target_partition_bytes: int = 128 <
     """spark.sql.shuffle.partitions sizing: keep post-shuffle partitions
     near the target so they fit executor memory at any input scale."""
     return max(min_partitions, -(-input_bytes // target_partition_bytes))
+
+
+def suggest_salt(top_share: float, partitions: int,
+                 max_salt: int | None = None) -> int:
+    """Salt factor for a grouped shuffle given the hottest key's share of
+    all rows: enough splits that the hot key's largest slice is no bigger
+    than a fair partition (share/salt <= 1/partitions), clamped to
+    [1, max_salt or partitions]. share=0.3 on 32 partitions -> 10."""
+    if not (0.0 <= top_share <= 1.0):
+        raise ValueError("top_share must be in [0, 1]")
+    cap = max_salt or partitions
+    return min(cap, max(1, math.ceil(top_share * partitions)))
+
+
+def diagnose_skew(df, key_cols, partitions: int | None = None):
+    """Measure key skew with one map-side-combined pass and recommend a
+    salt factor: returns (top_key_tuple, top_share, suggested_salt).
+
+    The measurement is `groupBy(keys).count()` + ordered limit — the
+    shuffle carries one row per DISTINCT key (partial aggregation), so
+    the diagnosis itself is safe on the very distribution it diagnoses.
+    Feed the result to `agg.grouped_sketch_table(salt=...)` or any salted
+    repartition. One Spark job; run it on a sample for quick checks.
+    """
+    from pyspark.sql import functions as F
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("__n"))
+    row = counts.agg(
+        F.sum("__n").alias("__total"),
+        F.max(F.struct(F.col("__n"), *[F.col(k) for k in keys]))
+         .alias("__top")).first()
+    if row["__total"] is None:
+        return None, 0.0, 1
+    top, total = row["__top"], row["__total"]
+    share = top["__n"] / total
+    parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return tuple(top[k] for k in keys), share, suggest_salt(share, parts)
 
 
 def scaling_efficiency(throughput_n: float, throughput_4n: float) -> float:

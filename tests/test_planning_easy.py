@@ -59,3 +59,32 @@ def test_easy_approx_quantiles(spark, lineitem):
     for method in ("tdigest", "kll"):
         q50, q99 = approx_quantiles(lineitem, "l_quantity", [0.5, 0.99], method)
         assert q50 <= q99
+
+
+# --- skew diagnosis ------------------------------------------------------
+
+def test_suggest_salt_math():
+    from bloomfilter_spark.plans import suggest_salt
+    assert suggest_salt(0.3, 32) == 10
+    assert suggest_salt(0.0, 32) == 1
+    assert suggest_salt(1.0, 32) == 32
+    assert suggest_salt(0.5, 64, max_salt=16) == 16
+    with pytest.raises(ValueError):
+        suggest_salt(1.5, 32)
+
+
+def test_diagnose_skew_finds_hot_key(spark):
+    from bloomfilter_spark.plans import diagnose_skew
+    # 500 rows of key "hot" + 500 spread over 100 cold keys
+    hot = spark.range(500).selectExpr("'hot' AS k")
+    cold = spark.range(500).selectExpr("concat('c', id % 100) AS k")
+    key, share, salt = diagnose_skew(hot.unionAll(cold), "k", partitions=32)
+    assert key == ("hot",)
+    assert share == pytest.approx(0.5)
+    assert salt == 16
+
+
+def test_diagnose_skew_empty(spark):
+    from bloomfilter_spark.plans import diagnose_skew
+    df = spark.range(10).selectExpr("'x' AS k").where("1=0")
+    assert diagnose_skew(df, "k", partitions=8) == (None, 0.0, 1)
