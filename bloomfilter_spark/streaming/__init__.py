@@ -1,7 +1,10 @@
 from .dedup_stream import BloomDedupStream
 from .index_stream import StreamingFileIndexer
-from .sketch_stream import (SketchAccumulator, stateful_grouped_hll,
+from .sketch_stream import (SketchAccumulator,
+                            stateful_grouped_heavy_hitters,
+                            stateful_grouped_hll,
                             stateful_grouped_quantile)
 
 __all__ = ["BloomDedupStream", "StreamingFileIndexer", "SketchAccumulator",
-           "stateful_grouped_hll", "stateful_grouped_quantile"]
+           "stateful_grouped_hll", "stateful_grouped_quantile",
+           "stateful_grouped_heavy_hitters"]

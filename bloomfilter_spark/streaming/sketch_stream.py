@@ -8,10 +8,14 @@ Two patterns (SURVEY.md §2.6 streaming row):
    the chunking-invariance property, QC.hs:52-60). State is persisted per
    epoch for exactly-once-ish resume.
 
-2. ``stateful_grouped_hll`` — applyInPandasWithState: one serialized HLL
-   per key held in Spark's state store; emits (key, approx_distinct,
-   n_updates) in update mode. Watermark-compatible: pass an event-time
-   watermarked stream for bounded state.
+2. ``stateful_grouped_*`` — applyInPandasWithState: one serialized sketch
+   per key held in Spark's state store, updated vectorized per
+   batch-group, emitted in update mode. Three instances over the north
+   rule's query classes: ``_hll`` (distinct counts), ``_quantile``
+   (KLL/t-digest latency quantiles), ``_heavy_hitters`` (CMS + bounded
+   candidate list — the streaming form of `topk.cms_heavy_hitters`).
+   Watermark-compatible: pass an event-time watermarked stream for
+   bounded state.
 """
 
 from __future__ import annotations
@@ -177,3 +181,88 @@ def stateful_grouped_quantile(stream_df: DataFrame, key_col: str,
     return (vals.groupBy(key_col)
                 .applyInPandasWithState(fn, out_schema, state_schema,
                                         "update", GroupStateTimeout.NoTimeout))
+
+
+def stateful_grouped_heavy_hitters(stream_df: DataFrame, key_col: str,
+                                   item_col: str, k: int = 10,
+                                   n_candidates: int = 256,
+                                   eps: float = 1e-4, delta: float = 1e-3,
+                                   seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-key streaming heavy hitters: one CMS plus a bounded candidate
+    list per key in the state store (the streaming form of
+    `operators.topk.cms_heavy_hitters`).
+
+    Per batch-group: fold the batch into the key's CMS as (unique item,
+    count) — so state-update cost is per DISTINCT item, not per row —
+    then re-score the stored candidates UNION the batch's items against
+    the full-stream CMS and keep the ``n_candidates`` best. Emits the
+    current top-``k`` (key, item, est_count, n_updates) rows in update
+    mode.
+
+    Guarantees: est_count never undercounts and is within eps*N_key of
+    exact (CMS bound, N_key = the key's stream length). A final top-k
+    item is reported as long as, at its LAST occurrence, its full-stream
+    estimate ranked within ``n_candidates`` — items can only be displaced
+    by items with genuinely higher estimates, so size n_candidates >> k
+    (default 25x) exactly like the batch operator's per-partition
+    candidate width. State per key is O(d*w + n_candidates), independent
+    of stream length.
+    """
+    from ..sketches.cms import CountMinSketch
+    import numpy as np
+
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField(item_col, T.StringType()),
+        T.StructField("est_count", T.LongType()),
+        T.StructField("n_updates", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("cms", T.BinaryType()),
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("hashes", T.ArrayType(T.LongType())),
+        T.StructField("n_updates", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        n = 0
+        if state.exists:
+            blob, items, hashes, n = state.get
+            sk = CountMinSketch.from_bytes(bytes(blob))
+            cand = pd.DataFrame({"item": list(items),
+                                 "h": np.asarray(hashes, dtype=np.int64)})
+        else:
+            sk = CountMinSketch(eps=eps, delta=delta)
+            cand = pd.DataFrame({"item": pd.Series([], dtype=object),
+                                 "h": pd.Series([], dtype=np.int64)})
+        batches = []
+        for pdf in pdfs:
+            h = pdf["__h"].to_numpy(dtype=np.int64)
+            uniq, inv = np.unique(h, return_inverse=True)
+            sk.update(to_u64(uniq), np.bincount(inv).astype(np.float64))
+            n += len(pdf)
+            batches.append(pdf[["__item", "__h"]]
+                           .rename(columns={"__item": "item", "__h": "h"}))
+        cand = (pd.concat([cand] + batches, ignore_index=True)
+                  .drop_duplicates("item"))
+        est = sk.query(to_u64(cand["h"].to_numpy(dtype=np.int64)))
+        cand = cand.assign(est=est).sort_values(
+            ["est", "item"], ascending=[False, True], kind="mergesort")
+        kept = cand.head(n_candidates)
+        state.update((sk.to_bytes(), kept["item"].tolist(),
+                      kept["h"].tolist(), n))
+        top = kept.head(k)
+        yield pd.DataFrame({key_col: [key[0]] * len(top),
+                            item_col: top["item"].to_numpy(),
+                            "est_count": top["est"].to_numpy(dtype=np.int64),
+                            "n_updates": [n] * len(top)})
+
+    # JVM-side salted hash (merge-compatible with batch CMS over the same
+    # column); NULL items dropped before hashing, matching batch semantics
+    hashed = (stream_df.where(F.col(item_col).isNotNull())
+              .select(F.col(key_col).cast("string").alias(key_col),
+                      F.col(item_col).cast("string").alias("__item"),
+                      F.xxhash64(F.lit(seed), F.col(item_col)).alias("__h")))
+    return (hashed.groupBy(key_col)
+                  .applyInPandasWithState(fn, out_schema, state_schema,
+                                          "update", GroupStateTimeout.NoTimeout))

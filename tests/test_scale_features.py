@@ -429,3 +429,43 @@ def test_stateful_grouped_quantile_rejects_hash_keyed(spark):
     with pytest.raises(ValueError, match="value sketch"):
         stateful_grouped_quantile(df, "value", "value",
                                   factory=lambda: HyperLogLog(12))
+
+
+def test_stateful_grouped_heavy_hitters_stream(spark, tmp_path, events):
+    """Streaming per-key CMS heavy hitters: at sf0.001 eps*N < 1, so the
+    final emission's top-k and est_counts must EQUAL the exact per-key
+    top items, and n_updates the exact non-null row counts."""
+    from bloomfilter_spark.streaming import stateful_grouped_heavy_hitters
+
+    src = str(tmp_path / "hh_src")
+    ev = (events.where(F.col("user_id").isNotNull())
+                .select("event_type", F.col("user_id").cast("string")
+                        .alias("user_id")))
+    ev.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful_grouped_heavy_hitters(stream, "event_type", "user_id",
+                                         k=5, n_candidates=64)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("hh_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = spark.sql("""
+        SELECT event_type, user_id, est_count, n_updates FROM (
+          SELECT *, dense_rank() OVER (PARTITION BY event_type
+                                       ORDER BY n_updates DESC) AS rk
+          FROM hh_stream) WHERE rk = 1""").toPandas()
+    assert len(res)
+
+    exact = (ev.groupBy("event_type", "user_id")
+               .agg(F.count("*").alias("cnt")).toPandas())
+    totals = exact.groupby("event_type")["cnt"].sum().to_dict()
+    for etype, grp in res.groupby("event_type"):
+        ex = (exact[exact["event_type"] == etype]
+              .sort_values(["cnt", "user_id"], ascending=[False, True]))
+        top = grp.sort_values(["est_count", "user_id"],
+                              ascending=[False, True])
+        assert len(top) == min(5, len(ex))
+        # eps=1e-4, N_key ~ 1e3 at sf0.001 -> estimates are exact
+        assert list(top["user_id"]) == list(ex.head(len(top))["user_id"])
+        assert list(top["est_count"]) == list(ex.head(len(top))["cnt"])
+        assert (top["n_updates"] == totals[etype]).all()
