@@ -9,6 +9,7 @@ from .dedup import (dedup_exact, dedup_lines, keep_first_n,
                     minhash_lsh_dedup, minhash_signatures,
                     ngram_jaccard_pairs, simhash_near_dups,
                     simhash_signatures)
+from .graph import connected_components, dedup_near_duplicates
 from .layout import (equidepth_bucket, hash_bucket, kll_cut_points,
                      sketch_range_bucket, write_range_partitioned,
                      zorder_key, zorder_write)
@@ -44,6 +45,7 @@ __all__ = [
     "sample_to_budget", "sample_uniform_col",
     "decontaminate", "contamination_scores", "build_reference_ngram_bloom",
     "word_ngram_hashes",
+    "connected_components", "dedup_near_duplicates",
     "zorder_key", "zorder_write", "hash_bucket", "equidepth_bucket",
     "kll_cut_points", "sketch_range_bucket", "write_range_partitioned",
 ]

@@ -1,0 +1,134 @@
+"""Connected components (large-star/small-star) + cluster dedup.
+
+Oracle: an exact in-process union-find over the same edge list — tiny
+graphs here, but the operator under test is the distributed formulation.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloomfilter_spark.operators import (connected_components,
+                                         dedup_near_duplicates)
+
+
+def _union_find_labels(edges):
+    """Exact min-id component labels for every node incident to an edge."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for n in parent:
+        out[n] = find(n)
+    # path compression above keeps roots minimal because we always hang
+    # the larger root under the smaller one
+    return {n: find(n) for n in parent}
+
+
+def _labels(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_cc_matches_union_find_random_graph(spark):
+    rng = np.random.default_rng(42)
+    e = rng.integers(0, 400, size=(900, 2))
+    edges = [(int(a), int(b)) for a, b in e if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    got = _labels(connected_components(df))
+    assert got == _union_find_labels(edges)
+
+
+def test_cc_chain_converges_in_log_rounds(spark):
+    """A 256-node path is the diameter worst case; large/small-star still
+    converges in O(log n) rounds, not O(n)."""
+    edges = [(i, i + 1) for i in range(255)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rounds = []
+    got = _labels(connected_components(df, _probe=rounds.append))
+    assert got == {i: 0 for i in range(256)}
+    assert len(rounds) <= 12
+
+
+def test_cc_partition_invariance_and_string_ids(spark):
+    edges = [("d%03d" % a, "d%03d" % b)
+             for a, b in [(1, 2), (2, 3), (9, 1), (5, 6), (7, 7)]]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = _labels(connected_components(df.repartition(1)))
+    b = _labels(connected_components(df.repartition(13, "dst")))
+    assert a == b
+    assert a["d009"] == "d001" and a["d006"] == "d005"
+    assert "d007" not in a  # self-loop only -> not incident to a real edge
+
+
+def test_cc_nulls_and_empty(spark):
+    df = spark.createDataFrame([(1, None), (None, 2)], "src long, dst long")
+    assert connected_components(df).count() == 0
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = connected_components(empty)
+    assert out.columns == ["node", "component"] and out.count() == 0
+
+
+def test_cc_hot_hub_star(spark):
+    """One node connected to everything (the skew shape LSH produces for a
+    boilerplate bucket): converges and labels all to the min."""
+    edges = [(0, i) for i in range(1, 500)] + [(499, 500)]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(8)
+    got = _labels(connected_components(df))
+    assert got == {i: 0 for i in range(501)}
+
+
+def test_cc_max_iter_raises(spark):
+    edges = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_iter=1)
+
+
+def test_dedup_near_duplicates_transitive_chain(spark, documents):
+    """A~B, B~C chain collapses to one kept doc (the min id), D~E to one,
+    and unpaired docs are untouched."""
+    docs = documents.where(F.col("doc_id") < 50)
+    pairs = spark.createDataFrame(
+        [(3, 7), (7, 11), (20, 21)], "id_a long, id_b long")
+    kept = dedup_near_duplicates(docs, pairs, "doc_id")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    base = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert ids == base - {7, 11, 21}
+
+
+def test_dedup_with_minhash_pairs_end_to_end(spark, documents):
+    """Real pipeline: inject exact copies, MinHash-LSH candidates, CC
+    cluster, keep canonical — every injected copy is dropped, every
+    original kept."""
+    from bloomfilter_spark.operators import minhash_lsh_dedup
+    base = documents.where(F.col("doc_id") < 60).select("doc_id", "text")
+    copies = base.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text")
+    corpus = base.unionByName(copies)
+    pairs = minhash_lsh_dedup(corpus, "doc_id", "text", threshold=0.9)
+    pairs = pairs.persist()
+    kept = dedup_near_duplicates(corpus, pairs, "doc_id")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert not {i for i in ids if i >= 10000}  # all copies dropped
+    # exact expectation: union-find over the same pair list — survivors
+    # are the per-cluster minima plus every unpaired doc
+    edge_list = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    labels = _union_find_labels(edge_list)
+    all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    expect = {i for i in all_ids if labels.get(i, i) == i}
+    assert ids == expect
+    # every injected copy must have been caught by LSH and clustered with
+    # its original (identical text -> identical signature)
+    assert all(labels.get(i + 10000) == labels.get(i, i)
+               and (i + 10000) in labels for i in range(20))
