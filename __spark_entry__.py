@@ -1365,6 +1365,61 @@ def _q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partkey_files_skipped int, suppkey_files_skipped int")
 
 
+def _q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming per-key CMS heavy hitters
+    (streaming/sketch_stream.stateful_grouped_heavy_hitters): with CMS
+    width 27183 and ~150 distinct users per key, a user's estimate
+    deviates from exact only if it collides in ALL d=7 rows
+    (p ~ (150/27183)^7 ~ 1e-16, and the seed is fixed so the outcome is
+    deterministic) — the final emission's top-5 users per event_type
+    EXACTLY equals the batch counts, which the oracle recomputes with a
+    plain window. Tie-break (count desc, user_id string asc) is identical
+    on both sides."""
+    import os
+
+    from bloomfilter_spark.streaming import stateful_grouped_heavy_hitters
+    ev_schema = _t(spark, sf_dir, "events").schema
+    key = os.path.basename(os.path.normpath(sf_dir))
+    stream_dir = f"/tmp/bloomfilter_spark_stream/{key}/events"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(ev_schema).parquet(stream_dir)
+    out = stateful_grouped_heavy_hitters(stream, "event_type", "user_id",
+                                         k=5, n_candidates=256)
+    name = "hh_state_" + str(abs(hash(sf_dir)) % 100000)
+    q = (out.writeStream.outputMode("update").format("memory")
+            .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(f"""
+        SELECT event_type, user_id, est_count FROM (
+          SELECT *, max(n_updates) OVER (PARTITION BY event_type) AS mx
+          FROM {name}) WHERE n_updates = mx""")
+
+
+def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (operators/graph.py large-star/small-star)
+    over a deterministic graph the oracle can rebuild exactly: nodes are
+    orderkeys of HIGH-value orders, edges connect consecutive surviving
+    orderkeys at gap <= 2. Components are therefore 'islands', which
+    DuckDB computes with the gaps-and-islands window idiom — every
+    (component=min id, size) row must match exactly. The edge-list window
+    is query setup; the operator under test is the iterative CC."""
+    from bloomfilter_spark.operators import connected_components
+    orders = _t(spark, sf_dir, "orders")
+    nodes = (orders.where(F.col("o_totalprice") > 300000)
+                   .select(F.col("o_orderkey").alias("id")).distinct())
+    w = Window.orderBy("id")  # setup only: tiny filtered id list
+    edges = (nodes.withColumn("nxt", F.lead("id").over(w))
+                  .where((F.col("nxt") - F.col("id")) <= 2)
+                  .select(F.col("id").alias("src"), F.col("nxt").alias("dst")))
+    cc = connected_components(edges, "src", "dst")
+    return (cc.groupBy("component")
+              .agg(F.count("*").alias("n_nodes"),
+                   F.max("node").alias("max_node")))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1428,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_file_pruned_lookup": _q_file_pruned_lookup,
         "q60_sequence_packing": _q_sequence_packing,
         "q61_zorder_pruning": _q_zorder_pruning,
+        "q62_streaming_heavy_hitters": _q_streaming_heavy_hitters,
+        "q63_connected_components": _q_connected_components,
         "q51_cms_conservative": _q_cms_conservative,
         "q52_line_dedup": _q_line_dedup,
         "q53_pii_redaction": _q_pii_redaction,
@@ -1899,6 +1956,40 @@ def oracle_sql() -> dict[str, str]:
                    1 AS partkey_files_skipped, 1 AS suppkey_files_skipped
             FROM lineitem
             WHERE l_partkey = (SELECT min(l_partkey) FROM lineitem)
+        """,
+        "q62_streaming_heavy_hitters": """
+            WITH c AS (
+              SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+                     count(*) AS est_count
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                        ORDER BY est_count DESC, user_id ASC) AS rn
+              FROM c
+            )
+            SELECT event_type, user_id, est_count FROM r WHERE rn <= 5
+        """,
+        "q63_connected_components": """
+            WITH nodes AS (
+              SELECT DISTINCT o_orderkey AS id FROM orders
+              WHERE o_totalprice > 300000
+            ),
+            w AS (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM nodes),
+            g AS (
+              SELECT id,
+                     sum(CASE WHEN prev IS NULL OR id - prev > 2
+                              THEN 1 ELSE 0 END)
+                       OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS grp
+              FROM w
+            ),
+            isl AS (
+              SELECT min(id) AS component, count(*) AS n_nodes,
+                     max(id) AS max_node
+              FROM g GROUP BY grp
+            )
+            SELECT component, n_nodes, max_node FROM isl WHERE n_nodes > 1
         """,
         "q51_cms_conservative": """
             SELECT event_type, count(*) AS exact_count,
