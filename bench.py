@@ -92,6 +92,7 @@ def main() -> None:
                                                    simhash_signatures)
     from bloomfilter_spark.operators.file_index import (build_file_bloom_index,
                                                         prune_files)
+    from bloomfilter_spark.operators.graph import connected_components
     from bloomfilter_spark.operators.sharded import build_sharded_bloom
     from bloomfilter_spark.sizing import suggest_sizing
     from bloomfilter_spark.sketches import KLL, BloomFilter, CountMinSketch, HyperLogLog
@@ -195,6 +196,18 @@ def main() -> None:
          lambda: multi_sketch_build_jvm(tr, {
              "hll_conv": ("hll", ["conv_id"], 14),
              "cms_tool": ("cms", ["tool"], 1e-4, 1e-3)})),
+        # iterative graph path: connected components over a deterministic
+        # random graph (n/2 nodes, n edges -> giant component regime, the
+        # shape near-dup pair clustering produces); measures the
+        # large-star/small-star rounds incl. per-round localCheckpoint
+        ("cc_random_graph",
+         lambda: connected_components(
+             spark.range(max(n_actual // 10, 10_000)).select(
+                 F.pmod(F.xxhash64("id"), F.lit(max(n_actual // 20, 5_000)))
+                  .alias("src"),
+                 F.pmod(F.xxhash64("id", F.lit(1)),
+                        F.lit(max(n_actual // 20, 5_000))).alias("dst"))
+             ).count()),
     ]
     phases += [(name, (lambda n: lambda: qs[n](spark, sf_dir).collect())(name))
                for name in BENCH_QUERIES]
