@@ -1420,6 +1420,39 @@ def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.max("node").alias("max_node")))
 
 
+def _q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven join-cardinality pre-flight
+    (plans.estimate_join_size): the CMS inner product of the two sides'
+    key-frequency vectors IS the equi-join size (Cormode-Muthukrishnan
+    2005, Thm 3) — computed from two one-scan JVM-reduced sketch builds,
+    with NO join, shuffle-by-key, or row collection. Two shapes: a
+    PK-FK join (orders x lineitem on orderkey) and a many-to-many
+    self-join (lineitem x lineitem on suppkey, real multiplicity
+    products). The oracle recomputes both exact cardinalities; the flag
+    asserts the published sandwich exact <= est <= exact + (e/w)*Na*Nb
+    (lower bound deterministic: collisions only add; fixed seed makes
+    the whole row reproducible)."""
+    from bloomfilter_spark.plans import estimate_join_size
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rows = []
+    for pair, dfa, dfb, ka, kb, eps in (
+            ("orders_lineitem", orders, li,
+             ["o_orderkey"], ["l_orderkey"], 1e-5),
+            ("supplier_self", li, li,
+             ["l_suppkey"], ["l_suppkey"], 1e-5)):
+        est = estimate_join_size(dfa, dfb, ka, kb, eps=eps, delta=1e-2)
+        exact = (dfa.alias("a")
+                 .join(dfb.alias("b"),
+                       F.col(f"a.{ka[0]}") == F.col(f"b.{kb[0]}"))
+                 .count())
+        ok = int(exact <= est.estimate <= exact + est.upper_slack)
+        rows.append((pair, exact, ok))
+    return spark.createDataFrame(
+        rows, "pair string, exact_join_size bigint, join_est_ok int") \
+        .orderBy("pair")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1489,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_line_dedup": _q_line_dedup,
         "q53_pii_redaction": _q_pii_redaction,
         "q54_repetition_signals": _q_repetition_signals,
+        "q64_join_size_estimate": _q_join_size_estimate,
     }
 
 
@@ -1996,6 +2030,19 @@ def oracle_sql() -> dict[str, str]:
                    1 AS cons_sandwich_ok
             FROM events WHERE event_type IS NOT NULL
             GROUP BY event_type
+        """,
+        "q64_join_size_estimate": """
+            SELECT 'orders_lineitem' AS pair,
+                   (SELECT count(*) FROM orders
+                    JOIN lineitem ON o_orderkey = l_orderkey)
+                     AS exact_join_size,
+                   1 AS join_est_ok
+            UNION ALL
+            SELECT 'supplier_self',
+                   (SELECT count(*) FROM lineitem a
+                    JOIN lineitem b ON a.l_suppkey = b.l_suppkey),
+                   1
+            ORDER BY pair
         """,
         "q52_line_dedup": """
             WITH lines AS (

@@ -102,6 +102,51 @@ def diagnose_skew(df, key_cols, partitions: int | None = None):
     return tuple(top[k] for k in keys), share, suggest_salt(share, parts)
 
 
+@dataclass
+class JoinSizeEstimate:
+    estimate: int          # never undercounts the true join cardinality
+    upper_slack: float     # est <= exact + upper_slack w.p. >= 1 - exp(-depth)
+    n_left: int
+    n_right: int
+
+    @property
+    def upper_bound(self) -> float:
+        return self.estimate + self.upper_slack
+
+
+def estimate_join_size(df_left, df_right, keys_left, keys_right=None,
+                       eps: float = 1e-4, delta: float = 1e-3,
+                       seed: int | None = None) -> JoinSizeEstimate:
+    """Sketch-driven join-cardinality estimate BEFORE running the join:
+    CMS inner product (Cormode & Muthukrishnan 2005, Thm 3) of the two
+    sides' key-frequency vectors — sum_k f_L(k)*f_R(k) is exactly
+    |L JOIN R| on equal keys.
+
+    Cost: two JVM-reduced CMS builds (one scan per side, <= depth*width
+    counter cells over the Arrow pipe each — `jvm_build.cms_build_jvm`);
+    nothing is joined, shuffled by key, or collected beyond O(d*w) cells.
+    At 100 TB this is the cheap pre-flight that decides broadcast vs
+    sort-merge vs sharded strategy and sizes shuffle partitions
+    (`shuffle_partitions_for(est_rows * row_bytes)`) before committing to
+    a plan — the same role theta sketches play for DISTINCT overlap.
+
+    Guarantees (deterministic same-seed builds, asserted in tests and q64):
+    exact <= estimate, and estimate <= exact + (e/width)*|L|*|R| with
+    probability >= 1 - delta.
+    """
+    from ..config import DEFAULT_SEED
+    from ..jvm_build import cms_build_jvm
+    if seed is None:
+        seed = DEFAULT_SEED
+    keys_right = keys_right or keys_left
+    left = cms_build_jvm(df_left, keys_left, eps=eps, delta=delta, seed=seed)
+    right = cms_build_jvm(df_right, keys_right, eps=eps, delta=delta,
+                          seed=seed)
+    return JoinSizeEstimate(estimate=left.inner_product(right),
+                            upper_slack=left.inner_product_bound(right),
+                            n_left=left.total, n_right=right.total)
+
+
 def scaling_efficiency(throughput_n: float, throughput_4n: float) -> float:
     """North-rule metric: efficiency = (T_4N / T_N) / 4 for a 4x resource
     increase; >= 0.8 required."""

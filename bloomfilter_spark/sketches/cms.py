@@ -106,6 +106,37 @@ class CountMinSketch(Sketch):
         """eps*N additive overcount bound for the current stream length."""
         return math.e / self.width * self.total
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """AMS-style join-size / inner-product estimate
+        (Cormode & Muthukrishnan 2005, Thm 3): min over rows of the
+        row-wise counter dot product estimates a (.) b = sum_k f_a(k)*f_b(k)
+        — the JOIN CARDINALITY of the two streams on the sketched key.
+
+        Guarantees (same-seed, same-geometry sketches):
+        - deterministic lower bound: every row's dot >= a (.) b, because
+          hash collisions only ADD non-negative products — the estimate
+          never undercounts the true join size;
+        - upper bound: est <= a (.) b + (e/width)*N_a*N_b with probability
+          >= 1 - exp(-depth) (min over depth independent rows).
+
+        With b = a this is the second frequency moment F2 (number of
+        duplicate pairs + n). Float64 accumulation: exact for products
+        below 2^53, i.e. any realistic per-cell count pair; the estimate
+        is an estimate either way.
+
+        Requires the same hash seed on both builds (HASH_KEYED sketches
+        hash upstream — build both sides with the same ``seed``).
+        """
+        if (self.width, self.depth) != (other.width, other.depth):
+            raise ValueError("geometry mismatch: cannot inner_product CMS")
+        dots = (self.table.astype(np.float64)
+                * other.table.astype(np.float64)).sum(axis=1)
+        return int(dots.min())
+
+    def inner_product_bound(self, other: "CountMinSketch") -> float:
+        """(e/width)*N_a*N_b additive overcount bound for inner_product."""
+        return math.e / self.width * self.total * other.total
+
     def _payload(self) -> tuple[bytes, bytes]:
         params = struct.pack("<IIQB", self.width, self.depth, self.total,
                              int(self.conservative))

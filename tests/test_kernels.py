@@ -190,6 +190,54 @@ def test_cms_weighted_updates(rng):
     assert cms.total == int(w.sum())
 
 
+def test_cms_inner_product_sandwich(rng):
+    """Join-size estimate: deterministic lower bound (exact <= est) and
+    the (e/w)*Na*Nb upper slack; exact on a collision-free tiny sketch."""
+    # exact case: wide sketch, few keys -> no collisions, est == exact
+    ka = np.repeat(np.arange(10, dtype=np.int64), np.arange(1, 11))
+    kb = np.repeat(np.arange(5, 20, dtype=np.int64), 3)
+    a = CountMinSketch(width=4096, depth=5)
+    b = CountMinSketch(width=4096, depth=5)
+    a.update(splitmix64(ka.view(np.uint64)))
+    b.update(splitmix64(kb.view(np.uint64)))
+    ua, ca = np.unique(ka, return_counts=True)
+    ub, cb = np.unique(kb, return_counts=True)
+    exact = sum(int(ca[list(ua).index(k)]) * int(cb[list(ub).index(k)])
+                for k in set(ua) & set(ub))
+    assert a.inner_product(b) == exact
+    # symmetric
+    assert b.inner_product(a) == exact
+
+    # collision regime: narrow sketch on zipf streams -> sandwich holds
+    za = rng.zipf(1.3, 200000).astype(np.int64) % 5000
+    zb = rng.zipf(1.3, 200000).astype(np.int64) % 5000
+    sa = CountMinSketch(width=256, depth=5)
+    sb = CountMinSketch(width=256, depth=5)
+    sa.update(splitmix64(za.view(np.uint64)))
+    sb.update(splitmix64(zb.view(np.uint64)))
+    ua, ca = np.unique(za, return_counts=True)
+    ub, cb = np.unique(zb, return_counts=True)
+    common, ia, ib = np.intersect1d(ua, ub, return_indices=True)
+    exact = int((ca[ia].astype(np.int64) * cb[ib].astype(np.int64)).sum())
+    est = sa.inner_product(sb)
+    assert est >= exact
+    assert est <= exact + sa.inner_product_bound(sb)
+
+    # F2 self-product: est(a,a) >= sum f_k^2 (second frequency moment)
+    f2 = int((ca.astype(np.int64) ** 2).sum())
+    assert sa.inner_product(sa) >= f2
+
+    # merge compatibility: sketch of concatenated stream == merged parts
+    half = CountMinSketch(width=256, depth=5)
+    half.update(splitmix64(za[:100000].view(np.uint64)))
+    rest = CountMinSketch(width=256, depth=5)
+    rest.update(splitmix64(za[100000:].view(np.uint64)))
+    assert half.merge(rest).inner_product(sb) == est
+
+    with pytest.raises(ValueError):
+        sa.inner_product(CountMinSketch(width=512, depth=5))
+
+
 # --- tdigest -------------------------------------------------------------
 
 def test_tdigest_quantiles_and_merge(rng):

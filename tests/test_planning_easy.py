@@ -88,3 +88,38 @@ def test_diagnose_skew_empty(spark):
     from bloomfilter_spark.plans import diagnose_skew
     df = spark.range(10).selectExpr("'x' AS k").where("1=0")
     assert diagnose_skew(df, "k", partitions=8) == (None, 0.0, 1)
+
+
+def test_estimate_join_size_sandwich(spark):
+    """CMS inner-product join-size pre-flight: never undercounts the true
+    join cardinality, stays within the (e/w)*Na*Nb slack, and matches the
+    real join on a multiplicity-bearing pair of tables."""
+    from bloomfilter_spark.plans import estimate_join_size
+    # left: key k appears (k % 7) + 1 times; right: k appears (k % 3) + 1
+    # times for even k only -> join size has real multiplicity products
+    left = (spark.range(2000)
+            .selectExpr("id % 400 AS k")
+            .selectExpr("k", "explode(sequence(1, k % 7 + 1)) AS r")
+            .select("k"))
+    right = (spark.range(1000)
+             .selectExpr("(id % 200) * 2 AS k")
+             .selectExpr("k", "explode(sequence(1, k % 3 + 1)) AS r")
+             .select("k"))
+    exact = left.join(right, "k").count()
+    est = estimate_join_size(left, right, ["k"], eps=1e-4, delta=1e-3)
+    assert est.estimate >= exact
+    assert est.estimate <= exact + est.upper_slack
+    assert est.n_left == left.count() and est.n_right == right.count()
+    # wide-sketch regime: few distinct keys -> estimate is exact
+    assert est.estimate == exact
+
+
+def test_estimate_join_size_distinct_keys(spark):
+    """Different key names per side (the o_orderkey vs l_orderkey case)."""
+    from bloomfilter_spark.plans import estimate_join_size
+    a = spark.range(500).selectExpr("id AS a_key")
+    b = spark.range(250).selectExpr("id * 2 AS b_key")
+    est = estimate_join_size(a, b, ["a_key"], ["b_key"], eps=1e-4)
+    # unique keys, half overlap: exact = 250; per-row cross-key collisions
+    # can add a few, bounded by the published slack
+    assert 250 <= est.estimate <= 250 + est.upper_slack
