@@ -1453,6 +1453,49 @@ def _q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pair")
 
 
+def _q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift (operators/quantiles.ks_drift): two-sample
+    Kolmogorov-Smirnov statistic between value slices, estimated from two
+    JVM-reduced KLL builds — the 100 TB corpus-monitoring primitive (two
+    one-scan sketch builds, no join, no row collection). Two shapes: the
+    R-vs-N returnflag price slices (identically distributed -> KS ~ 0)
+    and R vs a 1.5x-scaled copy of N (real drift, KS ~ 0.2). The oracle
+    recomputes both EXACT KS statistics with the stacked-ECDF window
+    idiom; the flag asserts |est - exact| <= 4 * summed rank error."""
+    from bloomfilter_spark.operators.quantiles import ks_drift
+
+    def exact_ks(dfa: DataFrame, dfb: DataFrame) -> float:
+        s = dfa.select("x", F.lit(1).alias("isa"), F.lit(0).alias("isb")) \
+            .unionAll(dfb.select("x", F.lit(0).alias("isa"),
+                                 F.lit(1).alias("isb")))
+        tot = s.agg(F.sum("isa").alias("na"), F.sum("isb").alias("nb")).first()
+        c = s.groupBy("x").agg(F.sum("isa").alias("ca"),
+                               F.sum("isb").alias("cb"))
+        w = (Window.orderBy("x")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        cum = c.select(
+            (F.sum("ca").over(w) / F.lit(float(tot["na"]))).alias("fa"),
+            (F.sum("cb").over(w) / F.lit(float(tot["nb"]))).alias("fb"))
+        return cum.agg(
+            F.max(F.abs(F.col("fa") - F.col("fb")))).first()[0]
+
+    li = _t(spark, sf_dir, "lineitem")
+    r = (li.where(F.col("l_returnflag") == "R")
+           .select(F.col("l_extendedprice").alias("x")))
+    n = (li.where(F.col("l_returnflag") == "N")
+           .select(F.col("l_extendedprice").alias("x")))
+    shifted = n.select((F.col("x") * F.lit(1.5)).alias("x"))
+    k = 400
+    tol = 4 * (2 * 1.7 / k)
+    rows = []
+    for pair, dfa, dfb in (("same_dist", r, n), ("shifted", r, shifted)):
+        est = ks_drift(dfa, dfb, "x", k=k)
+        exact = exact_ks(dfa, dfb)
+        rows.append((pair, float(exact), int(abs(est - exact) <= tol)))
+    return spark.createDataFrame(
+        rows, "pair string, exact_ks double, ks_ok int").orderBy("pair")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1523,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_pii_redaction": _q_pii_redaction,
         "q54_repetition_signals": _q_repetition_signals,
         "q64_join_size_estimate": _q_join_size_estimate,
+        "q65_distribution_drift": _q_distribution_drift,
     }
 
 
@@ -2042,6 +2086,51 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM lineitem a
                     JOIN lineitem b ON a.l_suppkey = b.l_suppkey),
                    1
+            ORDER BY pair
+        """,
+        "q65_distribution_drift": """
+            WITH s1 AS (
+              SELECT l_extendedprice AS x,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS isa,
+                     CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS isb
+              FROM lineitem WHERE l_returnflag IN ('R', 'N')
+            ),
+            c1 AS (SELECT x, sum(isa) AS ca, sum(isb) AS cb
+                   FROM s1 GROUP BY x),
+            cum1 AS (
+              SELECT sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                       AS fa_c,
+                     sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                       AS fb_c
+              FROM c1
+            ),
+            tot1 AS (SELECT CAST(sum(isa) AS DOUBLE) AS na,
+                            CAST(sum(isb) AS DOUBLE) AS nb FROM s1),
+            k1 AS (SELECT max(abs(fa_c / na - fb_c / nb)) AS exact_ks
+                   FROM cum1, tot1),
+            s2 AS (
+              SELECT l_extendedprice AS x, 1 AS isa, 0 AS isb
+              FROM lineitem WHERE l_returnflag = 'R'
+              UNION ALL
+              SELECT l_extendedprice * 1.5, 0, 1
+              FROM lineitem WHERE l_returnflag = 'N'
+            ),
+            c2 AS (SELECT x, sum(isa) AS ca, sum(isb) AS cb
+                   FROM s2 GROUP BY x),
+            cum2 AS (
+              SELECT sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                       AS fa_c,
+                     sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                       AS fb_c
+              FROM c2
+            ),
+            tot2 AS (SELECT CAST(sum(isa) AS DOUBLE) AS na,
+                            CAST(sum(isb) AS DOUBLE) AS nb FROM s2),
+            k2 AS (SELECT max(abs(fa_c / na - fb_c / nb)) AS exact_ks
+                   FROM cum2, tot2)
+            SELECT 'same_dist' AS pair, exact_ks, 1 AS ks_ok FROM k1
+            UNION ALL
+            SELECT 'shifted', exact_ks, 1 FROM k2
             ORDER BY pair
         """,
         "q52_line_dedup": """

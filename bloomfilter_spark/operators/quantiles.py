@@ -29,6 +29,32 @@ def grouped_quantiles(df: DataFrame, keys: Sequence[str], col,
                              salt=salt)
 
 
+def ks_drift(df_a: DataFrame, df_b: DataFrame, col, k: int = 200,
+             max_cardinality: int = 2_000_000) -> float:
+    """Distribution drift between two corpora/slices: the two-sample
+    Kolmogorov–Smirnov statistic sup_x |F_a(x) - F_b(x)| estimated from
+    two KLL sketches (`KLL.ks_distance`), each built JVM-reduced
+    (`jvm_build.quantile_build_preagg`: codegen groupBy(value).count with
+    map-side combine — distinct-value rows over the pipe, not n).
+
+    The 100 TB monitoring primitive: is this week's document-length /
+    latency / quality-score distribution the same as last week's? Cost is
+    two one-scan sketch builds; nothing is joined or collected beyond the
+    value histograms. |est - exact_KS| <= ~2 * 1.7/k (sum of the two rank
+    errors). Falls back to the streaming kernel build above
+    ``max_cardinality`` distinct values.
+    """
+    from ..jvm_build import quantile_build_preagg
+    out = []
+    for df in (df_a, df_b):
+        try:
+            out.append(quantile_build_preagg(df, col, lambda: KLL(k=k),
+                                             max_cardinality=max_cardinality))
+        except ValueError:
+            out.append(build_sketch(df, [col], lambda: KLL(k=k)))
+    return out[0].ks_distance(out[1])
+
+
 def _factory(method: str, kwargs: dict):
     if method == "tdigest":
         return lambda: TDigest(**kwargs) if kwargs else TDigest()

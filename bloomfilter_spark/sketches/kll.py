@@ -193,6 +193,35 @@ class KLL(Sketch):
         """Published normalized rank error ~1.7/k for the KLL default profile."""
         return 1.7 / self.k
 
+    def ks_distance(self, other: "KLL") -> float:
+        """Two-sample Kolmogorov–Smirnov statistic estimate:
+        sup_x |F_self(x) - F_other(x)| between the two sketched
+        distributions — the standard corpus-drift / distribution-shift
+        signal (did this month's token-length distribution move?).
+
+        Both sketch CDFs are right-continuous step functions that only
+        change at retained items, so the sup over all x is attained at
+        (the right limit of) one of the union's jump points — evaluating
+        `rank` at the union of retained items computes the sketch-CDF sup
+        EXACTLY. Error vs the true-sample KS is bounded by the sum of the
+        two sketches' rank errors (each rank is within ~1.7/k of truth),
+        so |est - exact| <= self.rank_error_bound() +
+        other.rank_error_bound() up to the usual constant.
+
+        Empty vs non-empty is maximal drift by convention (1.0); two
+        empties are identical (0.0).
+        """
+        v1, _ = self._weighted_items()
+        v2, _ = other._weighted_items()
+        if v1.size == 0 and v2.size == 0:
+            return 0.0
+        if v1.size == 0 or v2.size == 0:
+            return 1.0
+        pts = np.union1d(v1, v2)
+        r1 = self.rank(pts)
+        r2 = other.rank(pts)
+        return float(np.abs(np.asarray(r1) - np.asarray(r2)).max())
+
     # --- serialization --------------------------------------------------
     def _payload(self) -> tuple[bytes, bytes]:
         self._flush()

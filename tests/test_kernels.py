@@ -309,6 +309,44 @@ def test_kll_deterministic(rng):
     assert a.to_bytes() == b.to_bytes()
 
 
+def _exact_ks(x: np.ndarray, y: np.ndarray) -> float:
+    pts = np.union1d(x, y)
+    fx = np.searchsorted(np.sort(x), pts, side="right") / x.size
+    fy = np.searchsorted(np.sort(y), pts, side="right") / y.size
+    return float(np.abs(fx - fy).max())
+
+
+def test_kll_ks_distance(rng):
+    """Two-sample KS estimate: within summed rank-error of the exact
+    statistic, detects a real shift, symmetric, zero on self."""
+    k = 200
+    x = rng.normal(0.0, 1.0, 200000)
+    y = rng.normal(0.0, 1.0, 200000)   # same distribution
+    z = rng.normal(0.5, 1.0, 200000)   # shifted
+    a, b, c = KLL(k), KLL(k), KLL(k)
+    a.update(x)
+    b.update(y)
+    c.update(z)
+    tol = 4 * (a.rank_error_bound() + b.rank_error_bound())
+    assert abs(a.ks_distance(b) - _exact_ks(x, y)) <= tol
+    assert abs(a.ks_distance(c) - _exact_ks(x, z)) <= tol
+    # a 0.5-sigma shift has KS ~0.2 -- must dominate the same-dist pair
+    assert a.ks_distance(c) > a.ks_distance(b) + 0.1
+    assert a.ks_distance(c) == c.ks_distance(a)
+    assert a.ks_distance(a) == 0.0
+    # merged parts give the same estimate as a one-shot build
+    parts = np.array_split(z, 5)
+    merged = KLL(k)
+    for chunk in parts:
+        s = KLL(k)
+        s.update(chunk)
+        merged.merge(s)
+    assert abs(a.ks_distance(merged) - _exact_ks(x, z)) <= tol
+    # empty conventions
+    assert KLL(k).ks_distance(KLL(k)) == 0.0
+    assert KLL(k).ks_distance(a) == 1.0
+
+
 def test_kll_weight_conservation(rng):
     x = rng.normal(0, 1, 12345)
     sk = KLL(64)

@@ -112,3 +112,34 @@ def test_quantile_build_preagg_rejects_hash_keyed(spark, lineitem):
     with pytest.raises(ValueError, match="value sketches"):
         quantile_build_preagg(lineitem, "l_quantity",
                               lambda: HyperLogLog(12))
+
+
+def test_ks_drift_spark(spark, lineitem):
+    """operators.quantiles.ks_drift end-to-end: same-slice drift is near
+    zero, a shifted copy is detected, both within the summed rank-error
+    tolerance of the exact two-sample KS."""
+    from bloomfilter_spark.operators.quantiles import ks_drift
+
+    def exact_ks(x, y):
+        pts = np.union1d(x, y)
+        fx = np.searchsorted(np.sort(x), pts, side="right") / x.size
+        fy = np.searchsorted(np.sort(y), pts, side="right") / y.size
+        return float(np.abs(fx - fy).max())
+
+    a = lineitem.where(F.col("l_orderkey") % 2 == 0) \
+                .select(F.col("l_extendedprice").alias("x"))
+    b = lineitem.where(F.col("l_orderkey") % 2 == 1) \
+                .select(F.col("l_extendedprice").alias("x"))
+    shifted = b.select((F.col("x") * 1.5).alias("x"))
+    xa = a.toPandas()["x"].to_numpy(dtype=np.float64)
+    xb = b.toPandas()["x"].to_numpy(dtype=np.float64)
+    k = 400
+    tol = 4 * (2 * 1.7 / k)
+    same = ks_drift(a, b, "x", k=k)
+    assert abs(same - exact_ks(xa, xb)) <= tol
+    drift = ks_drift(a, shifted, "x", k=k)
+    assert abs(drift - exact_ks(xa, 1.5 * xb)) <= tol
+    assert drift > same + 0.05
+    # high-cardinality fallback path (kernel build) agrees
+    fallback = ks_drift(a, shifted, "x", k=k, max_cardinality=10)
+    assert abs(fallback - exact_ks(xa, 1.5 * xb)) <= tol
