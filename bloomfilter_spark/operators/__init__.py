@@ -10,8 +10,9 @@ from .dedup import (dedup_exact, dedup_lines, keep_first_n,
                     ngram_jaccard_pairs, simhash_near_dups,
                     simhash_signatures)
 from .graph import connected_components, dedup_near_duplicates
-from .layout import (equidepth_bucket, hash_bucket, kll_cut_points,
-                     sketch_range_bucket, write_range_partitioned,
+from .layout import (bucketed_join, equidepth_bucket, has_exchange,
+                     hash_bucket, kll_cut_points, sketch_range_bucket,
+                     write_bucketed, write_range_partitioned,
                      zorder_key, zorder_write)
 from .multimodal import decode_and_featurize, sample_video_frames
 from .quantiles import grouped_quantiles, quantiles
@@ -48,4 +49,5 @@ __all__ = [
     "connected_components", "dedup_near_duplicates",
     "zorder_key", "zorder_write", "hash_bucket", "equidepth_bucket",
     "kll_cut_points", "sketch_range_bucket", "write_range_partitioned",
+    "write_bucketed", "bucketed_join", "has_exchange",
 ]

@@ -143,6 +143,57 @@ def zorder_write(df: DataFrame, path: str, bucket_exprs: Sequence[Column],
        .write.mode("overwrite").parquet(path))
 
 
+def write_bucketed(df: DataFrame, table_name: str, keys, n_buckets: int,
+                   path: str | None = None, sort: bool = True) -> None:
+    """Spark-native bucketed table write (`bucketBy` + `sortBy` +
+    `saveAsTable`): rows are hash-clustered into ``n_buckets`` files per
+    write-partition by ``keys``, and the layout is recorded in the
+    catalog so EVERY subsequent join or aggregation on those keys skips
+    its shuffle (and, with ``sort``, its sort).
+
+    This is the amortize-the-shuffle primitive for 100 TB fact tables:
+    pay the key shuffle ONCE at ingest, then every one of the daily
+    join/groupBy runs against the table reads co-located buckets with no
+    Exchange in the plan (assert with `has_exchange`). Both join sides
+    must be bucketed by the join keys with the same ``n_buckets``.
+    Parallelism of downstream stages equals ``n_buckets`` — size it like
+    shuffle partitions (`plans.shuffle_partitions_for`), not small.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    w = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
+def has_exchange(df: DataFrame) -> bool:
+    """True if the DataFrame's physical plan contains a shuffle
+    (Exchange). The bucketed-join assertion: a join of two same-bucketed
+    tables on the bucket keys must plan with NO Exchange."""
+    return "Exchange" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def bucketed_join(spark, left_table: str, right_table: str, keys,
+                  how: str = "inner") -> DataFrame:
+    """Join two bucketed catalog tables on their bucket keys. With both
+    sides written by `write_bucketed` (same keys, same n_buckets) the
+    plan is a zero-shuffle sort-merge join reading co-located buckets.
+
+    The `merge` hint forces sort-merge: without it Catalyst may pick a
+    broadcast-hash join (which carries a BroadcastExchange and ignores
+    the bucketing) when one side is small. At 100 TB neither fact side
+    is broadcastable, and SMJ over co-located, pre-sorted buckets is
+    the plan this layout exists for — so ask for it explicitly."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return (spark.table(left_table).hint("merge")
+            .join(spark.table(right_table).hint("merge"), keys, how))
+
+
 def write_range_partitioned(df: DataFrame, path: str, col: str,
                             sketch: KLL, n_buckets: int) -> None:
     """Range-clustered directory-partitioned write with sketch-derived

@@ -168,3 +168,55 @@ def test_write_range_partitioned_balanced_and_ordered(spark, tmpdir_mod):
     assert all(r["n"] <= 2.5 * fair for r in stats)
     for a, b in zip(stats, stats[1:]):
         assert a["hi"] <= b["lo"] + 1e-9  # order-preserving buckets
+
+
+# --- bucketed co-located joins -------------------------------------------
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Both sides bucketed by the join key with equal bucket counts:
+    the join plans with ZERO Exchange (the shuffle was paid once at
+    write time), and results are identical to the plain shuffled join."""
+    from bloomfilter_spark.operators import (bucketed_join, has_exchange,
+                                             write_bucketed)
+    left = spark.range(10_000).selectExpr(
+        "id AS k", "id * 2 AS lv")
+    right = spark.range(5_000).selectExpr(
+        "id * 2 AS k", "id AS rv")
+    write_bucketed(left, "t_bkt_left", "k", 8,
+                   path=str(tmp_path / "left"))
+    write_bucketed(right, "t_bkt_right", "k", 8,
+                   path=str(tmp_path / "right"))
+    try:
+        joined = bucketed_join(spark, "t_bkt_left", "t_bkt_right", "k")
+        assert not has_exchange(joined)
+        got = sorted(joined.collect())
+        want = sorted(left.join(right, "k").collect())
+        assert got == want
+        # sanity: the same join WITHOUT bucketing does shuffle
+        assert has_exchange(left.join(right, "k"))
+        # groupBy on the bucket key also skips its shuffle
+        agg = spark.table("t_bkt_left").groupBy("k").count()
+        assert not has_exchange(agg)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_left")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_right")
+
+
+def test_bucketed_join_composite_key(spark, tmp_path):
+    from bloomfilter_spark.operators import (bucketed_join, has_exchange,
+                                             write_bucketed)
+    df = spark.range(2_000).selectExpr(
+        "id % 50 AS a", "id % 7 AS b", "id AS v")
+    other = spark.range(500).selectExpr(
+        "id % 50 AS a", "id % 7 AS b", "id AS w")
+    write_bucketed(df, "t_bkt_c1", ["a", "b"], 4,
+                   path=str(tmp_path / "c1"))
+    write_bucketed(other, "t_bkt_c2", ["a", "b"], 4,
+                   path=str(tmp_path / "c2"))
+    try:
+        joined = bucketed_join(spark, "t_bkt_c1", "t_bkt_c2", ["a", "b"])
+        assert not has_exchange(joined)
+        assert joined.count() == df.join(other, ["a", "b"]).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_c1")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_c2")
