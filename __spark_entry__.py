@@ -1496,6 +1496,51 @@ def _q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "pair string, exact_ks double, ks_ok int").orderBy("pair")
 
 
+def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (operators/layout.write_bucketed /
+    bucketed_join): orders and customer written `bucketBy(custkey)` into
+    catalog tables, then the fact-fact join plans with ZERO Exchange —
+    the shuffle was paid once at write time, which is the amortization
+    every recurring 100 TB join wants. Values are the exact per-segment
+    order counts + revenue (oracle recomputes with a plain join); the
+    flag columns assert the plan properties the layout exists for (no
+    Exchange in the bucketed join, an Exchange in the plain shuffled
+    join of the same inputs)."""
+    import tempfile
+
+    from bloomfilter_spark.operators.layout import (bucketed_join,
+                                                    has_exchange,
+                                                    write_bucketed)
+    base = tempfile.mkdtemp(prefix="q66_bucketed_")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    write_bucketed(orders, "q66_orders_b", "custkey", 8,
+                   path=f"{base}/orders")
+    write_bucketed(cust, "q66_customer_b", "custkey", 8,
+                   path=f"{base}/customer")
+    try:
+        joined = bucketed_join(spark, "q66_orders_b", "q66_customer_b",
+                               "custkey")
+        no_exchange = int(not has_exchange(joined))
+        shuffled_has = int(has_exchange(orders.join(cust, "custkey")))
+        cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+        rows = (joined.groupBy("c_mktsegment")
+                      .agg(F.count("*").alias("n_orders"),
+                           F.sum(cents).alias("revenue_cents"))
+                      .collect())
+        out = [(r["c_mktsegment"], r["n_orders"], r["revenue_cents"],
+                no_exchange, shuffled_has) for r in rows]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS q66_orders_b")
+        spark.sql("DROP TABLE IF EXISTS q66_customer_b")
+    return spark.createDataFrame(
+        out, "c_mktsegment string, n_orders bigint, revenue_cents bigint, "
+             "bucketed_no_exchange int, plain_join_shuffles int") \
+        .orderBy("c_mktsegment")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1567,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_repetition_signals": _q_repetition_signals,
         "q64_join_size_estimate": _q_join_size_estimate,
         "q65_distribution_drift": _q_distribution_drift,
+        "q66_bucketed_join": _q_bucketed_join,
     }
 
 
@@ -2132,6 +2178,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'shifted', exact_ks, 1 FROM k2
             ORDER BY pair
+        """,
+        "q66_bucketed_join": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   1 AS bucketed_no_exchange,
+                   1 AS plain_join_shuffles
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
         """,
         "q52_line_dedup": """
             WITH lines AS (
