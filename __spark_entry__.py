@@ -1496,6 +1496,50 @@ def _q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "pair string, exact_ks double, ks_ok int").orderBy("pair")
 
 
+def _q_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling (operators/sampling.
+    weighted_reservoir_sample, Efraimidis–Spirakis A-ES): for k=1 the
+    inclusion probability is EXACTLY w_i/W, so an event type's win
+    frequency over R=400 independent seed replicates must sit within 4
+    sigma of its exact weight share. All replicates run in ONE pass — the
+    seed range is broadcast, the per-seed argmax is a map-side-combined
+    max_by of the operator's own key formula (seed cast to int to match
+    `F.lit(seed)` typing; parity with the operator is pinned by
+    test_weighted_reservoir_k1_proportional's spot check). The oracle
+    recomputes each type's exact weight in cents; the flag asserts the
+    Binomial(R, w_t/W) band."""
+    import math
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & (F.col("value") > 0))
+          .select("event_id", "event_type", "value"))
+    R = 400
+    seeds = spark.range(R).select(F.col("id").cast("int").alias("seed"))
+    j = ev.crossJoin(F.broadcast(seeds))
+    u32 = F.shiftrightunsigned(
+        F.xxhash64("seed", "event_id"), 32).cast("double")
+    key = F.log((u32 + F.lit(0.5)) / F.lit(float(1 << 32))) / F.col("value")
+    winners = (j.groupBy("seed")
+                .agg(F.max_by("event_type", key).alias("event_type")))
+    freq = {r["event_type"]: r["n"] for r in
+            winners.groupBy("event_type").agg(F.count("*").alias("n"))
+                   .collect()}
+    tots = (ev.groupBy("event_type")
+              .agg(F.sum("value").alias("w"),
+                   F.sum(F.floor(F.col("value") * 100).cast("long"))
+                    .alias("cents")).collect())
+    total_w = sum(r["w"] for r in tots)
+    rows = []
+    for r in tots:
+        p = r["w"] / total_w
+        got = freq.get(r["event_type"], 0) / R
+        ok = int(abs(got - p) <= 4 * math.sqrt(p * (1 - p) / R) + 1.0 / R)
+        rows.append((r["event_type"], r["cents"], ok))
+    return spark.createDataFrame(
+        rows, "event_type string, type_weight_cents bigint, "
+              "within_band int").orderBy("event_type")
+
+
 def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join (operators/layout.write_bucketed /
     bucketed_join): orders and customer written `bucketBy(custkey)` into
@@ -1613,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_join_size_estimate": _q_join_size_estimate,
         "q65_distribution_drift": _q_distribution_drift,
         "q66_bucketed_join": _q_bucketed_join,
+        "q67_weighted_sampling": _q_weighted_sampling,
     }
 
 
@@ -2189,6 +2234,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        "q67_weighted_sampling": """
+            SELECT event_type,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS type_weight_cents,
+                   1 AS within_band
+            FROM events
+            WHERE value IS NOT NULL AND value > 0
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "q52_line_dedup": """
             WITH lines AS (

@@ -17,7 +17,8 @@ from .layout import (bucketed_join, equidepth_bucket, has_exchange,
 from .multimodal import decode_and_featurize, sample_video_frames
 from .quantiles import grouped_quantiles, quantiles
 from .sampling import (hash_sample, sample_to_budget, sample_uniform_col,
-                       split_train_holdout, stratified_sample)
+                       split_train_holdout, stratified_sample,
+                       weighted_reservoir_sample, weighted_sample_key)
 from .semijoin import (bloom_anti_join, bloom_prefilter, bloom_semi_join,
                        build_key_bloom, sharded_bloom_semi_join)
 from .sharded import (build_sharded_bloom, merge_shard_tables, shard_geometry,
@@ -44,6 +45,7 @@ __all__ = [
     "keep_first_n",
     "hash_sample", "stratified_sample", "split_train_holdout",
     "sample_to_budget", "sample_uniform_col",
+    "weighted_reservoir_sample", "weighted_sample_key",
     "decontaminate", "contamination_scores", "build_reference_ngram_bloom",
     "word_ngram_hashes",
     "connected_components", "dedup_near_duplicates",

@@ -97,6 +97,46 @@ def split_train_holdout(df: DataFrame, cols, holdout_fraction: float,
     return df.where(u >= thr), df.where(u < thr)
 
 
+def weighted_sample_key(weight_col, cols, seed: int = DEFAULT_SEED) -> Column:
+    """Efraimidis–Spirakis A-ES sampling key ``ln(u) / w`` as a pure
+    codegen Column (ES, IPL 2006: taking the k LARGEST keys draws a
+    weighted sample without replacement; for k=1 the inclusion
+    probability is exactly ``w_i / W``).
+
+    ``u`` is the deterministic hash variate of `cols` shifted to the open
+    interval (0,1) — ``(top32 + 0.5) / 2^32`` can never be 0 or 1, so the
+    log is always finite. Same (seed, key) ⇒ same key on any partitioning
+    or cluster size; disjoint seeds give independent replicates."""
+    w = _cols([weight_col])[0]
+    u32 = F.shiftrightunsigned(hash_col(_cols(cols), seed), 32).cast("double")
+    u = (u32 + F.lit(0.5)) / F.lit(float(1 << 32))
+    return F.log(u) / w
+
+
+def weighted_reservoir_sample(df: DataFrame, k: int, weight_col, cols,
+                              seed: int = DEFAULT_SEED) -> DataFrame:
+    """Deterministic weight-proportional sample of `k` rows WITHOUT
+    replacement (A-ES): rank every row by `weighted_sample_key` and keep
+    the top k. Heavier rows get larger keys in expectation, so the sample
+    over-represents weight exactly per the A-ES distribution — the
+    "sample documents proportional to token count" curation step.
+
+    Scale shape: `orderBy(desc).limit(k)` plans as TakeOrderedAndProject —
+    each task keeps only its local top-k and the driver merges P·k rows,
+    so no global sort and no shuffle of the data. Rows with NULL or
+    non-positive weight are excluded (they have no defined inclusion
+    probability); ties are measure-zero under the 64-bit hash."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    w = _cols([weight_col])[0]
+    key = weighted_sample_key(weight_col, cols, seed)
+    return (df.where(w.isNotNull() & (w > 0))
+              .withColumn("__aes_key", key)
+              .orderBy(F.desc("__aes_key"))
+              .limit(k)
+              .drop("__aes_key"))
+
+
 def sample_to_budget(df: DataFrame, strata_col: str, cost_col, budgets: dict,
                      key_cols, seed: int = DEFAULT_SEED,
                      default: float = 1.0) -> tuple[DataFrame, dict]:

@@ -146,3 +146,82 @@ def test_stratified_sample_non_string_strata(spark, events):
            with_bucket.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
     assert got.get(0) == tot[0]       # f=1 keeps all
     assert 1 not in got and 2 not in got  # f=0 / default=0 drop all
+
+
+# --- weighted reservoir sampling (Efraimidis–Spirakis A-ES) ---------------
+
+def test_weighted_reservoir_matches_reference(spark, events):
+    """Python reference: take Spark's raw xxhash64 and redo the
+    open-interval shift + ln(u)/w + full-sort top-k independently; the
+    operator's TakeOrdered path must agree exactly."""
+    from bloomfilter_spark.operators.sampling import (
+        weighted_reservoir_sample)
+    ev = events.where(F.col("value").isNotNull() & (F.col("value") > 0))
+    rows = ev.select("event_id", "value",
+                     F.xxhash64(F.lit(7), "event_id").alias("h")).collect()
+
+    def key(r):
+        u32 = (r["h"] & 0xFFFFFFFFFFFFFFFF) >> 32
+        return math.log((u32 + 0.5) / float(1 << 32)) / r["value"]
+
+    keys = sorted(((key(r), r["event_id"]) for r in rows), reverse=True)
+    want = sorted(eid for _, eid in keys[:25])
+    got = sorted(r["event_id"] for r in
+                 weighted_reservoir_sample(events, 25, "value",
+                                           ["event_id"], seed=7)
+                 .select("event_id").collect())
+    assert got == want
+
+
+def test_weighted_reservoir_partition_invariant(spark, events):
+    from bloomfilter_spark.operators.sampling import (
+        weighted_reservoir_sample)
+    a = sorted(r["event_id"] for r in
+               weighted_reservoir_sample(events, 40, "value", ["event_id"])
+               .select("event_id").collect())
+    b = sorted(r["event_id"] for r in
+               weighted_reservoir_sample(events.repartition(13), 40,
+                                         "value", ["event_id"])
+               .select("event_id").collect())
+    assert a == b and len(a) == 40
+
+
+def test_weighted_reservoir_k1_proportional(spark):
+    """k=1 A-ES inclusion probability is EXACTLY w/W (ES 2006): one heavy
+    item (w=500) among 100 light (w=1) must win ~500/600 of independent
+    seed replicates, within 4 sigma of Binomial(R, p)."""
+    from bloomfilter_spark.operators.sampling import (
+        weighted_reservoir_sample)
+    rows = [(0, 500.0)] + [(i, 1.0) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    R = 400
+    # all replicates in ONE pass: broadcast the seed range, per-seed argmax
+    # of the same key formula (seed cast to int matches F.lit(seed) typing)
+    seeds = spark.range(R).select(F.col("id").cast("int").alias("seed"))
+    j = df.crossJoin(F.broadcast(seeds))
+    u32 = F.shiftrightunsigned(
+        F.xxhash64(F.col("seed"), F.col("id")), 32).cast("double")
+    key = F.log((u32 + F.lit(0.5)) / F.lit(float(1 << 32))) / F.col("w")
+    per_seed = j.groupBy("seed").agg(F.max_by("id", key).alias("winner"))
+    wins = per_seed.where(F.col("winner") == 0).count()
+    p = 500.0 / 600.0
+    assert abs(wins - R * p) <= 4 * math.sqrt(R * p * (1 - p)) + 1, wins
+    # the inline formula agrees with the operator for a spot seed
+    spot = per_seed.where(F.col("seed") == 11).first()["winner"]
+    assert (weighted_reservoir_sample(df, 1, "w", ["id"], seed=11)
+            .first()["id"] == spot)
+
+
+def test_weighted_reservoir_edge_cases(spark):
+    from bloomfilter_spark.operators.sampling import (
+        weighted_reservoir_sample)
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, -1.0), (4, None), (5, 3.0)],
+        "id long, w double")
+    # non-positive / NULL weights excluded; k > n returns all eligible
+    got = sorted(r["id"] for r in
+                 weighted_reservoir_sample(df, 10, "w", ["id"]).collect())
+    assert got == [1, 5]
+    assert weighted_reservoir_sample(df, 0, "w", ["id"]).count() == 0
+    with pytest.raises(ValueError, match=">= 0"):
+        weighted_reservoir_sample(df, -1, "w", ["id"])
