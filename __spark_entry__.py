@@ -1496,6 +1496,51 @@ def _q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "pair string, exact_ks double, ks_ok int").orderBy("pair")
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join (operators/interval.interval_join): events
+    against 10-minute windows opened at every 97th event. A bare BETWEEN
+    join would plan as a BroadcastNestedLoop cross product; the operator
+    restores an equi shape — each point owns ONE bucket, each window
+    explodes to its ~2 covered buckets, and the exact predicate filters
+    after the bucket equi-join. Bucket width comes from the one-scan KLL
+    median window length (suggest_bucket_width, here exactly 600 s). The
+    oracle recomputes the full inequality join in DuckDB — every
+    (window, n_events, n_users) row must match exactly."""
+    from bloomfilter_spark.operators.interval import (interval_join,
+                                                      suggest_bucket_width)
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                   .alias("t_us")))
+    wins = (ev.where(F.col("event_id") % 97 == 0)
+              .select(F.col("t_us").alias("lo"),
+                      (F.col("t_us") + F.lit(600_000_000)).alias("hi")))
+    width = suggest_bucket_width(wins, "lo", "hi")
+    j = interval_join(ev, wins, "t_us", "lo", "hi", bucket_width=width)
+    return (j.groupBy(F.col("lo").alias("window_start_us"))
+             .agg(F.count("*").alias("n_events"),
+                  F.countDistinct("user_id").alias("n_users"))
+             .orderBy("window_start_us"))
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (operators/interval.sessionize): 30-minute-gap
+    sessions per user over events (one shuffle by user, codegen lag +
+    running sum), reduced to the exact session-size histogram — identical
+    under any event order among equal timestamps, so the DuckDB
+    gaps-and-islands oracle matches row for row."""
+    from bloomfilter_spark.operators.interval import sessionize
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("t")))
+    sess = sessionize(ev, "user_id", "t", gap=1_800_000_000)
+    sizes = (sess.groupBy("user_id", "session_id")
+                 .agg(F.count("*").alias("session_events")))
+    return (sizes.groupBy("session_events")
+                 .agg(F.count("*").alias("n_sessions"))
+                 .orderBy("session_events"))
+
+
 def _q_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional sampling (operators/sampling.
     weighted_reservoir_sample, Efraimidis–Spirakis A-ES): for k=1 the
@@ -1658,6 +1703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_distribution_drift": _q_distribution_drift,
         "q66_bucketed_join": _q_bucketed_join,
         "q67_weighted_sampling": _q_weighted_sampling,
+        "q68_interval_join": _q_interval_join,
+        "q69_sessionize": _q_sessionize,
     }
 
 
@@ -2244,6 +2291,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE value IS NOT NULL AND value > 0
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "q68_interval_join": """
+            WITH ev AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events
+            ), w AS (
+              SELECT t_us AS lo, t_us + 600000000 AS hi
+              FROM ev WHERE event_id % 97 = 0
+            )
+            SELECT w.lo AS window_start_us,
+                   count(*) AS n_events,
+                   count(DISTINCT ev.user_id) AS n_users
+            FROM ev JOIN w ON ev.t_us BETWEEN w.lo AND w.hi
+            GROUP BY w.lo
+            ORDER BY window_start_us
+        """,
+        "q69_sessionize": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), m AS (
+              SELECT user_id, t,
+                     CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                               IS NULL
+                          OR t - lag(t) OVER (PARTITION BY user_id
+                                              ORDER BY t) > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM e
+            ), s AS (
+              SELECT user_id,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            ), sizes AS (
+              SELECT user_id, sid, count(*) AS session_events
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT session_events, count(*) AS n_sessions
+            FROM sizes GROUP BY session_events
+            ORDER BY session_events
         """,
         "q52_line_dedup": """
             WITH lines AS (

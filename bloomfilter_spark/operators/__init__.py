@@ -10,6 +10,7 @@ from .dedup import (dedup_exact, dedup_lines, keep_first_n,
                     ngram_jaccard_pairs, simhash_near_dups,
                     simhash_signatures)
 from .graph import connected_components, dedup_near_duplicates
+from .interval import interval_join, sessionize, suggest_bucket_width
 from .layout import (bucketed_join, equidepth_bucket, has_exchange,
                      hash_bucket, kll_cut_points, sketch_range_bucket,
                      write_bucketed, write_range_partitioned,
@@ -52,4 +53,5 @@ __all__ = [
     "zorder_key", "zorder_write", "hash_bucket", "equidepth_bucket",
     "kll_cut_points", "sketch_range_bucket", "write_range_partitioned",
     "write_bucketed", "bucketed_join", "has_exchange",
+    "interval_join", "sessionize", "suggest_bucket_width",
 ]
