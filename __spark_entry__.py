@@ -1541,6 +1541,43 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("session_events"))
 
 
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (operators/search.build_inverted_index):
+    postings for three probe terms over `documents`, joined with each
+    term's document frequency — all integers, exact. The explode and
+    both aggregations are codegen with map-side partials; the shuffle
+    carries (distinct term, doc) pairs, never token occurrences."""
+    from bloomfilter_spark.operators.search import build_inverted_index
+    docs = _t(spark, sf_dir, "documents")
+    postings, stats, _ = build_inverted_index(docs, "doc_id", "text")
+    probe = ("spark", "merge", "vector")
+    return (postings.where(F.col("term").isin(*probe))
+                    .join(stats, "term")
+                    .select("term", F.col("id").alias("doc_id"), "tf", "df")
+                    .orderBy("term", "doc_id"))
+
+
+def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (operators/search.bm25_scores): every (query, doc)
+    score for two queries over `documents`, quantized to integer
+    micro-units so the DuckDB oracle (same Lucene-variant formula) hashes
+    identically — scores are sums of <= 3 double terms, so cross-engine
+    drift is ~1 ulp, far inside the 1e-6 quantum. The query-term side is
+    broadcast against the postings scan; the only shuffle of postings is
+    the per-(query, doc) sum."""
+    from bloomfilter_spark.operators.search import (bm25_scores,
+                                                    build_inverted_index)
+    docs = _t(spark, sf_dir, "documents")
+    index = build_inverted_index(docs, "doc_id", "text")
+    queries = [(0, "spark join merge"), (1, "slow scan vector")]
+    scored = bm25_scores(*index, queries)
+    return (scored.select(
+        "query_id", "doc_id",
+        F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long")
+         .alias("score_micro"))
+        .orderBy("query_id", "doc_id"))
+
+
 def _q_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional sampling (operators/sampling.
     weighted_reservoir_sample, Efraimidis–Spirakis A-ES): for k=1 the
@@ -1705,6 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_weighted_sampling": _q_weighted_sampling,
         "q68_interval_join": _q_interval_join,
         "q69_sessionize": _q_sessionize,
+        "q70_inverted_index": _q_inverted_index,
+        "q71_bm25": _q_bm25_scores,
     }
 
 
@@ -2330,6 +2369,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT session_events, count(*) AS n_sessions
             FROM sizes GROUP BY session_events
             ORDER BY session_events
+        """,
+        "q70_inverted_index": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')) AS term
+              FROM documents WHERE text IS NOT NULL
+            ), postings AS (
+              SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), stats AS (
+              SELECT term, count(*) AS df FROM postings GROUP BY 1
+            )
+            SELECT p.term, p.doc_id, p.tf, s.df
+            FROM postings p JOIN stats s USING (term)
+            WHERE p.term IN ('spark', 'merge', 'vector')
+            ORDER BY p.term, p.doc_id
+        """,
+        "q71_bm25": r"""
+            WITH d0 AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents WHERE text IS NOT NULL
+            ), dl AS (
+              SELECT doc_id, len(toks) AS dl FROM d0
+            ), corpus AS (
+              SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+            ), toks AS (
+              SELECT doc_id, unnest(toks) AS term FROM d0
+            ), postings AS (
+              SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), stats AS (
+              SELECT term, count(*) AS df FROM postings GROUP BY 1
+            ), q(query_id, term) AS (
+              VALUES (0, 'spark'), (0, 'join'), (0, 'merge'),
+                     (1, 'slow'), (1, 'scan'), (1, 'vector')
+            ), scored AS (
+              SELECT q.query_id, p.doc_id,
+                     sum( ln(1 + (c.n - s.df + 0.5) / (s.df + 0.5))
+                          * p.tf * 2.2
+                          / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)) )
+                       AS score
+              FROM q JOIN stats s USING (term)
+                   JOIN postings p USING (term)
+                   JOIN dl d USING (doc_id), corpus c
+              GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id,
+                   CAST(floor(score * 1000000 + 0.5) AS BIGINT)
+                     AS score_micro
+            FROM scored ORDER BY query_id, doc_id
         """,
         "q52_line_dedup": """
             WITH lines AS (

@@ -20,6 +20,8 @@ from .quantiles import grouped_quantiles, quantiles
 from .sampling import (hash_sample, sample_to_budget, sample_uniform_col,
                        split_train_holdout, stratified_sample,
                        weighted_reservoir_sample, weighted_sample_key)
+from .search import (bm25_scores, bm25_topk, build_inverted_index,
+                     tokenize_terms)
 from .semijoin import (bloom_anti_join, bloom_prefilter, bloom_semi_join,
                        build_key_bloom, sharded_bloom_semi_join)
 from .sharded import (build_sharded_bloom, merge_shard_tables, shard_geometry,
@@ -54,4 +56,5 @@ __all__ = [
     "kll_cut_points", "sketch_range_bucket", "write_range_partitioned",
     "write_bucketed", "bucketed_join", "has_exchange",
     "interval_join", "sessionize", "suggest_bucket_width",
+    "build_inverted_index", "bm25_scores", "bm25_topk", "tokenize_terms",
 ]
