@@ -1541,6 +1541,34 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("session_events"))
 
 
+def _q_minmax_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max) file skipping (operators/file_index.
+    build_file_minmax_index / prune_files_range): lineitem rewritten
+    range-clustered on l_extendedprice, then a BETWEEN predicate opens
+    only the files whose [min, max] envelope overlaps — row-identical to
+    the full scan (zero FN), with at least one file provably skipped.
+    The range complement of q50/q61's Bloom (equality) skipping. The
+    oracle recomputes the exact matched count."""
+    import tempfile
+
+    from bloomfilter_spark.operators.file_index import (
+        build_file_minmax_index, prune_files_range, pruned_read_range)
+    li = _t(spark, sf_dir, "lineitem")
+    path = tempfile.mkdtemp(prefix="q72_minmax_") + "/lineitem"
+    li.repartitionByRange(8, "l_extendedprice").write.parquet(path)
+    idx = build_file_minmax_index(spark, path, ["l_extendedprice"])
+    lo, hi = 20000.0, 30000.0
+    files = prune_files_range(idx, "l_extendedprice", lo, hi)
+    n_files = idx.count()
+    pruned = (pruned_read_range(spark, path, idx, "l_extendedprice",
+                                lo, hi, files=files)
+              .where(F.col("l_extendedprice").between(lo, hi)).count())
+    full = li.where(F.col("l_extendedprice").between(lo, hi)).count()
+    return spark.createDataFrame(
+        [(pruned, int(pruned == full), int(0 < len(files) < n_files))],
+        "n_rows_matched bigint, pruned_equals_full int, files_skipped int")
+
+
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build (operators/search.build_inverted_index):
     postings for three probe terms over `documents`, joined with each
@@ -1744,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_sessionize": _q_sessionize,
         "q70_inverted_index": _q_inverted_index,
         "q71_bm25": _q_bm25_scores,
+        "q72_minmax_pruning": _q_minmax_pruning,
     }
 
 
@@ -2421,6 +2450,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(score * 1000000 + 0.5) AS BIGINT)
                      AS score_micro
             FROM scored ORDER BY query_id, doc_id
+        """,
+        "q72_minmax_pruning": """
+            SELECT count(*) AS n_rows_matched,
+                   1 AS pruned_equals_full,
+                   1 AS files_skipped
+            FROM lineitem
+            WHERE l_extendedprice BETWEEN 20000.0 AND 30000.0
         """,
         "q52_line_dedup": """
             WITH lines AS (

@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     "q20_hll_distinct_users", "q21_cms_type_counts", "q22_kll_value_quantiles",
     "q25_minhash_neardup", "q27_lang_id", "q40_theta_set_ops",
     "q43_stratified_sample", "q45_decontamination",
+    # round-3 additions: bucketed-layout join, A-ES weighted sampling,
+    # bucketed interval join, inverted index, BM25 ranking
+    "q66_bucketed_join", "q67_weighted_sampling", "q68_interval_join",
+    "q70_inverted_index", "q71_bm25",
 ]
 
 

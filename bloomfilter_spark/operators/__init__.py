@@ -2,8 +2,9 @@ from .cube import sketch_cube, sketch_grouping_sets, sketch_rollup
 from .decontaminate import (build_reference_ngram_bloom,
                             contamination_scores, decontaminate,
                             word_ngram_hashes)
-from .file_index import (build_file_bloom_index, prune_files,
-                         pruned_read)
+from .file_index import (build_file_bloom_index, build_file_minmax_index,
+                         prune_files, prune_files_range, pruned_read,
+                         pruned_read_range)
 from .dedup import (dedup_exact, dedup_lines, keep_first_n,
                     minhash_lsh_candidates,
                     minhash_lsh_dedup, minhash_signatures,
@@ -33,6 +34,7 @@ from .topk import cms_heavy_hitters, exact_top_k, top_k_per_group
 
 __all__ = [
     "build_file_bloom_index", "prune_files", "pruned_read",
+    "build_file_minmax_index", "prune_files_range", "pruned_read_range",
     "dedup_exact", "dedup_lines", "minhash_signatures", "minhash_lsh_candidates",
     "minhash_lsh_dedup", "simhash_signatures", "simhash_near_dups",
     "ngram_jaccard_pairs", "quantiles", "grouped_quantiles",

@@ -40,7 +40,9 @@ from ..config import DEFAULT_SEED
 from ..sketches import BloomFilter
 from ..sizing import suggest_sizing
 
-__all__ = ["build_file_bloom_index", "prune_files", "pruned_read"]
+__all__ = ["build_file_bloom_index", "build_file_minmax_index",
+           "prune_files", "prune_files_range", "pruned_read",
+           "pruned_read_range"]
 
 
 def build_file_bloom_index(spark: SparkSession, path: str,
@@ -176,4 +178,74 @@ def pruned_read(spark: SparkSession, path: str, index_df: DataFrame,
     if not files:
         # no file can contain any key: preserve schema, read nothing
         return table.where(F.lit(False))
+    return spark.read.parquet(*files)
+
+
+def build_file_minmax_index(spark: SparkSession, path: str,
+                            cols: Sequence[str],
+                            files: Sequence[str] | None = None) -> DataFrame:
+    """Min/max statistics per parquet file — the RANGE-predicate
+    complement to the Bloom (equality) index, i.e. Delta/Iceberg-style
+    zone maps as an engine-controlled table:
+
+        (file, n_rows, n_nonnull_<c>, min_<c>, max_<c>, ...)
+
+    One distributed scan: `input_file_name()` groups, min/max/count run
+    in codegen with map-side partials, so the shuffle carries one partial
+    row per (task, file). Worth building after a clustering write
+    (`zorder_write`, `repartitionByRange`) — clustering is what makes the
+    per-file ranges tight enough to skip.
+
+    ``files`` restricts the build for incremental refresh, like
+    `build_file_bloom_index`.
+    """
+    src = spark.read.parquet(*files) if files else spark.read.parquet(path)
+    df = src.withColumn("__file", F.input_file_name())
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [F.count(c).alias(f"n_nonnull_{c}"),
+                 F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    if src.limit(1).count() == 0:
+        raise ValueError(f"no rows under {path}: nothing to index")
+    return df.groupBy("__file").agg(*aggs).withColumnRenamed("__file", "file")
+
+
+def prune_files_range(index_df: DataFrame, col: str, lo=None, hi=None,
+                      ) -> list[str]:
+    """Files that MAY contain a row with ``lo <= col <= hi`` (either
+    bound may be None for a half-open range). Zero false negatives:
+
+    * a file is skipped when its [min, max] envelope provably misses the
+      range, or when it has NO non-null values of ``col`` (NULL never
+      satisfies a range predicate);
+    * comparisons happen in the column's own type (strings compare
+      lexicographically, matching the predicate they stand in for).
+
+    The probe is a filter over the (small) index table; only file names
+    reach the driver.
+    """
+    if f"min_{col}" not in index_df.columns:
+        raise ValueError(f"index has no min/max stats for column {col!r}; "
+                         f"built over: "
+                         f"{[c[4:] for c in index_df.columns if c.startswith('min_')]}")
+    cond = F.col(f"n_nonnull_{col}") > 0
+    if lo is not None:
+        cond = cond & (F.col(f"max_{col}") >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(f"min_{col}") <= F.lit(hi))
+    rows = index_df.where(cond).select("file").collect()
+    return sorted({r["file"] for r in rows})
+
+
+def pruned_read_range(spark: SparkSession, path: str, index_df: DataFrame,
+                      col: str, lo=None, hi=None,
+                      files: Sequence[str] | None = None) -> DataFrame:
+    """Read only the files whose min/max envelope overlaps [lo, hi].
+    Row-identical to the full scan + range filter once the caller applies
+    the exact predicate (envelope overlap admits false-positive files,
+    never false negatives)."""
+    if files is None:
+        files = prune_files_range(index_df, col, lo, hi)
+    if not files:
+        return spark.read.parquet(path).where(F.lit(False))
     return spark.read.parquet(*files)

@@ -166,3 +166,87 @@ def test_prune_files_distributed_over_many_files(spark):
     # zero FN: the true owner files are present; FPs bounded by geometry
     assert "file_00012" in files and "file_00777" in files
     assert len(files) < 50
+
+
+# --- min/max (zone-map) range index --------------------------------------
+
+@pytest.fixture(scope="module")
+def ranged_table(spark, tmp_path_factory):
+    """8 range-clustered files over v in [0, 8000): file i holds
+    [i*1000, (i+1)*1000). A 'tag' column exercises string ranges; one
+    extra file is all-NULL in v."""
+    path = str(tmp_path_factory.mktemp("minmax") / "t")
+    df = spark.range(8000).select(
+        F.col("id").alias("v"),
+        F.concat(F.lit("k"), F.lpad((F.col("id") / 1000).cast("int")
+                                    .cast("string"), 2, "0")).alias("tag"))
+    df.repartitionByRange(8, "v").write.parquet(path)
+    nulls = spark.range(5).select(
+        F.lit(None).cast("long").alias("v"), F.lit("zz").alias("tag"))
+    nulls.coalesce(1).write.mode("append").parquet(path)
+    return path
+
+
+def test_minmax_index_stats_exact(spark, ranged_table):
+    from bloomfilter_spark.operators.file_index import build_file_minmax_index
+    idx = build_file_minmax_index(spark, ranged_table, ["v", "tag"])
+    rows = idx.collect()
+    assert len(rows) == 9
+    data_rows = sorted((r for r in rows if r["n_nonnull_v"] > 0),
+                       key=lambda r: r["min_v"])
+    assert len(data_rows) == 8
+    # range clustering => contiguous, non-overlapping, exhaustive files
+    # (boundaries are sampled by repartitionByRange, not exact multiples)
+    for r in data_rows:
+        assert r["n_rows"] == r["max_v"] - r["min_v"] + 1
+    for a, b in zip(data_rows, data_rows[1:]):
+        assert b["min_v"] == a["max_v"] + 1
+    assert data_rows[0]["min_v"] == 0 and data_rows[-1]["max_v"] == 7999
+    null_row = [r for r in rows if r["n_nonnull_v"] == 0][0]
+    assert null_row["min_v"] is None and null_row["n_rows"] == 5
+    assert null_row["min_tag"] == "zz"  # stats per column, independent
+
+
+def test_range_prune_zero_fn_and_skips(spark, ranged_table):
+    from bloomfilter_spark.operators.file_index import (
+        build_file_minmax_index, prune_files_range, pruned_read_range)
+    idx = build_file_minmax_index(spark, ranged_table, ["v", "tag"])
+    files = prune_files_range(idx, "v", 2500, 4500)
+    # ~2000-wide range over ~1000-wide files: 3 +/- 1 depending on the
+    # sampled boundaries — and strictly fewer than all 8
+    assert 2 <= len(files) <= 4
+    got = (pruned_read_range(spark, ranged_table, idx, "v", 2500, 4500)
+           .where(F.col("v").between(2500, 4500)).count())
+    want = (spark.read.parquet(ranged_table)
+            .where(F.col("v").between(2500, 4500)).count())
+    assert got == want == 2001
+    # all-NULL v file is provably skippable for any range
+    assert not any("zz" in f for f in files)
+
+
+def test_range_prune_half_open_and_string(spark, ranged_table):
+    from bloomfilter_spark.operators.file_index import (
+        build_file_minmax_index, prune_files_range)
+    idx = build_file_minmax_index(spark, ranged_table, ["v", "tag"])
+    assert 2 <= len(prune_files_range(idx, "v", lo=6000)) <= 3
+    assert 1 <= len(prune_files_range(idx, "v", hi=999)) <= 2
+    assert len(prune_files_range(idx, "v")) == 8      # no bounds: all data files
+    # string ranges compare lexicographically; zero FN vs the exact scan
+    fs = prune_files_range(idx, "tag", "k03", "k04")
+    assert 0 < len(fs) < 8
+    got = (spark.read.parquet(*fs)
+           .where(F.col("tag").between("k03", "k04")).count())
+    want = (spark.read.parquet(ranged_table)
+            .where(F.col("tag").between("k03", "k04")).count())
+    assert got == want == 2000
+    with pytest.raises(ValueError, match="no min/max"):
+        prune_files_range(idx, "missing")
+
+
+def test_range_prune_empty_result_schema(spark, ranged_table):
+    from bloomfilter_spark.operators.file_index import (
+        build_file_minmax_index, pruned_read_range)
+    idx = build_file_minmax_index(spark, ranged_table, ["v"])
+    out = pruned_read_range(spark, ranged_table, idx, "v", 10**9, 2 * 10**9)
+    assert out.count() == 0
+    assert set(out.columns) == {"v", "tag"}
