@@ -1541,6 +1541,27 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("session_events"))
 
 
+def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native session windows (operators/interval.
+    session_window_agg over F.session_window — the streaming-capable
+    sessionization shape, batch-exercised here): 30-minute-gap sessions
+    per user, reduced to exact totals. Window end = last event + gap, so
+    span_us_sum = sum(last - first) + n_sessions * gap; the DuckDB
+    islands oracle (merge when diff <= gap, pinned by
+    test_session_window_gap_boundary) recomputes every total exactly."""
+    from bloomfilter_spark.operators.interval import session_window_agg
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", F.col("ts").cast("timestamp").alias("ts")))
+    sw = session_window_agg(ev, "user_id", "ts", "30 minutes",
+                            F.count("*").alias("n_events"))
+    return sw.agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("n_events").alias("n_events_total"),
+        F.sum(F.unix_micros("session_window.end")
+              - F.unix_micros("session_window.start")).alias("span_us_sum"))
+
+
 def _q_minmax_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map (min/max) file skipping (operators/file_index.
     build_file_minmax_index / prune_files_range): lineitem rewritten
@@ -1783,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_inverted_index": _q_inverted_index,
         "q71_bm25": _q_bm25_scores,
         "q72_minmax_pruning": _q_minmax_pruning,
+        "q73_session_window": _q_session_window,
     }
 
 
@@ -2467,6 +2489,32 @@ def oracle_sql() -> dict[str, str]:
                    1 AS files_skipped
             FROM lineitem
             WHERE l_extendedprice BETWEEN 20000.0 AND 30000.0
+        """,
+        "q73_session_window": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), m AS (
+              SELECT user_id, t,
+                     CASE WHEN lag(t) OVER w IS NULL
+                          OR t - lag(t) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+            ), s AS (
+              SELECT user_id, t,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            ), g AS (
+              SELECT user_id, sid, count(*) AS n,
+                     max(t) - min(t) + 1800000000 AS span
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT count(*) AS n_sessions,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum(n) AS BIGINT) AS n_events_total,
+                   CAST(sum(span) AS BIGINT) AS span_us_sum
+            FROM g
         """,
         "q52_line_dedup": """
             WITH lines AS (

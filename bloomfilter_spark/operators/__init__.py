@@ -11,7 +11,8 @@ from .dedup import (dedup_exact, dedup_lines, keep_first_n,
                     ngram_jaccard_pairs, simhash_near_dups,
                     simhash_signatures)
 from .graph import connected_components, dedup_near_duplicates
-from .interval import interval_join, sessionize, suggest_bucket_width
+from .interval import (interval_join, session_window_agg, sessionize,
+                       suggest_bucket_width)
 from .layout import (bucketed_join, equidepth_bucket, has_exchange,
                      hash_bucket, kll_cut_points, sketch_range_bucket,
                      write_bucketed, write_range_partitioned,
@@ -57,6 +58,7 @@ __all__ = [
     "zorder_key", "zorder_write", "hash_bucket", "equidepth_bucket",
     "kll_cut_points", "sketch_range_bucket", "write_range_partitioned",
     "write_bucketed", "bucketed_join", "has_exchange",
-    "interval_join", "sessionize", "suggest_bucket_width",
+    "interval_join", "sessionize", "session_window_agg",
+    "suggest_bucket_width",
     "build_inverted_index", "bm25_scores", "bm25_topk", "tokenize_terms",
 ]

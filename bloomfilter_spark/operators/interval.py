@@ -121,3 +121,27 @@ def sessionize(df: DataFrame, entity_col: str, ts_col, gap,
               .withColumn(session_col,
                           (F.sum("__sz_new").over(run) - 1).cast("long"))
               .drop("__sz_new"))
+
+
+def session_window_agg(df: DataFrame, entity_col: str, ts_col: str,
+                       gap: str, *aggs: Column) -> DataFrame:
+    """Spark-native session windows (``F.session_window``): groups rows
+    of one entity into sessions spanning [first, last + gap); an event
+    landing exactly on the current window end EXTENDS the session
+    (merge when diff <= gap), the same boundary rule as `sessionize`'s
+    ``> gap`` new-session test — pinned by
+    tests/test_session_window.py::test_session_window_gap_boundary.
+
+    Unlike `sessionize` this shape is streaming-capable: the same
+    expression over a `readStream` source with a watermark maintains
+    session state incrementally (append mode emits a session once the
+    watermark passes its end; update mode is rejected for session
+    windows; tests/test_session_window.py pins streaming == batch via
+    complete mode on a finite source).
+    Returns one row per session: (session_window struct, entity, aggs).
+    """
+    ts = F.col(ts_col)
+    return (df.where(F.col(entity_col).isNotNull() & ts.isNotNull())
+              .groupBy(F.session_window(ts, gap).alias("session_window"),
+                       entity_col)
+              .agg(*aggs))
