@@ -1541,6 +1541,28 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("session_events"))
 
 
+def _q_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-change detection (operators/topk.cms_heavy_change,
+    Cormode–Muthukrishnan "what's new"): the users whose event count
+    moved most between the even and odd event_id halves, from two CMS
+    sketches + both sides' local candidate tops — neither side is ever
+    shuffled by key. At eps=1e-4 (w=27183 cells) over ~150 users the
+    fixed-seed estimates are collision-free, so every (user, est_a,
+    est_b, change) row equals the exact full-join answer the oracle
+    computes; the deterministic (change desc, key asc) tie-break matches
+    on both sides."""
+    from bloomfilter_spark.operators import cms_heavy_change
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .select(F.col("user_id").cast("string").alias("user_key"),
+                  "event_id"))
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    out = cms_heavy_change(a, b, "user_key", 5, eps=1e-4)
+    return out.select(F.col("key").alias("user_key"),
+                      "est_a", "est_b", "change")
+
+
 def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-native session windows (operators/interval.
     session_window_agg over F.session_window — the streaming-capable
@@ -1805,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_bm25": _q_bm25_scores,
         "q72_minmax_pruning": _q_minmax_pruning,
         "q73_session_window": _q_session_window,
+        "q74_heavy_change": _q_heavy_change,
     }
 
 
@@ -2515,6 +2538,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS n_events_total,
                    CAST(sum(span) AS BIGINT) AS span_us_sum
             FROM g
+        """,
+        "q74_heavy_change": """
+            WITH a AS (
+              SELECT CAST(user_id AS VARCHAR) AS user_key,
+                     count(*) AS ca
+              FROM events WHERE user_id IS NOT NULL AND event_id % 2 = 0
+              GROUP BY 1
+            ), b AS (
+              SELECT CAST(user_id AS VARCHAR) AS user_key,
+                     count(*) AS cb
+              FROM events WHERE user_id IS NOT NULL AND event_id % 2 = 1
+              GROUP BY 1
+            ), j AS (
+              SELECT coalesce(a.user_key, b.user_key) AS user_key,
+                     CAST(coalesce(ca, 0) AS BIGINT) AS est_a,
+                     CAST(coalesce(cb, 0) AS BIGINT) AS est_b
+              FROM a FULL JOIN b USING (user_key)
+            )
+            SELECT user_key, est_a, est_b,
+                   abs(est_a - est_b) AS change
+            FROM j ORDER BY change DESC, user_key ASC LIMIT 5
         """,
         "q52_line_dedup": """
             WITH lines AS (

@@ -78,3 +78,57 @@ def cms_heavy_hitters(df: DataFrame, key_cols, k: int,
     cands = keyed.mapInPandas(local_candidates, schema="key string").distinct()
     scored = with_cms_count(cands, cms, ["key"], out_col="est_cnt", seed=seed)
     return scored.orderBy(F.desc("est_cnt"), F.asc("key")).limit(k)
+
+
+def cms_heavy_change(df_a: DataFrame, df_b: DataFrame, key_cols, k: int,
+                     candidates_per_partition: int = 256,
+                     eps: float = 1e-4, delta: float = 1e-3,
+                     seed: int = DEFAULT_SEED,
+                     conservative: bool = False) -> DataFrame:
+    """Heavy CHANGE detection (Cormode–Muthukrishnan "what's new"):
+    the keys whose frequency moved the most between two datasets /
+    periods — the corpus-monitoring complement of `ks_drift` (which
+    sees distribution shifts but not which key moved).
+
+    Since ``|cnt_a - cnt_b| <= max(cnt_a, cnt_b)``, a top change key is
+    a heavy hitter in at least one side, so the candidate union of both
+    sides' per-partition local tops covers the answer at the same width
+    guarantee as `cms_heavy_hitters`. Scoring reads both sides' merged
+    CMS: each estimate errs only upward by <= eps*N of its side, so
+    ``est_a - est_b`` sits within ``[change - eps*Nb, change + eps*Na]``.
+    Returns (key, est_a, est_b, change) — top-k by change with a
+    deterministic key tie-break. O(d*w) state per side; neither input is
+    ever shuffled by key.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def prep(df: DataFrame) -> DataFrame:
+        return (df.select(F.concat_ws("\x1f", *keys).alias("key"))
+                  .where(F.col("key").isNotNull()))
+
+    ka, kb = prep(df_a), prep(df_b)
+    mk = lambda: CountMinSketch(eps=eps, delta=delta,  # noqa: E731
+                                conservative=conservative)
+    cms_a = build_sketch(ka, ["key"], mk, seed=seed)
+    cms_b = build_sketch(kb, ["key"], mk, seed=seed)
+
+    def local_candidates(it: Iterable[pd.DataFrame]):
+        counts = pd.Series(dtype="int64")
+        for pdf in it:
+            counts = counts.add(pdf["key"].value_counts(), fill_value=0)
+        top = (counts.sort_index()
+                     .sort_values(ascending=False, kind="stable")
+                     .head(candidates_per_partition))
+        yield pd.DataFrame({"key": top.index.to_numpy(dtype=object)})
+
+    cands = (ka.mapInPandas(local_candidates, schema="key string")
+               .unionByName(kb.mapInPandas(local_candidates,
+                                           schema="key string"))
+               .distinct())
+    scored = with_cms_count(cands, cms_a, ["key"], out_col="est_a",
+                            seed=seed)
+    scored = with_cms_count(scored, cms_b, ["key"], out_col="est_b",
+                            seed=seed)
+    change = F.abs(F.col("est_a") - F.col("est_b")).alias("change")
+    return (scored.select("key", "est_a", "est_b", change)
+                  .orderBy(F.desc("change"), F.asc("key")).limit(k))

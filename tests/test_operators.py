@@ -513,3 +513,46 @@ def test_repetition_ratios_known_values(spark):
     assert out[1] == (0.5, 0.5)
     assert out[2] == (1 / 3, 0.0)  # 4 tokens -> 3 unique bigrams
     assert out[3] == (0.0, 0.0)
+
+
+# --- heavy change detection ----------------------------------------------
+
+def test_cms_heavy_change_exact_small(spark):
+    """eps*N << 1 at this width: estimates are exact, so the detected
+    changes equal the true |cnt_a - cnt_b| ranking."""
+    from bloomfilter_spark.operators import cms_heavy_change
+    a_rows = [("k%02d" % (i % 20),) for i in range(2000)]          # uniform
+    b_rows = ([("k00",)] * 700 + [("k07",)] * 5                    # k00 +600,
+              + [("k%02d" % (i % 20),) for i in range(2000)        # k07 -95,
+                 if i % 20 not in (0, 7)])                         # k13 +40
+    b_rows += [("k13",)] * 40
+    a = spark.createDataFrame(a_rows, "key string")
+    b = spark.createDataFrame(b_rows, "key string")
+    got = [(r["key"], r["change"]) for r in
+           cms_heavy_change(a, b, "key", 3, eps=1e-4).collect()]
+    assert got == [("k00", 600), ("k07", 95), ("k13", 40)]
+
+
+def test_cms_heavy_change_one_sided_keys(spark):
+    """Keys present in only one side rank by their full count."""
+    from bloomfilter_spark.operators import cms_heavy_change
+    a = spark.createDataFrame([("only_a",)] * 50 + [("both",)] * 10,
+                              "key string")
+    b = spark.createDataFrame([("only_b",)] * 30 + [("both",)] * 10,
+                              "key string")
+    got = [(r["key"], r["est_a"], r["est_b"], r["change"]) for r in
+           cms_heavy_change(a, b, "key", 10, eps=1e-4).collect()]
+    assert got == [("only_a", 50, 0, 50), ("only_b", 0, 30, 30),
+                   ("both", 10, 10, 0)]
+
+
+def test_cms_heavy_change_partition_invariant(spark, events):
+    from bloomfilter_spark.operators import cms_heavy_change
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 2 == 1)
+    r1 = [tuple(r) for r in
+          cms_heavy_change(a, b, "event_type", 5).collect()]
+    r2 = [tuple(r) for r in
+          cms_heavy_change(a.repartition(13), b.repartition(7),
+                           "event_type", 5).collect()]
+    assert r1 == r2 and len(r1) == 5
