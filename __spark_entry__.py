@@ -935,6 +935,30 @@ def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast("int").alias("recall_ok"))
 
 
+def _q_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus fuzzy-join recall (incremental dedup): every document
+    with >=200 chars gets a mutated copy in a separate 'new batch' table;
+    minhash_join must pair each batch doc with its corpus source across
+    the two tables. Same banding math as q25: char-5-shingle Jaccard ~0.9
+    at 16 bands x 4 rows -> per-pair miss probability ~4e-8, so
+    recall_ok=1 deterministically; n_injected is exactly recomputable."""
+    from bloomfilter_spark.operators import minhash_join
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text")
+    src = docs.where(F.col("n_chars") >= 200).select("doc_id", "text")
+    batch = src.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" incremental crawl tail")).alias("text"))
+    pairs = minhash_join(batch, corpus, "doc_id", "text", threshold=0.5,
+                         num_perm=64, bands=16)
+    expected = src.select((F.col("doc_id") + 2000000).alias("query_id"),
+                          F.col("doc_id").alias("corpus_id"))
+    found = expected.join(pairs, ["query_id", "corpus_id"], "left")
+    return found.agg(F.count("*").alias("n_injected"),
+                     (F.count("*") == F.count("est_jaccard"))
+                     .cast("int").alias("recall_ok"))
+
+
 def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash recall on injected exact duplicates (Hamming distance 0 —
     the banding pigeonhole guarantees candidacy, so recall must be 1);
@@ -1828,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_minmax_pruning": _q_minmax_pruning,
         "q73_session_window": _q_session_window,
         "q74_heavy_change": _q_heavy_change,
+        "q75_minhash_join": _q_minhash_join,
     }
 
 
@@ -2078,6 +2103,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 100000 AS n_probes, 1 AS fpr_ok
         """,
         "q25_minhash_neardup": """
+            SELECT count(*) AS n_injected, 1 AS recall_ok
+            FROM documents WHERE n_chars >= 200
+        """,
+        "q75_minhash_join": """
             SELECT count(*) AS n_injected, 1 AS recall_ok
             FROM documents WHERE n_chars >= 200
         """,

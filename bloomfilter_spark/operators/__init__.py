@@ -6,8 +6,9 @@ from .file_index import (build_file_bloom_index, build_file_minmax_index,
                          prune_files, prune_files_range, pruned_read,
                          pruned_read_range)
 from .dedup import (dedup_exact, dedup_lines, keep_first_n,
-                    minhash_lsh_candidates,
-                    minhash_lsh_dedup, minhash_signatures,
+                    minhash_join, minhash_lsh_candidates,
+                    minhash_lsh_dedup, minhash_lsh_join_candidates,
+                    minhash_signatures,
                     ngram_jaccard_pairs, simhash_near_dups,
                     simhash_signatures)
 from .graph import connected_components, dedup_near_duplicates
@@ -38,7 +39,8 @@ __all__ = [
     "build_file_bloom_index", "prune_files", "pruned_read",
     "build_file_minmax_index", "prune_files_range", "pruned_read_range",
     "dedup_exact", "dedup_lines", "minhash_signatures", "minhash_lsh_candidates",
-    "minhash_lsh_dedup", "simhash_signatures", "simhash_near_dups",
+    "minhash_lsh_dedup", "minhash_lsh_join_candidates", "minhash_join",
+    "simhash_signatures", "simhash_near_dups",
     "ngram_jaccard_pairs", "quantiles", "grouped_quantiles",
     "bloom_semi_join", "bloom_anti_join", "bloom_prefilter", "build_key_bloom",
     "sharded_bloom_semi_join",

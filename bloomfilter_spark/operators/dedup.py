@@ -195,24 +195,18 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return df.select(id_col, text_col).mapInPandas(fn, schema=schema)
 
 
-def minhash_lsh_candidates(signatures: DataFrame, id_col: str,
-                           bands: int = 16, seed: int = DEFAULT_SEED,
-                           sig_len: int | None = None) -> DataFrame:
-    """Banded LSH: split each signature into `bands` bands, hash each band,
-    self-join on (band_id, band_hash) -> candidate pairs (id_a < id_b).
+def _band_table(signatures: DataFrame, id_col: str, bands: int, seed: int,
+                sig_len: int | None) -> DataFrame:
+    """(id, band, band_hash) — one row per band per signature.
 
     Band hashes come straight from order-preserving F.slice on the
     signature array (one narrow projection + explode) — NOT from
     groupBy + collect_list, whose element order is not guaranteed after a
     shuffle (nondeterministic band hashes silently drop candidates) and
-    which costs an extra shuffle. The join key is a small long, so the
-    candidate shuffle moves band hashes, not documents; Catalyst handles
-    the equi-join strategy. Pass ``sig_len`` (= num_perm) to keep the plan
-    fully lazy; it is probed with one tiny job otherwise."""
+    which costs an extra shuffle."""
     if sig_len is None:
         sig_len = signatures.select(F.size("signature").alias("n")).first()["n"]
     rows_per_band = max(1, sig_len // bands)
-
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -220,10 +214,23 @@ def minhash_lsh_candidates(signatures: DataFrame, id_col: str,
                        F.slice("signature", b * rows_per_band + 1,
                                rows_per_band)).alias("band_hash"))
         for b in range(bands)]
-    banded = (signatures
-              .select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bh"))
-              .select(id_col, "bh.band", "bh.band_hash"))
+    return (signatures
+            .select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bh"))
+            .select(id_col, "bh.band", "bh.band_hash"))
 
+
+def minhash_lsh_candidates(signatures: DataFrame, id_col: str,
+                           bands: int = 16, seed: int = DEFAULT_SEED,
+                           sig_len: int | None = None) -> DataFrame:
+    """Banded LSH: split each signature into `bands` bands, hash each band
+    (see _band_table), self-join on (band_id, band_hash) -> candidate
+    pairs (id_a < id_b).
+
+    The join key is a small long, so the candidate shuffle moves band
+    hashes, not documents; Catalyst handles the equi-join strategy. Pass
+    ``sig_len`` (= num_perm) to keep the plan fully lazy; it is probed
+    with one tiny job otherwise."""
+    banded = _band_table(signatures, id_col, bands, seed, sig_len)
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (left.join(right, on=[F.col("a.band") == F.col("b.band"),
@@ -261,6 +268,68 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
     sigs = sigs.persist()
     pairs = minhash_lsh_candidates(sigs, id_col, bands, seed, sig_len=num_perm)
     est = minhash_jaccard_estimates(sigs, pairs, id_col)
+    return est.where(F.col("est_jaccard") >= threshold)
+
+
+def minhash_lsh_join_candidates(query_sigs: DataFrame, corpus_sigs: DataFrame,
+                                id_col: str, bands: int = 16,
+                                seed: int = DEFAULT_SEED,
+                                sig_len: int | None = None) -> DataFrame:
+    """Cross-table banded LSH: (query_id, corpus_id) pairs whose signatures
+    collide in at least one band. Both signature tables MUST come from
+    minhash_signatures with the same (num_perm, shingle_k, seed) — band
+    hashes are only comparable under identical parameters.
+
+    Scale shape: the incremental-dedup case is a small-ish query batch
+    (today's crawl) against a huge corpus (everything kept so far). The
+    equi-join on (band, band_hash) lets Catalyst/AQE broadcast the query
+    side's band table when it fits, so the corpus is streamed once with
+    no shuffle of corpus rows; otherwise it degrades to a hash join on
+    8-byte keys, never on documents. No id_a<id_b predicate applies —
+    the two id namespaces are independent."""
+    qb = _band_table(query_sigs, id_col, bands, seed,
+                     sig_len).alias("q")
+    cb = _band_table(corpus_sigs, id_col, bands, seed,
+                     sig_len if sig_len is not None
+                     else corpus_sigs.select(
+                         F.size("signature").alias("n")).first()["n"]).alias("c")
+    return (qb.join(cb, on=[F.col("q.band") == F.col("c.band"),
+                            F.col("q.band_hash") == F.col("c.band_hash")])
+              .select(F.col(f"q.{id_col}").alias("query_id"),
+                      F.col(f"c.{id_col}").alias("corpus_id"))
+              .distinct())
+
+
+def minhash_join(query_df: DataFrame, corpus_df: DataFrame, id_col: str,
+                 text_col: str, threshold: float = 0.8, num_perm: int = 128,
+                 bands: int = 16, shingle_k: int = 5,
+                 seed: int = DEFAULT_SEED) -> DataFrame:
+    """Fuzzy join of a new document batch against an existing corpus:
+    (query_id, corpus_id, est_jaccard) for every cross pair with estimated
+    char-shingle Jaccard >= threshold. The incremental near-dup primitive —
+    'which of today's documents already exist (approximately) in the
+    corpus?' — so a 100 TB corpus is never self-joined again for each new
+    increment. Jaccard is re-estimated coordinate-wise on the full
+    signatures (zip_with, JVM-side), so band-collision false positives are
+    filtered by the same estimator minhash_lsh_dedup uses."""
+    q_sigs = minhash_signatures(query_df, id_col, text_col, num_perm,
+                                shingle_k, seed).persist()
+    c_sigs = minhash_signatures(corpus_df, id_col, text_col, num_perm,
+                                shingle_k, seed).persist()
+    pairs = minhash_lsh_join_candidates(q_sigs, c_sigs, id_col, bands, seed,
+                                        sig_len=num_perm)
+    joined = (pairs
+              .join(q_sigs.select(F.col(id_col).alias("query_id"),
+                                  F.col("signature").alias("sig_q")),
+                    "query_id")
+              .join(c_sigs.select(F.col(id_col).alias("corpus_id"),
+                                  F.col("signature").alias("sig_c")),
+                    "corpus_id"))
+    agree = F.aggregate(
+        F.zip_with("sig_q", "sig_c", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    est = joined.select("query_id", "corpus_id",
+                        (agree / F.size("sig_q")).alias("est_jaccard"))
     return est.where(F.col("est_jaccard") >= threshold)
 
 

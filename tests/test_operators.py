@@ -167,6 +167,50 @@ def test_minhash_jaccard_estimate_calibrated(spark):
     assert est[(1, 3)] < 0.2
 
 
+def test_minhash_join_finds_cross_corpus_dups(spark, documents):
+    """Incremental dedup: a 'new batch' of mutated copies must pair with
+    its corpus source across tables, and unrelated docs must not."""
+    from bloomfilter_spark.operators.dedup import minhash_join
+    corpus = documents.where(F.col("n_chars") >= 200).select("doc_id", "text")
+    batch = (corpus.limit(15)
+             .select((F.col("doc_id") + 500000).alias("doc_id"),
+                     F.concat("text", F.lit(" tail mutation")).alias("text")))
+    pairs = minhash_join(batch, corpus, "doc_id", "text", threshold=0.5,
+                         num_perm=128, bands=32)
+    found = {(r["query_id"], r["corpus_id"]) for r in pairs.collect()}
+    want = {(r["doc_id"] + 500000, r["doc_id"])
+            for r in corpus.limit(15).collect()}
+    hit = sum(1 for p in want if p in found)
+    assert hit >= len(want) * 0.8, f"only {hit}/{len(want)} cross pairs found"
+
+
+def test_minhash_join_no_false_positives_on_disjoint(spark):
+    """Disjoint batch/corpus content -> no pair survives the jaccard
+    re-estimation filter, even if a band collides by chance."""
+    from bloomfilter_spark.operators.dedup import minhash_join
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} about spark sketches " * 4)
+         for i in range(30)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(i, f"completely unrelated telemetry blob {i} zzz qqq vvv " * 4)
+         for i in range(10)], "doc_id long, text string")
+    pairs = minhash_join(batch, corpus, "doc_id", "text", threshold=0.5,
+                         num_perm=64, bands=16)
+    assert pairs.count() == 0
+
+
+def test_minhash_join_matches_self_join_semantics(spark, documents):
+    """A cross join of a table against itself must find every identical
+    doc (est_jaccard 1.0 on the diagonal)."""
+    from bloomfilter_spark.operators.dedup import minhash_join
+    docs = documents.limit(25).select("doc_id", "text")
+    pairs = minhash_join(docs, docs, "doc_id", "text", threshold=0.99,
+                         num_perm=64, bands=16)
+    diag = pairs.where(F.col("query_id") == F.col("corpus_id"))
+    assert diag.count() == 25
+    assert all(r["est_jaccard"] == 1.0 for r in diag.collect())
+
+
 def test_simhash_identical_and_mutated(spark, documents):
     base = documents.limit(10)
     mutated = base.select((F.col("doc_id") + 100000).alias("doc_id"),
