@@ -959,6 +959,17 @@ def _q_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast("int").alias("recall_ok"))
 
 
+def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global duplicated-span statistics (substring-level dedup
+    signal, Lee et al. 2021) over documents at word-5-gram granularity.
+    Full per-doc values — the oracle recomputes the identical counts and
+    interval-union coverage on exact gram strings; equality relies on the
+    same documented no-64-bit-gram-hash-collision assumption as q54."""
+    from bloomfilter_spark.operators import duplicated_span_stats
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_span_stats(docs, "doc_id", "text", n=5)
+
+
 def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash recall on injected exact duplicates (Hamming distance 0 —
     the banding pigeonhole guarantees candidacy, so recall must be 1);
@@ -1853,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_session_window": _q_session_window,
         "q74_heavy_change": _q_heavy_change,
         "q75_minhash_join": _q_minhash_join,
+        "q76_dup_span_stats": _q_dup_span_stats,
     }
 
 
@@ -2109,6 +2121,47 @@ def oracle_sql() -> dict[str, str]:
         "q75_minhash_join": """
             SELECT count(*) AS n_injected, 1 AS recall_ok
             FROM documents WHERE n_chars >= 200
+        """,
+        "q76_dup_span_stats": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS w
+              FROM documents
+            ), base AS (
+              SELECT doc_id, len(w) AS n_tokens,
+                     greatest(len(w) - 4, 0) AS n_grams
+              FROM toks
+            ), grams AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(w[i:i+4], ' ') AS g
+              FROM toks, unnest(generate_series(1, len(w) - 4)) AS s(i)
+            ), cnt AS (
+              SELECT g, count(*) AS c FROM grams GROUP BY g
+            ), dup AS (
+              SELECT doc_id, pos FROM grams JOIN cnt USING (g)
+              WHERE c >= 2
+            ), perdoc AS (
+              SELECT doc_id, count(*) AS n_dup FROM dup GROUP BY doc_id
+            ), covered AS (
+              SELECT doc_id, count(DISTINCT tok) AS cov
+              FROM (SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS tok
+                    FROM dup)
+              GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_tokens, b.n_grams,
+                   coalesce(p.n_dup, 0) AS n_dup_grams,
+                   CASE WHEN b.n_grams > 0
+                        THEN CAST(coalesce(p.n_dup, 0) AS DOUBLE) / b.n_grams
+                        ELSE 0.0 END AS dup_gram_fraction,
+                   coalesce(c.cov, 0) AS covered_tokens,
+                   CASE WHEN b.n_tokens > 0
+                        THEN CAST(coalesce(c.cov, 0) AS DOUBLE) / b.n_tokens
+                        ELSE 0.0 END AS coverage_fraction
+            FROM base b
+            LEFT JOIN perdoc p USING (doc_id)
+            LEFT JOIN covered c USING (doc_id)
         """,
         "q26_simhash_neardup": """
             SELECT count(*) AS n_injected, 1 AS recall_ok FROM documents

@@ -5,7 +5,8 @@ from .decontaminate import (build_reference_ngram_bloom,
 from .file_index import (build_file_bloom_index, build_file_minmax_index,
                          prune_files, prune_files_range, pruned_read,
                          pruned_read_range)
-from .dedup import (dedup_exact, dedup_lines, keep_first_n,
+from .dedup import (dedup_exact, dedup_lines, duplicated_span_stats,
+                    keep_first_n,
                     minhash_join, minhash_lsh_candidates,
                     minhash_lsh_dedup, minhash_lsh_join_candidates,
                     minhash_signatures,
@@ -38,7 +39,8 @@ from .topk import (cms_heavy_change, cms_heavy_hitters, exact_top_k,
 __all__ = [
     "build_file_bloom_index", "prune_files", "pruned_read",
     "build_file_minmax_index", "prune_files_range", "pruned_read_range",
-    "dedup_exact", "dedup_lines", "minhash_signatures", "minhash_lsh_candidates",
+    "dedup_exact", "dedup_lines", "duplicated_span_stats",
+    "minhash_signatures", "minhash_lsh_candidates",
     "minhash_lsh_dedup", "minhash_lsh_join_candidates", "minhash_join",
     "simhash_signatures", "simhash_near_dups",
     "ngram_jaccard_pairs", "quantiles", "grouped_quantiles",

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..config import DEFAULT_SEED
 from ..util import U64, splitmix64
+from .decontaminate import word_ngram_hashes
 
 
 def _regex_quote(s: str) -> str:
@@ -331,6 +332,77 @@ def minhash_join(query_df: DataFrame, corpus_df: DataFrame, id_col: str,
     est = joined.select("query_id", "corpus_id",
                         (agree / F.size("sig_q")).alias("est_jaccard"))
     return est.where(F.col("est_jaccard") >= threshold)
+
+
+def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str,
+                          n: int = 8, min_count: int = 2,
+                          seed: int = DEFAULT_SEED) -> DataFrame:
+    """Corpus-global duplicated-span statistics — the substring-level dedup
+    signal of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better"): for each document, how much of it is covered by word
+    n-gram spans that occur >= min_count times ANYWHERE in the corpus
+    (including repeats within the same document).
+
+    Returns (id, n_tokens, n_grams, n_dup_grams, dup_gram_fraction,
+    covered_tokens, coverage_fraction). coverage_fraction is the exact
+    union of the duplicated [pos, pos+n-1] spans over the doc's tokens —
+    the natural threshold for a "mostly boilerplate" document gate.
+
+    Scale shape (no Python anywhere):
+      1. posexplode of codegen word-n-gram hashes -> (doc, pos, gram) —
+         grams are 8-byte xxhash64 values, never strings.
+      2. corpus counts: groupBy(gram).count() — HashAggregate partial
+         map-side, so a 10^9-occurrence boilerplate gram ships one row
+         per task to its reducer, not every occurrence.
+      3. occurrences join counts>=min_count on the 8-byte gram key —
+         AQE skew-join splits hot grams' probe side.
+      4. per-doc: dup positions -> sort_array(collect_set(pos)) (bounded
+         by the doc's own length, the same O(doc) state any per-doc
+         aggregation carries) -> interval-union coverage via one codegen
+         F.aggregate over the sorted positions.
+
+    Duplication is decided on gram HASHES (a 64-bit collision between two
+    distinct grams in one corpus could over-count by one gram); the same
+    documented assumption as repetition_ratios/q54."""
+    c = F.col(text_col)
+    grams = word_ngram_hashes(c, n, seed)
+    base = df.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(c)) == 0, F.lit(0))
+         .otherwise(F.size(F.split(F.trim(c), r"\s+"))).alias("n_tokens"),
+        F.size(grams).alias("n_grams"))
+
+    occ = df.select(F.col(id_col),
+                    F.posexplode(grams).alias("pos", "gram"))
+    counts = occ.groupBy("gram").agg(F.count("*").alias("cnt"))
+    dup = occ.join(counts.where(F.col("cnt") >= min_count).select("gram"),
+                   "gram")
+    per_doc = dup.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_grams"),
+        F.sort_array(F.collect_set("pos")).alias("dps"))
+    # union of [p, p+n-1] spans over strictly-increasing positions:
+    # each new p adds min(n, p - prev) newly-covered tokens
+    cov = F.aggregate(
+        "dps",
+        F.struct(F.lit(-n).cast("int").alias("prev"),
+                 F.lit(0).cast("long").alias("cov")),
+        lambda acc, p: F.struct(
+            p.alias("prev"),
+            (acc["cov"] + F.least(F.lit(n), p - acc["prev"])).alias("cov")),
+        lambda acc: acc["cov"])
+    per_doc = per_doc.select(id_col, "n_dup_grams", cov.alias("covered_tokens"))
+
+    out = (base.join(per_doc, id_col, "left")
+           .na.fill({"n_dup_grams": 0, "covered_tokens": 0}))
+    return out.select(
+        id_col, "n_tokens", "n_grams", "n_dup_grams",
+        F.when(F.col("n_grams") > 0,
+               F.col("n_dup_grams") / F.col("n_grams"))
+         .otherwise(F.lit(0.0)).alias("dup_gram_fraction"),
+        "covered_tokens",
+        F.when(F.col("n_tokens") > 0,
+               F.col("covered_tokens") / F.col("n_tokens"))
+         .otherwise(F.lit(0.0)).alias("coverage_fraction"))
 
 
 # --- simhash --------------------------------------------------------------

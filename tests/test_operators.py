@@ -211,6 +211,51 @@ def test_minhash_join_matches_self_join_semantics(spark, documents):
     assert all(r["est_jaccard"] == 1.0 for r in diag.collect())
 
 
+def test_duplicated_span_stats_known_values(spark):
+    """Hand-computed corpus: shared 3-grams across docs AND repeats within
+    one doc both count as duplicated; coverage is the exact interval
+    union of [pos, pos+n-1] spans."""
+    from bloomfilter_spark.operators import duplicated_span_stats
+    rows = [(1, "a b c d e f"),        # shares 'b c d','c d e' with doc 2
+            (2, "x b c d e y"),
+            (3, "p q r p q r p q"),    # every 3-gram repeats within doc 3
+            (4, ""), (5, "one two")]   # empty / too-short edge cases
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           duplicated_span_stats(df, "doc_id", "text", n=3).collect()}
+    assert (got[1]["n_grams"], got[1]["n_dup_grams"],
+            got[1]["covered_tokens"]) == (4, 2, 4)   # b c d e
+    assert (got[2]["n_grams"], got[2]["n_dup_grams"],
+            got[2]["covered_tokens"]) == (4, 2, 4)
+    assert got[3]["dup_gram_fraction"] == 1.0
+    assert got[3]["coverage_fraction"] == 1.0
+    assert (got[4]["n_tokens"], got[4]["coverage_fraction"]) == (0, 0.0)
+    assert (got[5]["n_grams"], got[5]["dup_gram_fraction"]) == (0, 0.0)
+
+
+def test_duplicated_span_stats_min_count(spark):
+    """min_count=3 only flags grams occurring at least 3 times."""
+    from bloomfilter_spark.operators import duplicated_span_stats
+    rows = [(1, "a b c z1"), (2, "a b c z2"), (3, "a b c z3"),
+            (4, "d e f w1"), (5, "d e f w2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_dup_grams"] for r in
+           duplicated_span_stats(df, "doc_id", "text", n=3,
+                                 min_count=3).collect()}
+    assert got[1] == got[2] == got[3] == 1    # 'a b c' x3 qualifies
+    assert got[4] == got[5] == 0              # 'd e f' x2 does not
+
+
+def test_duplicated_span_stats_partition_invariant(spark, documents):
+    from bloomfilter_spark.operators import duplicated_span_stats
+    docs = documents.select("doc_id", "text")
+    a = duplicated_span_stats(docs.repartition(1), "doc_id", "text",
+                              n=5).orderBy("doc_id").collect()
+    b = duplicated_span_stats(docs.repartition(16), "doc_id", "text",
+                              n=5).orderBy("doc_id").collect()
+    assert a == b
+
+
 def test_simhash_identical_and_mutated(spark, documents):
     base = documents.limit(10)
     mutated = base.select((F.col("doc_id") + 100000).alias("doc_id"),
