@@ -959,6 +959,33 @@ def _q_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast("int").alias("recall_ok"))
 
 
+def _q_grouped_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group A-ES sampling: at most k rows per event_type, weight =
+    value. The sampled COUNT per group is exact (min(k, eligible)) and the
+    subset property (every sampled row exists, eligible, in the base
+    table) is verified in-plan; the selection itself is hash-deterministic
+    so the oracle checks the exactly-recomputable facts."""
+    from bloomfilter_spark.operators.sampling import grouped_weighted_sample
+    events = _t(spark, sf_dir, "events")
+    k = 5
+    sampled = grouped_weighted_sample(events, "event_type", k, "value",
+                                      ["event_id"])
+    eligible = events.where(F.col("value").isNotNull() & (F.col("value") > 0)
+                            & F.col("event_type").isNotNull())
+    per_group = (sampled.groupBy("event_type")
+                 .agg(F.count("*").alias("n_sampled")))
+    extra = sampled.join(eligible.select("event_id"), "event_id", "left_anti")
+    n_extra = extra.agg(F.count("*").alias("c"))
+    return (eligible.groupBy("event_type")
+            .agg(F.count("*").alias("n_eligible"))
+            .join(per_group, "event_type", "left")
+            .na.fill({"n_sampled": 0})
+            .crossJoin(n_extra)
+            .select("event_type", "n_eligible", "n_sampled",
+                    (F.col("c") == 0).cast("int").alias("subset_ok"))
+            .orderBy("event_type"))
+
+
 def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-global duplicated-span statistics (substring-level dedup
     signal, Lee et al. 2021) over documents at word-5-gram granularity.
@@ -1865,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_heavy_change": _q_heavy_change,
         "q75_minhash_join": _q_minhash_join,
         "q76_dup_span_stats": _q_dup_span_stats,
+        "q77_grouped_weighted_sample": _q_grouped_weighted_sample,
     }
 
 
@@ -2121,6 +2149,17 @@ def oracle_sql() -> dict[str, str]:
         "q75_minhash_join": """
             SELECT count(*) AS n_injected, 1 AS recall_ok
             FROM documents WHERE n_chars >= 200
+        """,
+        "q77_grouped_weighted_sample": """
+            SELECT event_type,
+                   count(*) AS n_eligible,
+                   least(5, count(*)) AS n_sampled,
+                   1 AS subset_ok
+            FROM events
+            WHERE value IS NOT NULL AND value > 0
+              AND event_type IS NOT NULL
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "q76_dup_span_stats": r"""
             WITH toks AS (

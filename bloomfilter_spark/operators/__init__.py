@@ -21,7 +21,8 @@ from .layout import (bucketed_join, equidepth_bucket, has_exchange,
                      zorder_key, zorder_write)
 from .multimodal import decode_and_featurize, sample_video_frames
 from .quantiles import grouped_quantiles, quantiles
-from .sampling import (hash_sample, sample_to_budget, sample_uniform_col,
+from .sampling import (grouped_weighted_sample, hash_sample,
+                       sample_to_budget, sample_uniform_col,
                        split_train_holdout, stratified_sample,
                        weighted_reservoir_sample, weighted_sample_key)
 from .search import (bm25_scores, bm25_topk, build_inverted_index,
@@ -58,6 +59,7 @@ __all__ = [
     "hash_sample", "stratified_sample", "split_train_holdout",
     "sample_to_budget", "sample_uniform_col",
     "weighted_reservoir_sample", "weighted_sample_key",
+    "grouped_weighted_sample",
     "decontaminate", "contamination_scores", "build_reference_ngram_bloom",
     "word_ngram_hashes",
     "connected_components", "dedup_near_duplicates",

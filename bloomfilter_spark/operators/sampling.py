@@ -137,6 +137,39 @@ def weighted_reservoir_sample(df: DataFrame, k: int, weight_col, cols,
               .drop("__aes_key"))
 
 
+def grouped_weighted_sample(df: DataFrame, group_cols, k: int, weight_col,
+                            cols, seed: int = DEFAULT_SEED) -> DataFrame:
+    """Deterministic weight-proportional sample of AT MOST `k` rows per
+    group, without replacement (A-ES per group) — the "keep a balanced
+    per-domain/per-language subsample" curation step. Groups with fewer
+    than k eligible rows keep them all.
+
+    Scale shape: one shuffle by `group_cols`, then `row_number` over the
+    per-group A-ES key descending with a rank<=k filter — Spark pushes
+    the limit into the sort as WindowGroupLimit, so each task keeps only
+    k rows per group it owns rather than sorting whole groups. The A-ES
+    key depends only on (seed, cols, weight), so the selected set is
+    invariant to partitioning and cluster size. Rows with NULL/non-positive
+    weight or NULL group are excluded (no defined inclusion probability /
+    group identity)."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    from pyspark.sql import Window
+    groups = _cols(group_cols if isinstance(group_cols, (list, tuple))
+                   else [group_cols])
+    w = _cols([weight_col])[0]
+    key = weighted_sample_key(weight_col, cols, seed)
+    win = Window.partitionBy(*groups).orderBy(F.desc("__aes_key"))
+    eligible = df.where(w.isNotNull() & (w > 0))
+    for g in groups:
+        eligible = eligible.where(g.isNotNull())
+    return (eligible
+            .withColumn("__aes_key", key)
+            .withColumn("__aes_rank", F.row_number().over(win))
+            .where(F.col("__aes_rank") <= k)
+            .drop("__aes_key", "__aes_rank"))
+
+
 def sample_to_budget(df: DataFrame, strata_col: str, cost_col, budgets: dict,
                      key_cols, seed: int = DEFAULT_SEED,
                      default: float = 1.0) -> tuple[DataFrame, dict]:

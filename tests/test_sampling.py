@@ -225,3 +225,58 @@ def test_weighted_reservoir_edge_cases(spark):
     assert weighted_reservoir_sample(df, 0, "w", ["id"]).count() == 0
     with pytest.raises(ValueError, match=">= 0"):
         weighted_reservoir_sample(df, -1, "w", ["id"])
+
+
+# --- grouped weighted sampling --------------------------------------------
+
+def test_grouped_weighted_sample_counts_and_subset(spark, events):
+    from bloomfilter_spark.operators.sampling import grouped_weighted_sample
+    eligible = events.where(F.col("value").isNotNull() & (F.col("value") > 0)
+                            & F.col("event_type").isNotNull())
+    exact = {r["event_type"]: r["n"] for r in
+             eligible.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    k = 7
+    got = grouped_weighted_sample(events, "event_type", k, "value",
+                                  ["event_id"])
+    counts = {r["event_type"]: r["n"] for r in
+              got.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert counts == {t: min(k, n) for t, n in exact.items()}
+    # sampled rows are a subset of the eligible rows
+    extra = got.join(eligible, "event_id", "left_anti").count()
+    assert extra == 0
+
+
+def test_grouped_weighted_sample_partition_invariant(spark, events):
+    from bloomfilter_spark.operators.sampling import grouped_weighted_sample
+    a = sorted(r["event_id"] for r in
+               grouped_weighted_sample(events.repartition(1), "event_type",
+                                       5, "value", ["event_id"]).collect())
+    b = sorted(r["event_id"] for r in
+               grouped_weighted_sample(events.repartition(16), "event_type",
+                                       5, "value", ["event_id"]).collect())
+    assert a == b and len(a) > 0
+
+
+def test_grouped_weighted_sample_single_group_matches_global(spark, events):
+    """With one group the per-group top-k must equal the global A-ES
+    reservoir (same key, same seed)."""
+    from bloomfilter_spark.operators.sampling import (
+        grouped_weighted_sample, weighted_reservoir_sample)
+    one = events.withColumn("g", F.lit("all"))
+    a = sorted(r["event_id"] for r in
+               grouped_weighted_sample(one, "g", 10, "value",
+                                       ["event_id"]).collect())
+    b = sorted(r["event_id"] for r in
+               weighted_reservoir_sample(events, 10, "value",
+                                         ["event_id"]).collect())
+    assert a == b
+
+
+def test_grouped_weighted_sample_plan_uses_group_limit(spark, events):
+    """The rank<=k filter must push into the sort as WindowGroupLimit so
+    tasks never materialize whole sorted groups."""
+    from bloomfilter_spark.operators.sampling import grouped_weighted_sample
+    got = grouped_weighted_sample(events, "event_type", 3, "value",
+                                  ["event_id"])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
