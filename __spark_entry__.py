@@ -986,6 +986,24 @@ def _q_grouped_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+_CLASSIFIER_WEIGHTS = [("fast", 1.3), ("slow", -1.7), ("big", 0.4),
+                       ("small", -0.3), ("query", 0.6), ("the", -0.1)]
+_CLASSIFIER_BIAS = 0.2
+
+
+def _q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (fastText-style) quality-classifier scoring over documents
+    with a fixed literal coefficient table; the oracle replays the exact
+    same tokenization, mean-of-weights, and sigmoid in SQL, so every
+    per-document double matches to the compare's 6dp rounding."""
+    from bloomfilter_spark.functions import classifier_scores
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = spark.createDataFrame(_CLASSIFIER_WEIGHTS,
+                              "token string, weight double")
+    return classifier_scores(docs, "doc_id", "text", w,
+                             bias=_CLASSIFIER_BIAS)
+
+
 def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-global duplicated-span statistics (substring-level dedup
     signal, Lee et al. 2021) over documents at word-5-gram granularity.
@@ -1893,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_minhash_join": _q_minhash_join,
         "q76_dup_span_stats": _q_dup_span_stats,
         "q77_grouped_weighted_sample": _q_grouped_weighted_sample,
+        "q78_classifier_scores": _q_classifier_scores,
     }
 
 
@@ -2149,6 +2168,32 @@ def oracle_sql() -> dict[str, str]:
         "q75_minhash_join": """
             SELECT count(*) AS n_injected, 1 AS recall_ok
             FROM documents WHERE n_chars >= 200
+        """,
+        "q78_classifier_scores": r"""
+            WITH w(token, weight) AS (
+              VALUES ('fast', 1.3), ('slow', -1.7), ('big', 0.4),
+                     ('small', -0.3), ('query', 0.6), ('the', -0.1)
+            ), base AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(lower(text)),
+                                                         '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ), toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')) AS tok
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> ''
+            ), sums AS (
+              SELECT doc_id, sum(weight) AS s
+              FROM toks JOIN w ON tok = token GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_tokens,
+                   1.0 / (1.0 + exp(-(0.2 + coalesce(s.s, 0.0)
+                                      / greatest(b.n_tokens, 1)))) AS score
+            FROM base b LEFT JOIN sums s USING (doc_id)
         """,
         "q77_grouped_weighted_sample": """
             SELECT event_type,

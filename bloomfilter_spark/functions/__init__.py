@@ -1,7 +1,9 @@
-from .text import (alpha_ratio, digit_ratio, lang_id, mean_word_length,
-                   normalized_fingerprint, punct_ratio, quality_score,
+from .text import (alpha_ratio, classifier_scores, digit_ratio, lang_id,
+                   mean_word_length, normalized_fingerprint, punct_ratio,
+                   quality_score, redact_pii, repetition_ratios,
                    token_count, word_token_count)
 
 __all__ = ["token_count", "word_token_count", "alpha_ratio", "digit_ratio",
            "punct_ratio", "mean_word_length", "quality_score",
-           "normalized_fingerprint", "lang_id"]
+           "normalized_fingerprint", "lang_id", "redact_pii",
+           "repetition_ratios", "classifier_scores"]

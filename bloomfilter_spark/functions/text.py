@@ -189,3 +189,43 @@ def repetition_ratios(df, id_col: str, text_col: str, n: int = 2):
                      .otherwise(F.col("top_raw")).alias("top_ngram_frac"),
                     F.when(F.col("total") <= 1, F.lit(0.0))
                      .otherwise(F.col("dup_raw")).alias("dup_ngram_frac")))
+
+
+def classifier_scores(df, id_col: str, text_col: str, weights,
+                      bias: float = 0.0):
+    """fastText-style linear text classifier scoring — the "model-based
+    quality filter" stage of LLM curation pipelines (a trained linear
+    model over bag-of-words features, applied at corpus scale):
+
+        score = sigmoid(bias + mean_t weight(token_t))
+
+    over lowercase whitespace tokens; tokens absent from the weight table
+    contribute 0 (OOV), documents with no tokens score sigmoid(bias).
+    Returns (id_col, n_tokens, score).
+
+    `weights` is a (token string, weight double) DataFrame — the exported
+    coefficients of any externally-trained linear model; duplicate token
+    rows are rejected nowhere cheap, so they MUST be unique (document
+    contract). Scale shape: explode (doc, token) -> broadcast hash join
+    against the weight table (vocabularies fit executors by construction;
+    the hint is explicit so Catalyst cannot shuffle the corpus by token,
+    whose Zipf head is maximally skewed) -> one groupBy(doc) sum with
+    map-side combine. Pure Catalyst end to end — no UDF on the text path."""
+    c = F.col(text_col)
+    toks_arr = F.split(F.trim(F.lower(c)), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        F.when(c.isNull() | (F.length(F.trim(c)) == 0), F.lit(0))
+         .otherwise(F.size(toks_arr)).alias("n_tokens"))
+    toks = (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+              .select(F.col(id_col), F.explode(toks_arr).alias("__tok")))
+    w = weights.select(F.col(weights.columns[0]).alias("__tok"),
+                       F.col(weights.columns[1]).alias("__w"))
+    sums = (toks.join(F.broadcast(w), "__tok")
+                .groupBy(id_col).agg(F.sum("__w").alias("__sum")))
+    x = (F.lit(float(bias))
+         + F.coalesce(F.col("__sum"), F.lit(0.0))
+         / F.greatest(F.col("n_tokens"), F.lit(1)))
+    return (base.join(sums, id_col, "left")
+            .select(F.col(id_col), "n_tokens",
+                    (F.lit(1.0) / (F.lit(1.0) + F.exp(-x))).alias("score")))

@@ -645,3 +645,50 @@ def test_cms_heavy_change_partition_invariant(spark, events):
           cms_heavy_change(a.repartition(13), b.repartition(7),
                            "event_type", 5).collect()]
     assert r1 == r2 and len(r1) == 5
+
+
+# --- classifier scoring ----------------------------------------------------
+
+def test_classifier_scores_known_values(spark):
+    import math
+    from bloomfilter_spark.functions import classifier_scores
+    docs = spark.createDataFrame(
+        [(1, "fast fast slow"),       # mean = (1.0+1.0-2.0)/3
+         (2, "unknown words only"),   # all OOV -> mean 0
+         (3, ""), (4, None),          # no tokens -> sigmoid(bias)
+         (5, "FAST Slow")],           # case-folded -> (1.0-2.0)/2
+        "doc_id long, text string")
+    w = spark.createDataFrame([("fast", 1.0), ("slow", -2.0)],
+                              "token string, weight double")
+    got = {r["doc_id"]: r for r in
+           classifier_scores(docs, "doc_id", "text", w, bias=0.5).collect()}
+
+    def sig(x):
+        return 1.0 / (1.0 + math.exp(-x))
+
+    assert abs(got[1]["score"] - sig(0.5 + 0.0 / 3)) < 1e-12
+    assert abs(got[2]["score"] - sig(0.5)) < 1e-12
+    assert got[3]["score"] == got[4]["score"] == sig(0.5)
+    assert abs(got[5]["score"] - sig(0.5 - 0.5)) < 1e-12
+    assert got[1]["n_tokens"] == 3 and got[3]["n_tokens"] == 0
+
+
+def test_classifier_scores_broadcasts_weights(spark, documents):
+    from bloomfilter_spark.functions import classifier_scores
+    w = spark.createDataFrame([("fast", 1.0), ("slow", -1.0)],
+                              "token string, weight double")
+    out = classifier_scores(documents, "doc_id", "text", w)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert out.count() == documents.count()
+
+
+def test_classifier_scores_partition_invariant(spark, documents):
+    from bloomfilter_spark.functions import classifier_scores
+    w = spark.createDataFrame([("fast", 0.7), ("slow", -0.9), ("table", 0.1)],
+                              "token string, weight double")
+    a = classifier_scores(documents.repartition(1), "doc_id", "text",
+                          w).orderBy("doc_id").collect()
+    b = classifier_scores(documents.repartition(16), "doc_id", "text",
+                          w).orderBy("doc_id").collect()
+    assert a == b
