@@ -1004,6 +1004,39 @@ def _q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                              bias=_CLASSIFIER_BIAS)
 
 
+def _q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD, KLL-sketched) outlier band over events.value
+    with deterministic in-plan verification: the sketch median and MAD
+    must each sit within the published rank-error band of the exact
+    distribution, and — because >=50% of points lie within one MAD of the
+    median by definition — the band must keep at least (0.5 - 2*eps) of
+    the rows. Oracle recomputes the exact row count; flags are
+    deterministic under the sketch's worst-case bound."""
+    from bloomfilter_spark.operators.quantiles import robust_bounds
+    events = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    vals = events.where(v.isNotNull() & ~F.isnan(v))
+    b = robust_bounds(vals, "value", n_sigmas=3.0)
+    eps = b["rank_eps"] + 1e-6
+    agg = vals.agg(
+        F.count("*").alias("n_rows"),
+        F.sum((v < F.lit(b["median"])).cast("long")).alias("below_med"),
+        F.sum((F.abs(v - F.lit(b["median"])) < F.lit(b["mad"]))
+              .cast("long")).alias("below_mad"),
+        F.sum(((v >= F.lit(b["lo"])) & (v <= F.lit(b["hi"])))
+              .cast("long")).alias("n_kept"))
+    r = F.col("below_med") / F.col("n_rows")
+    rm = F.col("below_mad") / F.col("n_rows")
+    return agg.select(
+        "n_rows",
+        ((r >= 0.5 - eps) & (r <= 0.5 + eps)).cast("int")
+        .alias("median_rank_ok"),
+        ((rm >= 0.5 - 2 * eps) & (rm <= 0.5 + 2 * eps)).cast("int")
+        .alias("mad_rank_ok"),
+        (F.col("n_kept") >= (0.5 - 2 * eps) * F.col("n_rows")).cast("int")
+        .alias("kept_frac_ok"))
+
+
 def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-global duplicated-span statistics (substring-level dedup
     signal, Lee et al. 2021) over documents at word-5-gram granularity.
@@ -1912,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_dup_span_stats": _q_dup_span_stats,
         "q77_grouped_weighted_sample": _q_grouped_weighted_sample,
         "q78_classifier_scores": _q_classifier_scores,
+        "q79_robust_outliers": _q_robust_outliers,
     }
 
 
@@ -2168,6 +2202,11 @@ def oracle_sql() -> dict[str, str]:
         "q75_minhash_join": """
             SELECT count(*) AS n_injected, 1 AS recall_ok
             FROM documents WHERE n_chars >= 200
+        """,
+        "q79_robust_outliers": """
+            SELECT count(*) AS n_rows, 1 AS median_rank_ok,
+                   1 AS mad_rank_ok, 1 AS kept_frac_ok
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         """,
         "q78_classifier_scores": r"""
             WITH w(token, weight) AS (

@@ -55,6 +55,66 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, col, k: int = 200,
     return out[0].ks_distance(out[1])
 
 
+def robust_bounds(df: DataFrame, col, n_sigmas: float = 3.0, k: int = 200,
+                  max_cardinality: int = 2_000_000) -> dict:
+    """Robust outlier bounds from two one-scan KLL builds: median from a
+    sketch of the values, MAD (median absolute deviation) from a sketch of
+    |x - median|, then the normal-consistent band
+
+        [median - n_sigmas * 1.4826 * MAD,  median + n_sigmas * 1.4826 * MAD]
+
+    — the outlier gate that, unlike mean/stddev, is not itself dragged by
+    the outliers it is trying to catch (50% breakdown point vs 0%).
+
+    Returns {"median", "mad", "lo", "hi", "rank_eps"}; rank_eps is the
+    sketch's rank-error bound, so median sits within rank [0.5 - eps,
+    0.5 + eps] of the data and MAD within the same band of the deviation
+    distribution. Cost: two sequential one-scan JVM-reduced builds
+    (codegen groupBy(value).count, distinct-value rows over the pipe);
+    NULL/NaN values are excluded. Degenerate data (MAD == 0, e.g. >50%
+    identical values) collapses the band to the median — callers gating on
+    it should treat mad == 0 specially."""
+    from pyspark.sql import functions as F
+
+    from ..jvm_build import quantile_build_preagg
+
+    def one_scan(d, c):
+        try:
+            return quantile_build_preagg(d, c, lambda: KLL(k=k),
+                                         max_cardinality=max_cardinality)
+        except ValueError:
+            return build_sketch(d, [c], lambda: KLL(k=k))
+
+    sk = one_scan(df, col)
+    med = float(sk.quantile(0.5))
+    c = F.col(col) if isinstance(col, str) else col
+    dev = df.where(c.isNotNull() & ~F.isnan(c.cast("double"))) \
+            .select(F.abs(c - F.lit(med)).alias("__dev"))
+    mad = float(one_scan(dev, "__dev").quantile(0.5))
+    half = float(n_sigmas) * 1.4826 * mad
+    return {"median": med, "mad": mad, "lo": med - half, "hi": med + half,
+            "rank_eps": sk.rank_error_bound()}
+
+
+def filter_outliers(df: DataFrame, col, n_sigmas: float = 3.0, k: int = 200,
+                    keep_nulls: bool = False,
+                    max_cardinality: int = 2_000_000) -> DataFrame:
+    """Drop rows whose `col` falls outside the robust_bounds band — the
+    "remove absurd document lengths / latencies before they skew
+    training-mix budgets" step. The band is computed once on the driver
+    (two scalar doubles); the filter itself is a pure codegen predicate
+    pushed to the scan, so the pruning cost at 100 TB is the two sketch
+    scans, not a shuffle."""
+    from pyspark.sql import functions as F
+    b = robust_bounds(df, col, n_sigmas=n_sigmas, k=k,
+                      max_cardinality=max_cardinality)
+    c = F.col(col) if isinstance(col, str) else col
+    in_band = (c >= F.lit(b["lo"])) & (c <= F.lit(b["hi"]))
+    if keep_nulls:
+        return df.where(c.isNull() | in_band)
+    return df.where(in_band)
+
+
 def _factory(method: str, kwargs: dict):
     if method == "tdigest":
         return lambda: TDigest(**kwargs) if kwargs else TDigest()

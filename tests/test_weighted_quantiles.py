@@ -143,3 +143,57 @@ def test_ks_drift_spark(spark, lineitem):
     # high-cardinality fallback path (kernel build) agrees
     fallback = ks_drift(a, shifted, "x", k=k, max_cardinality=10)
     assert abs(fallback - exact_ks(xa, 1.5 * xb)) <= tol
+
+
+# --- robust outlier bounds --------------------------------------------------
+
+def test_robust_bounds_matches_exact_median_mad(spark):
+    import numpy as np
+    from bloomfilter_spark.operators.quantiles import robust_bounds
+    rng = np.random.default_rng(11)
+    vals = rng.normal(100.0, 10.0, 20000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    b = robust_bounds(df, "v", n_sigmas=3.0)
+    exact_med = float(np.median(vals))
+    exact_mad = float(np.median(np.abs(vals - exact_med)))
+    # sketch median within the rank-error band of the exact one
+    eps = b["rank_eps"]
+    assert abs((vals < b["median"]).mean() - 0.5) <= eps + 1e-3
+    assert abs(b["median"] - exact_med) < 10.0 * eps * 40  # loose value band
+    assert abs(b["mad"] - exact_mad) / exact_mad < 0.15
+    assert b["lo"] < exact_med < b["hi"]
+
+
+def test_filter_outliers_drops_injected_extremes(spark):
+    """90% N(0,1) bulk + 10% mass at 1e9: a mean/std gate would keep the
+    outliers (they drag sigma); the robust gate must drop exactly the
+    extreme block and keep ~all of the bulk."""
+    import numpy as np
+    from bloomfilter_spark.operators.quantiles import filter_outliers
+    rng = np.random.default_rng(5)
+    bulk = rng.normal(0.0, 1.0, 18000)
+    rows = [(float(v), "bulk") for v in bulk] + [(1e9, "out")] * 2000
+    df = spark.createDataFrame(rows, "v double, tag string")
+    kept = filter_outliers(df, "v", n_sigmas=5.0)
+    tags = {r["tag"]: r["n"] for r in
+            kept.groupBy("tag").agg(F.count("*").alias("n")).collect()}
+    assert tags.get("out", 0) == 0
+    assert tags["bulk"] >= int(0.99 * len(bulk))
+
+
+def test_robust_bounds_degenerate_mad_zero(spark):
+    from bloomfilter_spark.operators.quantiles import robust_bounds
+    df = spark.createDataFrame([(7.0,)] * 1000, "v double")
+    b = robust_bounds(df, "v")
+    assert b["median"] == 7.0 and b["mad"] == 0.0
+    assert b["lo"] == b["hi"] == 7.0
+
+
+def test_filter_outliers_keep_nulls(spark):
+    from bloomfilter_spark.operators.quantiles import filter_outliers
+    rows = [(float(i),) for i in range(100)] + [(None,)] * 5
+    df = spark.createDataFrame(rows, "v double")
+    with_nulls = filter_outliers(df, "v", n_sigmas=10.0, keep_nulls=True)
+    without = filter_outliers(df, "v", n_sigmas=10.0)
+    assert with_nulls.where(F.col("v").isNull()).count() == 5
+    assert without.where(F.col("v").isNull()).count() == 0
