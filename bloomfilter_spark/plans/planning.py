@@ -153,3 +153,51 @@ def scaling_efficiency(throughput_n: float, throughput_4n: float) -> float:
     if throughput_n <= 0:
         return 0.0
     return (throughput_4n / throughput_n) / 4.0
+
+
+def enable_runtime_bloom_filters(spark, creation_side_threshold: str = "100MB",
+                                 application_side_scan_threshold: str = "0",
+                                 expected_num_items: int | None = None):
+    """Turn Catalyst's own injected runtime Bloom-filter semi-join
+    reduction all the way on for the current session — the in-plan,
+    per-query complement to this library's EXPLICIT Bloom operators.
+
+    Spark (3.3+) already plants `bloom_filter_agg` on a selective build
+    side and `might_contain` on the probe side of a shuffle join when the
+    size thresholds allow (`InjectRuntimeFilter`); the defaults are
+    conservative (build side <= 10MB, probe scan >= 10GB), so on
+    mid-sized inputs the rewrite silently never fires. This helper raises
+    the build ceiling and drops the probe floor so shuffle joins get the
+    reduction.
+
+    Division of labor, documented for planning: Catalyst's runtime filter
+    is ephemeral (rebuilt per query, capped by
+    `runtime.bloomFilter.max.numBits`) and only fires inside one join; the
+    library's `bloom_semi_join` / sharded filters / file indexes persist,
+    merge across jobs/streams, shard beyond one executor's memory, and
+    feed non-join probes (membership scoring, file pruning). Use
+    Catalyst's for ad-hoc joins; use the library's when the filter itself
+    is a reusable artifact. Returns the dict of conf keys set, so callers
+    can restore them."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            creation_side_threshold,
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": application_side_scan_threshold,
+    }
+    if expected_num_items is not None:
+        confs["spark.sql.optimizer.runtime.bloomFilter.expectedNumItems"] = \
+            str(int(expected_num_items))
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return confs
+
+
+def has_runtime_bloom_filter(df) -> bool:
+    """True when Catalyst injected a runtime Bloom filter into this
+    DataFrame's optimized plan (`might_contain` probe over a
+    `bloom_filter_agg` subquery) — the plan-property check scale tests
+    assert, mirroring layout.has_exchange."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return "might_contain" in plan

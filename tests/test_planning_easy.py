@@ -123,3 +123,41 @@ def test_estimate_join_size_distinct_keys(spark):
     # unique keys, half overlap: exact = 250; per-row cross-key collisions
     # can add a few, bounded by the published slack
     assert 250 <= est.estimate <= 250 + est.upper_slack
+
+
+# --- Catalyst runtime bloom filter ------------------------------------------
+
+def test_runtime_bloom_filter_injection_and_equivalence(spark, sf_dir):
+    """With the thresholds opened, Catalyst must inject might_contain into
+    a selective shuffle join, and the filtered join must return exactly
+    the same rows as the unfiltered one."""
+    from pyspark.sql import functions as F
+
+    from bloomfilter_spark.plans import (enable_runtime_bloom_filters,
+                                         has_runtime_bloom_filter)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hi = orders.where("o_totalprice > 200000").select("o_orderkey")
+    saved = {k: spark.conf.get(k, None) for k in
+             ["spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+              "spark.sql.optimizer.runtime.bloomFilter."
+              "applicationSideScanSizeThreshold"]}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        enable_runtime_bloom_filters(spark)
+        j = li.join(hi, li.l_orderkey == hi.o_orderkey)
+        assert has_runtime_bloom_filter(j)
+        got = j.agg(F.count("*").alias("n"),
+                    F.sum("l_orderkey").alias("s")).first()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = li.join(hi, li.l_orderkey == hi.o_orderkey)
+    assert not has_runtime_bloom_filter(plain)
+    want = plain.agg(F.count("*").alias("n"),
+                     F.sum("l_orderkey").alias("s")).first()
+    assert (got["n"], got["s"]) == (want["n"], want["s"])
