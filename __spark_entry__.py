@@ -1037,6 +1037,22 @@ def _q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_frac_ok"))
 
 
+def _q_token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k corpus token vocabulary (operators/topk.token_vocabulary,
+    method="exact") — the candidate list BPE/tokenizer training and
+    stopword analysis start from. Exact semantics: lowercase, trim,
+    whitespace-split, explode, groupBy(token).count() (map-side combine
+    collapses the Zipf head before the shuffle), ordered limit with the
+    deterministic (cnt desc, token asc) tie-break. The oracle recomputes
+    the identical tokenization in DuckDB, so every (token, cnt) row is
+    checked bit-exactly. The approximate variant (method="cms", for
+    vocabularies too wide to shuffle) is bound-asserted in
+    tests/test_operators.py."""
+    from bloomfilter_spark.operators import token_vocabulary
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return token_vocabulary(docs, "text", k=50)
+
+
 def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-global duplicated-span statistics (substring-level dedup
     signal, Lee et al. 2021) over documents at word-5-gram granularity.
@@ -1946,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_grouped_weighted_sample": _q_grouped_weighted_sample,
         "q78_classifier_scores": _q_classifier_scores,
         "q79_robust_outliers": _q_robust_outliers,
+        "q80_token_vocabulary": _q_token_vocabulary,
     }
 
 
@@ -2207,6 +2224,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_rows, 1 AS median_rank_ok,
                    1 AS mad_rank_ok, 1 AS kept_frac_ok
             FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        """,
+        "q80_token_vocabulary": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '[ \t\n\x0b\f\r]+'))
+                     AS token
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
+            )
+            SELECT token, count(*) AS cnt
+            FROM toks GROUP BY token
+            ORDER BY cnt DESC, token ASC LIMIT 50
         """,
         "q78_classifier_scores": r"""
             WITH w(token, weight) AS (

@@ -36,7 +36,7 @@ from .similarity import (brute_force_topk, embedding_near_dups,
                          ivf_assign, ivf_topk, ivf_train,
                          hyperplane_signatures, lsh_ann_topk)
 from .topk import (cms_heavy_change, cms_heavy_hitters, exact_top_k,
-                   top_k_per_group)
+                   token_vocabulary, top_k_per_group)
 
 __all__ = [
     "build_file_bloom_index", "prune_files", "pruned_read",
@@ -51,7 +51,7 @@ __all__ = [
     "sharded_bloom_semi_join",
     "brute_force_topk", "lsh_ann_topk", "hyperplane_signatures",
     "embedding_near_dups", "exact_top_k", "top_k_per_group", "cms_heavy_hitters",
-    "cms_heavy_change",
+    "cms_heavy_change", "token_vocabulary",
     "build_sharded_bloom", "sharded_membership", "shard_geometry",
     "merge_shard_tables",
     "sketch_cube", "sketch_rollup", "sketch_grouping_sets",

@@ -132,3 +132,32 @@ def cms_heavy_change(df_a: DataFrame, df_b: DataFrame, key_cols, k: int,
     change = F.abs(F.col("est_a") - F.col("est_b")).alias("change")
     return (scored.select("key", "est_a", "est_b", change)
                   .orderBy(F.desc("change"), F.asc("key")).limit(k))
+
+
+def token_vocabulary(df: DataFrame, text_col: str, k: int,
+                     method: str = "exact", lowercase: bool = True,
+                     **cms_kwargs) -> DataFrame:
+    """Top-k corpus token vocabulary (token, cnt) — the candidate list a
+    tokenizer/BPE training step or stopword analysis starts from.
+
+    method="exact": explode whitespace tokens -> groupBy(token).count()
+    (HashAggregate partials map-side, so the shuffle carries one row per
+    DISTINCT token per task — Zipf heads collapse before moving) ->
+    ordered limit with deterministic (cnt desc, token asc) tie-break.
+
+    method="cms": delegates to cms_heavy_hitters over the exploded
+    tokens — O(d*w) state instead of a distinct-token shuffle, for when
+    even the distinct vocabulary (web-scale: 10^8+ tokens across
+    languages/typos) is too wide to shuffle comfortably; counts are
+    eps*N-overcounted, never under."""
+    c = F.col(text_col)
+    toks_arr = F.split(F.trim(F.lower(c) if lowercase else c), r"\s+")
+    toks = (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+              .select(F.explode(toks_arr).alias("token")))
+    if method == "exact":
+        return exact_top_k(toks, "token", k)
+    if method == "cms":
+        out = cms_heavy_hitters(toks, "token", k, **cms_kwargs)
+        return out.select(F.col("key").alias("token"),
+                          F.col("est_cnt").alias("cnt"))
+    raise ValueError(f"unknown method {method!r} (expected 'exact' or 'cms')")

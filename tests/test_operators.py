@@ -87,6 +87,47 @@ def test_exact_vs_cms_heavy_hitters(spark, events):
         assert ac - ec <= max(1, int(0.01 * ec) + 20)
 
 
+def test_token_vocabulary_exact_vs_manual(spark, documents):
+    """method="exact" equals a hand-built lowercase whitespace-token count;
+    deterministic (cnt desc, token asc) order."""
+    from bloomfilter_spark.operators import token_vocabulary
+    got = [(r["token"], r["cnt"]) for r in
+           token_vocabulary(documents, "text", 10).collect()]
+    toks = (documents
+            .where(F.col("text").isNotNull()
+                   & (F.length(F.trim("text")) > 0))
+            .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                    .alias("token")))
+    want = [(r["token"], r["cnt"]) for r in
+            toks.groupBy("token").agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("token")).limit(10).collect()]
+    assert got == want
+
+
+def test_token_vocabulary_cms_bounds(spark, documents):
+    """method="cms" never undercounts and recovers the exact head on this
+    modest vocabulary (eps*N slack)."""
+    from bloomfilter_spark.operators import token_vocabulary
+    exact = {r["token"]: r["cnt"] for r in
+             token_vocabulary(documents, "text", 10).collect()}
+    n_total = sum(exact.values())  # lower bound on stream length is fine
+    approx = [(r["token"], r["cnt"]) for r in
+              token_vocabulary(documents, "text", 10,
+                               method="cms", eps=1e-4).collect()]
+    slack = max(1, int(1e-4 * n_total) + 20)
+    hits = [t for t, _ in approx if t in exact]
+    assert len(hits) >= 8  # head recovery
+    for tok, est in approx:
+        if tok in exact:
+            assert exact[tok] <= est <= exact[tok] + slack
+
+
+def test_token_vocabulary_rejects_bad_method(spark, documents):
+    from bloomfilter_spark.operators import token_vocabulary
+    with pytest.raises(ValueError):
+        token_vocabulary(documents, "text", 5, method="nope")
+
+
 def test_top_k_per_group(spark, orders):
     got = top_k_per_group(orders, "o_orderpriority", "o_totalprice", 2)
     counts = got.groupBy("o_orderpriority").count().collect()
