@@ -609,14 +609,22 @@ def _pii_oracle_sql() -> str:
 
 def _quantile_rank_flags(df: DataFrame, value_col: str, ests: dict[float, float],
                          bound: float, spark: SparkSession) -> DataFrame:
-    """(q, rank_ok) rows: exact rank of each estimated quantile must sit
-    within `bound` of q — the KLL/t-digest published rank-error form."""
+    """(q, rank_ok) rows: the KLL/t-digest published rank-error form,
+    tie-correct — a returned value occupies the exact-rank INTERVAL
+    [rank_lt, rank_le] (one point when values are distinct, wide under
+    heavy ties, e.g. integer latencies/lengths), and the guarantee is
+    that q sits within `bound` of that interval."""
     qs = sorted(ests)
     agg = df.agg(
         F.count("*").alias("n"),
-        *[F.sum((F.col(value_col) <= F.lit(ests[q])).cast("long")).alias(f"r{i}")
-          for i, q in enumerate(qs)]).first()
-    rows = [(float(q), int(abs(agg[f"r{i}"] / agg["n"] - q) <= bound))
+        *[c for i, q in enumerate(qs) for c in (
+            F.sum((F.col(value_col) < F.lit(ests[q])).cast("long"))
+            .alias(f"lt{i}"),
+            F.sum((F.col(value_col) <= F.lit(ests[q])).cast("long"))
+            .alias(f"le{i}"))]).first()
+    rows = [(float(q),
+             int(agg[f"lt{i}"] / agg["n"] - bound
+                 <= q <= agg[f"le{i}"] / agg["n"] + bound))
             for i, q in enumerate(qs)]
     return spark.createDataFrame(rows, "q double, rank_ok int")
 
@@ -1051,6 +1059,125 @@ def _q_token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomfilter_spark.operators import token_vocabulary
     docs = _t(spark, sf_dir, "documents").select("text")
     return token_vocabulary(docs, "text", k=50)
+
+
+# --- transcripts flagship (BASELINE.json north rule / input_hint shape) ---
+
+_TRANSCRIPT_ORACLE_TURNS = 60_000  # fixed so oracle SQL and query agree at any sf_dir
+
+
+def _transcripts_parquet(n_turns: int = _TRANSCRIPT_ORACLE_TURNS) -> str:
+    """Deterministic transcript corpus (sources/transcripts.generate_pandas,
+    the authoritative input_hint shape: conv_id, turn_idx, role, text, tool,
+    ts) written ONCE with a single pandas->pyarrow writer, so the Spark
+    query and the DuckDB oracle read the identical file regardless of which
+    side runs first. ts coerced to microseconds (Spark + DuckDB common)."""
+    import os
+    from bloomfilter_spark.sources.transcripts import SEED, generate_pandas
+    path = (f"/tmp/bloomfilter_spark_data/"
+            f"transcripts_oracle_{n_turns}_s{SEED}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pdf = generate_pandas(n_turns)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        tmp = f"{path}.tmp{os.getpid()}"
+        pdf.to_parquet(tmp, engine="pyarrow", index=False)
+        os.replace(tmp, path)
+    return path
+
+
+def _q_transcripts_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE input_hint invariant, gate-enforced: per-turn text equality under
+    stable (conv_id, turn_idx) ordering. Returns every turn's unique key +
+    md5(text); the driver's value-hash compares all rows against the DuckDB
+    oracle reading the same parquet, so a single corrupted/mis-ordered turn
+    text fails the gate. (conv_id, turn_idx) is dense-unique, so row-keyed
+    equality == equality under the stable ordering, with no global sort."""
+    tr = spark.read.parquet(_transcripts_parquet())
+    return tr.select("conv_id", "turn_idx",
+                     F.md5(F.col("text")).alias("text_md5"))
+
+
+def _q_transcripts_conv_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule headline: distinct-turn counts per conversation over the
+    Zipf-skewed transcript corpus, via the all-JVM grouped HLL build
+    (jvm_build.hll_grouped_estimate_jvm — two codegen shuffles, zero rows
+    into Python; the 10^12-turn path). Emits the exact count
+    (oracle-matchable) + within-3-sigma flag per conv_id."""
+    from bloomfilter_spark.jvm_build import hll_grouped_estimate_jvm
+    tr = spark.read.parquet(_transcripts_parquet())
+    est = hll_grouped_estimate_jvm(tr, ["conv_id"], ["turn_idx"], p=14,
+                                   out_col="approx_turns")
+    exact = tr.groupBy("conv_id").agg(
+        F.countDistinct("turn_idx").alias("exact_turns"))
+    return (exact.join(est, "conv_id")
+                 .select("conv_id", "exact_turns",
+                         _hll_within("exact_turns", "approx_turns")
+                         .cast("int").alias("within_bound")))
+
+
+def _q_transcripts_tool_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule headline: heavy-hitter tool frequencies from a CMS over
+    the tool turns (never shuffled by key — per-partition bounded local
+    candidates + merged O(d*w) sketch). At eps=1e-4 over 50 Zipf tools the
+    fixed-seed estimates are collision-free, so every (tool, cnt) row must
+    equal the exact groupBy answer the oracle computes, with the same
+    deterministic (cnt desc, tool asc) tie-break."""
+    from bloomfilter_spark.operators import cms_heavy_hitters
+    tr = spark.read.parquet(_transcripts_parquet())
+    tools = tr.where(F.col("tool").isNotNull()).select("tool")
+    out = cms_heavy_hitters(tools, "tool", 10, eps=1e-4)
+    return out.select(F.col("key").alias("tool"),
+                      F.col("est_cnt").alias("cnt"))
+
+
+def _q_transcripts_latency_quantiles(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """North-rule headline: inter-turn latency and turn-length quantiles
+    (p50/p90/p99) from pre-aggregated KLL builds (only (distinct value,
+    count) pairs cross the pipe — latencies are 1..300s integers and
+    lengths are bounded, the bounded-representation 10^12-turn path), with
+    exact-rank verification at the same 4x merged-build margin as q22.
+    Latency = ts - lag(ts) within (conv_id, turn_idx) order — per-conv
+    sequential state, the window shuffle carries each conv once."""
+    from pyspark.sql import Window
+    from bloomfilter_spark.jvm_build import quantile_build_preagg
+    from bloomfilter_spark.sketches import KLL
+    tr = spark.read.parquet(_transcripts_parquet())
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ts = F.unix_micros(F.col("ts").cast("timestamp"))
+    lat = (tr.withColumn("lat_s", (ts - F.lag(ts).over(w)) / 1e6)
+             .where(F.col("lat_s").isNotNull()))
+    tlen = tr.select(F.length("text").cast("double").alias("len"))
+    out = []
+    for metric, df, col in (("latency_s", lat, "lat_s"),
+                            ("turn_len", tlen, "len")):
+        sk = quantile_build_preagg(df, col, lambda: KLL(200))
+        ests = {q: float(sk.quantile(q)) for q in (0.5, 0.9, 0.99)}
+        flags = _quantile_rank_flags(df, col, ests,
+                                     4 * sk.rank_error_bound(), spark)
+        out.append(flags.select(F.lit(metric).alias("metric"), "q", "rank_ok"))
+    return out[0].unionByName(out[1])
+
+
+def _q_transcripts_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule headline: "has this text been seen?" over the transcript
+    corpus (~2% injected exact duplicates). Exact distinct/dup counts are
+    oracle-matched; a Bloom filter sized by safeSuggestSizing over the
+    distinct fingerprints then probes every turn — zero false negatives
+    means found == n_turns exactly, gate-checked."""
+    from bloomfilter_spark.agg import with_membership
+    from bloomfilter_spark.easy import bloom_fit
+    tr = spark.read.parquet(_transcripts_parquet())
+    texts = tr.select("text")
+    n_distinct = texts.distinct().count()
+    bf = bloom_fit(texts.distinct(), ["text"], capacity=n_distinct, fpr=0.01)
+    probed = with_membership(texts, bf, ["text"])
+    return probed.agg(
+        F.count("*").alias("n_turns"),
+        F.lit(n_distinct).alias("n_distinct_texts"),
+        (F.count("*") == F.sum(F.col("is_member").cast("long")))
+        .cast("int").alias("zero_fn"))
 
 
 def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1963,6 +2090,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_classifier_scores": _q_classifier_scores,
         "q79_robust_outliers": _q_robust_outliers,
         "q80_token_vocabulary": _q_token_vocabulary,
+        "q81_transcripts_text_parity": _q_transcripts_text_parity,
+        "q82_transcripts_conv_turns": _q_transcripts_conv_turns,
+        "q83_transcripts_tool_hitters": _q_transcripts_tool_hitters,
+        "q84_transcripts_latency_quantiles": _q_transcripts_latency_quantiles,
+        "q85_transcripts_dedup": _q_transcripts_dedup,
     }
 
 
@@ -2224,6 +2356,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_rows, 1 AS median_rank_ok,
                    1 AS mad_rank_ok, 1 AS kept_frac_ok
             FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        """,
+        "q81_transcripts_text_parity": f"""
+            SELECT conv_id, turn_idx, md5(text) AS text_md5
+            FROM read_parquet('{_transcripts_parquet()}')
+        """,
+        "q82_transcripts_conv_turns": f"""
+            SELECT conv_id, count(DISTINCT turn_idx) AS exact_turns,
+                   1 AS within_bound
+            FROM read_parquet('{_transcripts_parquet()}')
+            GROUP BY conv_id
+        """,
+        "q83_transcripts_tool_hitters": f"""
+            SELECT tool, count(*) AS cnt
+            FROM read_parquet('{_transcripts_parquet()}')
+            WHERE tool IS NOT NULL
+            GROUP BY tool ORDER BY cnt DESC, tool ASC LIMIT 10
+        """,
+        "q84_transcripts_latency_quantiles": """
+            SELECT metric, CAST(q AS DOUBLE) AS q, rank_ok
+            FROM (VALUES ('latency_s', 0.5, 1), ('latency_s', 0.9, 1),
+                         ('latency_s', 0.99, 1), ('turn_len', 0.5, 1),
+                         ('turn_len', 0.9, 1), ('turn_len', 0.99, 1))
+                 t(metric, q, rank_ok)
+        """,
+        "q85_transcripts_dedup": f"""
+            SELECT count(*) AS n_turns,
+                   count(DISTINCT text) AS n_distinct_texts,
+                   1 AS zero_fn
+            FROM read_parquet('{_transcripts_parquet()}')
         """,
         "q80_token_vocabulary": r"""
             WITH toks AS (

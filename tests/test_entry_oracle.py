@@ -28,6 +28,11 @@ CHECKED = [
     "q32_grouped_kll_quantiles", "q33_streaming_stateful_hll",
     "q34_ngram_jaccard", "q35_embedding_neardup_lsh", "q36_ann_lsh_recall",
     "q60_sequence_packing", "q61_zorder_pruning",
+    # transcripts flagship (north-rule shape; fixed-size deterministic
+    # corpus shared by query + oracle, so sf_dir-independent)
+    "q80_token_vocabulary", "q81_transcripts_text_parity",
+    "q82_transcripts_conv_turns", "q83_transcripts_tool_hitters",
+    "q84_transcripts_latency_quantiles", "q85_transcripts_dedup",
 ]
 
 
