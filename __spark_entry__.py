@@ -1061,6 +1061,44 @@ def _q_token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_vocabulary(docs, "text", k=50)
 
 
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (operators/search.
+    tfidf_top_terms) from the reusable inverted-index tables — broadcast
+    idf dimension + rank-limited per-doc window (WindowGroupLimit).
+    Every (doc, term, tf, tfidf, rank) row is recomputed by the oracle
+    with the identical formula; ties are broken (tfidf desc, term asc)
+    and equal-(tf, df) terms are bit-equal doubles on both engines."""
+    from bloomfilter_spark.operators import (build_inverted_index,
+                                             tfidf_top_terms)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    postings, stats, doclens = build_inverted_index(docs, "doc_id", "text")
+    out = tfidf_top_terms(postings, stats, doclens, k=3)
+    return out.select(F.col("id").alias("doc_id"), "term", "tf",
+                      "tfidf", "rank")
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram LM score per document (functions/text.
+    unigram_logprob_scores — the CCNet-style perplexity quality filter,
+    pure Catalyst: map-side-combined token counts train the model, a
+    broadcast join scores). Full per-doc values vs the oracle's
+    identical computation."""
+    from bloomfilter_spark.functions import unigram_logprob_scores
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob_scores(docs, "doc_id", "text")
+
+
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-entropy gibberish signal (functions/text.
+    char_entropy_scores): explode-to-chars stays in codegen and the
+    shuffle carries DISTINCT (doc, char) pairs (<= alphabet per doc,
+    never text length). Full per-doc values vs the oracle's identical
+    ln-decomposition formula."""
+    from bloomfilter_spark.functions import char_entropy_scores
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return char_entropy_scores(docs, "doc_id", "text")
+
+
 # --- transcripts flagship (BASELINE.json north rule / input_hint shape) ---
 
 _TRANSCRIPT_ORACLE_TURNS = 60_000  # fixed so oracle SQL and query agree at any sf_dir
@@ -2095,6 +2133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_transcripts_tool_hitters": _q_transcripts_tool_hitters,
         "q84_transcripts_latency_quantiles": _q_transcripts_latency_quantiles,
         "q85_transcripts_dedup": _q_transcripts_dedup,
+        "q86_tfidf_keywords": _q_tfidf_keywords,
+        "q87_unigram_logprob": _q_unigram_logprob,
+        "q88_char_entropy": _q_char_entropy,
     }
 
 
@@ -2356,6 +2397,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_rows, 1 AS median_rank_ok,
                    1 AS mad_rank_ok, 1 AS kept_frac_ok
             FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        """,
+        "q86_tfidf_keywords": r"""
+            WITH d0 AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents WHERE text IS NOT NULL
+            ), n AS (
+              SELECT count(*) AS nd FROM d0
+            ), post AS (
+              SELECT doc_id, unnest(toks) AS term FROM d0
+            ), tfs AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM post GROUP BY doc_id, term
+            ), dfs AS (
+              SELECT term, count(*) AS df FROM tfs GROUP BY term
+            ), scored AS (
+              SELECT t.doc_id, t.term, t.tf,
+                     t.tf * ln(CAST(nd AS DOUBLE) / df) AS tfidf
+              FROM tfs t JOIN dfs USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, tfidf, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+              FROM scored)
+            WHERE rank <= 3
+        """,
+        "q87_unigram_logprob": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(lower(text)),
+                                                         '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ), toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS tok
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ), counts AS (
+              SELECT tok, count(*) AS c FROM toks GROUP BY tok
+            ), tot AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts
+            ), scores AS (
+              SELECT doc_id, avg(ln(c / n)) AS avg_logprob
+              FROM toks JOIN counts USING (tok) CROSS JOIN tot
+              GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_tokens, s.avg_logprob
+            FROM base b LEFT JOIN scores s USING (doc_id)
+        """,
+        "q88_char_entropy": """
+            WITH chars AS (
+              SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            ), pc AS (
+              SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+            ), ent AS (
+              SELECT doc_id, sum(c) AS n_chars,
+                     ln(CAST(sum(c) AS DOUBLE)) / 0.6931471805599453
+                     - sum(c * ln(CAST(c AS DOUBLE)))
+                       / (sum(c) * 0.6931471805599453) AS entropy_bits
+              FROM pc GROUP BY doc_id
+            )
+            SELECT d.doc_id, CAST(coalesce(e.n_chars, 0) AS BIGINT)
+                   AS n_chars, e.entropy_bits
+            FROM documents d LEFT JOIN ent e USING (doc_id)
         """,
         "q81_transcripts_text_parity": f"""
             SELECT conv_id, turn_idx, md5(text) AS text_md5

@@ -229,3 +229,72 @@ def classifier_scores(df, id_col: str, text_col: str, weights,
     return (base.join(sums, id_col, "left")
             .select(F.col(id_col), "n_tokens",
                     (F.lit(1.0) / (F.lit(1.0) + F.exp(-x))).alias("score")))
+
+
+def unigram_logprob_scores(df, id_col: str, text_col: str):
+    """Self-trained unigram language-model score per document — the
+    cheap sibling of the CCNet/Wikipedia-LM perplexity quality filter
+    (docs whose tokens are corpus-atypical score low):
+
+        avg_logprob = mean_t ln( count(token_t) / N_total )
+
+    over lowercase whitespace tokens, with the model trained on the
+    SAME corpus (every token is in-vocabulary by construction, so no
+    smoothing term is needed; perplexity = exp(-avg_logprob)). Returns
+    (id_col, n_tokens, avg_logprob) — zero-token docs keep NULL.
+
+    Scale shape, pure Catalyst end to end: one map-side-combined
+    groupBy(token).count() (shuffle carries distinct tokens) trains the
+    model; scoring is explode -> broadcast hash join against the
+    (token, logprob) dimension (explicit hint — the corpus is never
+    shuffled by token, whose Zipf head is maximally skewed) -> one
+    groupBy(doc) avg with map-side combine. For 10^8+-token
+    vocabularies past broadcast, persist the model table and bucket
+    both sides by token instead."""
+    c = F.col(text_col)
+    toks_arr = F.split(F.trim(F.lower(c)), r"\s+")
+    toks = (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+              .select(F.col(id_col), F.explode(toks_arr).alias("__tok")))
+    counts = toks.groupBy("__tok").agg(F.count("*").alias("__c"))
+    n_total = counts.agg(F.sum("__c")).first()[0] or 0
+    model = counts.select(
+        "__tok", F.log(F.col("__c") / F.lit(float(n_total))).alias("__lp"))
+    base = df.select(
+        F.col(id_col),
+        F.when(c.isNull() | (F.length(F.trim(c)) == 0), F.lit(0))
+         .otherwise(F.size(toks_arr)).alias("n_tokens"))
+    scores = (toks.join(F.broadcast(model), "__tok")
+                  .groupBy(id_col).agg(F.avg("__lp").alias("avg_logprob")))
+    return base.join(scores, id_col, "left").select(
+        F.col(id_col), "n_tokens", "avg_logprob")
+
+
+def char_entropy_scores(df, id_col: str, text_col: str):
+    """Per-document Shannon character entropy (bits/char) — the
+    gibberish/boilerplate signal (natural text sits ~3.5-4.5 bits;
+    single-char runs and base64 blobs fall far outside). Computed
+    entirely in Catalyst via the identity
+
+        H = log2(L) - (sum_ch c_ch * ln c_ch) / (L * ln 2)
+
+    so the plan is: codegen split-to-chars explode -> map-side-combined
+    groupBy(id, char).count() (the shuffle carries DISTINCT chars per
+    doc, <= alphabet size, never L rows) -> one groupBy(id) agg.
+    Returns (id_col, n_chars, entropy_bits); NULL/empty docs keep NULL
+    entropy and n_chars 0."""
+    c = F.col(text_col)
+    chars = (df.where(c.isNotNull() & (F.length(c) > 0))
+               .select(F.col(id_col),
+                       F.explode(F.split(c, "")).alias("__ch")))
+    per_char = chars.groupBy(id_col, "__ch").agg(F.count("*").alias("__c"))
+    ln2 = 0.6931471805599453
+    ent = (per_char.groupBy(id_col).agg(
+        F.sum("__c").alias("__L"),
+        F.sum(F.col("__c") * F.log(F.col("__c"))).alias("__s"))
+        .select(F.col(id_col), F.col("__L").alias("n_chars"),
+                (F.log(F.col("__L").cast("double")) / F.lit(ln2)
+                 - F.col("__s") / (F.col("__L") * F.lit(ln2)))
+                .alias("entropy_bits")))
+    base = df.select(F.col(id_col))
+    return (base.join(ent, id_col, "left")
+                .withColumn("n_chars", F.coalesce("n_chars", F.lit(0))))

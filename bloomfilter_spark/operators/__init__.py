@@ -27,7 +27,7 @@ from .sampling import (grouped_weighted_sample, hash_sample,
                        split_train_holdout, stratified_sample,
                        weighted_reservoir_sample, weighted_sample_key)
 from .search import (bm25_scores, bm25_topk, build_inverted_index,
-                     tokenize_terms)
+                     tfidf_top_terms, tokenize_terms)
 from .semijoin import (bloom_anti_join, bloom_prefilter, bloom_semi_join,
                        build_key_bloom, sharded_bloom_semi_join)
 from .sharded import (build_sharded_bloom, merge_shard_tables, shard_geometry,
@@ -71,4 +71,5 @@ __all__ = [
     "interval_join", "sessionize", "session_window_agg",
     "suggest_bucket_width",
     "build_inverted_index", "bm25_scores", "bm25_topk", "tokenize_terms",
+    "tfidf_top_terms",
 ]

@@ -116,3 +116,33 @@ def bm25_topk(postings: DataFrame, stats: DataFrame, doclens: DataFrame,
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k))
+
+
+def tfidf_top_terms(postings: DataFrame, stats: DataFrame,
+                    doclens: DataFrame, k: int) -> DataFrame:
+    """Per-document top-k TF-IDF terms (keyword extraction — the
+    signature-term stage of clustering / topic-labeling / near-dup
+    triage pipelines), from the same three reusable index tables
+    `build_inverted_index` emits.
+
+        tfidf = tf * ln(N / df)
+
+    Returns (id, term, tf, tfidf, rank) with rank 1-based and the
+    deterministic (tfidf desc, term asc) tie-break — equal-(tf, df)
+    terms are bit-equal doubles, so ordering is engine-independent.
+
+    Scale shape: N is one tiny agg; (df -> idf) is a broadcast join
+    against the postings scan (the term-stats table is the dimension);
+    the per-doc top-k is a rank-limited window partitioned by doc id —
+    Spark's WindowGroupLimit pushes the k-filter below the sort, so
+    each task keeps k rows per doc, never a doc's full term list."""
+    n_docs = int(doclens.count())
+    idf = F.log(F.lit(float(n_docs)) / F.col("df"))
+    scored = (postings.join(F.broadcast(stats.select(
+                                "term", idf.alias("idf"))), "term")
+                      .select("id", "term", "tf",
+                              (F.col("tf").cast("double")
+                               * F.col("idf")).alias("tfidf")))
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))

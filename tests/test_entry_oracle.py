@@ -33,6 +33,7 @@ CHECKED = [
     "q80_token_vocabulary", "q81_transcripts_text_parity",
     "q82_transcripts_conv_turns", "q83_transcripts_tool_hitters",
     "q84_transcripts_latency_quantiles", "q85_transcripts_dedup",
+    "q86_tfidf_keywords", "q87_unigram_logprob", "q88_char_entropy",
 ]
 
 

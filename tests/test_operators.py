@@ -733,3 +733,60 @@ def test_classifier_scores_partition_invariant(spark, documents):
     b = classifier_scores(documents.repartition(16), "doc_id", "text",
                           w).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_unigram_logprob_known_values(spark):
+    """Hand-computed self-trained unigram LM: corpus = {a:3, b:1} over two
+    docs; doc1 'a a b' -> (2 ln(3/4) + ln(1/4))/3, doc2 'a' -> ln(3/4);
+    NULL and empty docs keep n_tokens 0 and NULL score."""
+    import math
+    from bloomfilter_spark.functions import unigram_logprob_scores
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "A"), (3, None), (4, "   ")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"]) for r in
+           unigram_logprob_scores(docs, "doc_id", "text").collect()}
+    assert got[1][0] == 3 and got[2][0] == 1
+    assert got[3] == (0, None) and got[4] == (0, None)
+    assert abs(got[1][1] - (2 * math.log(3 / 4) + math.log(1 / 4)) / 3) < 1e-12
+    assert abs(got[2][1] - math.log(3 / 4)) < 1e-12
+
+
+def test_char_entropy_known_values(spark):
+    """'aaaa' -> 0 bits; 'ab' -> 1 bit; 'abcd' -> 2 bits; NULL/empty keep
+    NULL entropy and 0 chars."""
+    from bloomfilter_spark.functions import char_entropy_scores
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, None), (5, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_chars"], r["entropy_bits"]) for r in
+           char_entropy_scores(docs, "doc_id", "text").collect()}
+    assert got[1][0] == 4 and abs(got[1][1] - 0.0) < 1e-12
+    assert got[2][0] == 2 and abs(got[2][1] - 1.0) < 1e-12
+    assert got[3][0] == 4 and abs(got[3][1] - 2.0) < 1e-12
+    assert got[4] == (0, None) and got[5] == (0, None)
+
+
+def test_tfidf_top_terms_reference(spark):
+    """TF-IDF vs a hand computation: 3 docs, term 'x' everywhere (idf=0),
+    'y' in two, 'z' in one; ranks respect (tfidf desc, term asc)."""
+    import math
+    from bloomfilter_spark.operators import (build_inverted_index,
+                                             tfidf_top_terms)
+    docs = spark.createDataFrame(
+        [(1, "x y z z"), (2, "x y"), (3, "x")],
+        "doc_id long, text string")
+    p, s, d = build_inverted_index(docs, "doc_id", "text")
+    got = {(r["id"], r["term"]): (r["tf"], r["tfidf"], r["rank"])
+           for r in tfidf_top_terms(p, s, d, k=2).collect()}
+    # Java Math.log is within 1 ulp of libm, not bit-identical -> approx
+    assert got[(1, "z")][0] == 2 and got[(1, "z")][2] == 1
+    assert got[(1, "z")][1] == pytest.approx(2 * math.log(3 / 1), rel=1e-12)
+    assert got[(1, "y")][0] == 1 and got[(1, "y")][2] == 2
+    assert got[(1, "y")][1] == pytest.approx(math.log(3 / 2), rel=1e-12)
+    assert got[(2, "y")][2] == 1 and got[(2, "x")][2] == 2  # x idf=0 last
+    assert got[(3, "x")] == (1, 0.0, 1)
+    counts = {}
+    for (i, _t) in got:
+        counts[i] = counts.get(i, 0) + 1
+    assert all(v <= 2 for v in counts.values())
