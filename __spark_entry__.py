@@ -1099,6 +1099,39 @@ def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_scores(docs, "doc_id", "text")
 
 
+def _q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries frequent-tokens summary (sketches/mg.py) vs the exact
+    top-10 vocabulary: the DETERMINISTIC two-sided sandwich CMS cannot
+    give — stored <= exact (never overcounts) AND exact <= stored + dec
+    (undercount bounded by the sketch's own carried decrement), plus the
+    zero-false-negative presence guarantee for every token with
+    cnt > n/(k+1). Same merged-partials distributed build as the other
+    hash-keyed sketches; flags are deterministic (no failure
+    probability), so the oracle asserts them as constants alongside the
+    bit-exact top-10 (token, cnt) rows."""
+    from bloomfilter_spark.agg import build_sketch, with_mg_bounds
+    from bloomfilter_spark.operators import token_vocabulary
+    from bloomfilter_spark.sketches import MisraGries
+    docs = _t(spark, sf_dir, "documents").select("text")
+    c = F.col("text")
+    toks = (docs.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+                .select(F.explode(F.split(F.trim(F.lower(c)), r"\s+"))
+                         .alias("token")))
+    k = 64
+    mg = build_sketch(toks, ["token"], lambda: MisraGries(k=k))
+    top = token_vocabulary(docs, "text", k=10)          # exact, tie-broken
+    both = with_mg_bounds(top, mg, ["token"])
+    sandwich = (F.col("mg_lo") <= F.col("cnt")) & \
+               (F.col("cnt") <= F.col("mg_hi"))
+    # presence guarantee only binds above n/(k+1); top-10 tokens of this
+    # corpus clear it, but state the implication, not the assumption
+    present = (F.col("cnt") <= F.lit(mg.n / (k + 1))) | (F.col("mg_lo") > 0)
+    return both.select(
+        "token", "cnt",
+        sandwich.cast("int").alias("mg_sandwich_ok"),
+        present.cast("int").alias("mg_present_ok"))
+
+
 # --- transcripts flagship (BASELINE.json north rule / input_hint shape) ---
 
 _TRANSCRIPT_ORACLE_TURNS = 60_000  # fixed so oracle SQL and query agree at any sf_dir
@@ -2136,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_tfidf_keywords": _q_tfidf_keywords,
         "q87_unigram_logprob": _q_unigram_logprob,
         "q88_char_entropy": _q_char_entropy,
+        "q89_mg_heavy_hitters": _q_mg_heavy_hitters,
     }
 
 
@@ -2466,6 +2500,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, CAST(coalesce(e.n_chars, 0) AS BIGINT)
                    AS n_chars, e.entropy_bits
             FROM documents d LEFT JOIN ent e USING (doc_id)
+        """,
+        "q89_mg_heavy_hitters": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '[ \t\n\x0b\f\r]+'))
+                     AS token
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
+            )
+            SELECT token, count(*) AS cnt,
+                   1 AS mg_sandwich_ok, 1 AS mg_present_ok
+            FROM toks GROUP BY token
+            ORDER BY cnt DESC, token ASC LIMIT 10
         """,
         "q81_transcripts_text_parity": f"""
             SELECT conv_id, turn_idx, md5(text) AS text_md5

@@ -474,3 +474,23 @@ def with_cms_count(df: DataFrame, cms, cols, out_col: str = "est_count",
         return pd.Series(sk.query(to_u64(h.to_numpy())))
 
     return df.withColumn(out_col, est(hash_col(_cols(cols), seed)))
+
+
+def with_mg_bounds(df: DataFrame, mg, cols, lo_col: str = "mg_lo",
+                   hi_col: str = "mg_hi", seed: int = DEFAULT_SEED) -> DataFrame:
+    """Broadcast Misra–Gries two-sided frequency bounds: ``lo`` is the
+    stored count (never an overcount), ``hi = lo + dec`` (never an
+    undercount) — deterministic, no failure probability. The natural
+    complement of with_cms_count, whose estimate never undercounts."""
+    from .sketches.mg import MisraGries
+
+    bc = _broadcast_sketch(df, mg)
+
+    @F.pandas_udf("long")
+    def lo(h: pd.Series) -> pd.Series:
+        sk = _cached_sketch(bc, MisraGries)
+        return pd.Series(sk.query(to_u64(h.to_numpy())))
+
+    lo_expr = lo(hash_col(_cols(cols), seed))
+    return (df.withColumn(lo_col, lo_expr)
+              .withColumn(hi_col, F.col(lo_col) + F.lit(int(mg.dec))))

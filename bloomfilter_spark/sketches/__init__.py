@@ -3,6 +3,7 @@ from .bloom import BloomFilter
 from .cms import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLL
+from .mg import MisraGries
 from .scalable import ScalableBloomFilter
 from .tdigest import TDigest
 from .theta import ThetaSketch, theta_a_not_b, theta_intersect
@@ -12,7 +13,7 @@ from .theta import ThetaSketch, theta_a_not_b, theta_intersect
 SKETCH_TYPES: dict[int, type] = {
     cls.TYPE_TAG: cls
     for cls in (BloomFilter, HyperLogLog, CountMinSketch, TDigest, KLL,
-                ScalableBloomFilter, ThetaSketch)
+                ScalableBloomFilter, ThetaSketch, MisraGries)
 }
 
 
@@ -28,6 +29,7 @@ def sketch_from_bytes(buf: bytes) -> Sketch:
 
 
 __all__ = ["Sketch", "BloomFilter", "HyperLogLog", "CountMinSketch",
-           "TDigest", "KLL", "ScalableBloomFilter", "ThetaSketch",
+           "TDigest", "KLL", "MisraGries", "ScalableBloomFilter",
+           "ThetaSketch",
            "theta_intersect", "theta_a_not_b", "SKETCH_TYPES",
            "sketch_from_bytes"]

@@ -524,3 +524,122 @@ def test_wire_version_compat_per_type(rng):
     with pytest.raises(ValueError, match="reads v2"):
         HyperLogLog.from_bytes(as_v1(h))
     assert _MAGIC == b"SKCH"
+
+
+# --- Misra-Gries ----------------------------------------------------------
+
+def _zipf_stream(rng, n=20000, n_keys=500, a=1.4):
+    keys = hashes(rng, n_keys)
+    idx = np.minimum(rng.zipf(a, n) - 1, n_keys - 1)
+    return keys[idx]
+
+
+def _exact_counts(stream):
+    uniq, cnt = np.unique(stream, return_counts=True)
+    return dict(zip(uniq.tolist(), cnt.tolist()))
+
+
+def test_mg_exact_mode(rng):
+    """k >= distinct keys: never trims, dec == 0, counts exact."""
+    from bloomfilter_spark.sketches import MisraGries
+    stream = _zipf_stream(rng, n=5000, n_keys=100)
+    mg = MisraGries(k=256)
+    mg.update(stream)
+    assert mg.dec == 0 and mg.n == stream.size
+    exact = _exact_counts(stream)
+    got = mg.query(np.array(list(exact), dtype=np.uint64))
+    assert got.tolist() == list(exact.values())
+
+
+def test_mg_sandwich_and_bound(rng):
+    """Small k: stored <= true <= stored + dec for EVERY key (present or
+    evicted), and dec <= (n - M)/(k+1) — the Mergeable Summaries Lemma 1
+    invariants, deterministic (no failure probability)."""
+    from bloomfilter_spark.sketches import MisraGries
+    stream = _zipf_stream(rng)
+    k = 16
+    mg = MisraGries(k=k)
+    for chunk in np.array_split(stream, 7):      # batched arrival
+        mg.update(chunk)
+    exact = _exact_counts(stream)
+    probes = np.array(list(exact), dtype=np.uint64)
+    lo = mg.query(probes)
+    true = np.array(list(exact.values()))
+    assert np.all(lo <= true)
+    assert np.all(true <= lo + mg.dec)
+    m_stored = int(mg.counts.sum())
+    assert mg.dec <= (mg.n - m_stored) / (k + 1)
+    # absent key probes answer 0
+    assert mg.query(np.array([3], dtype=np.uint64)).tolist() == [0]
+
+
+def test_mg_merge_keeps_invariants(rng):
+    """Random 4-way split, independent partials, pairwise merges in two
+    different association orders: bounds hold for both results and n/dec
+    bookkeeping is consistent (estimate-bounds contract, like KLL)."""
+    from bloomfilter_spark.sketches import MisraGries
+    stream = _zipf_stream(rng)
+    parts = np.array_split(rng.permutation(stream), 4)
+    sks = []
+    for p in parts:
+        s = MisraGries(k=24)
+        s.update(p)
+        sks.append(s)
+    left = sks[0].copy().merge(sks[1]).merge(sks[2]).merge(sks[3])
+    right = sks[2].copy().merge(sks[3]).merge(sks[0]).merge(sks[1])
+    exact = _exact_counts(stream)
+    probes = np.array(list(exact), dtype=np.uint64)
+    true = np.array(list(exact.values()))
+    for merged in (left, right):
+        assert merged.n == stream.size
+        lo = merged.query(probes)
+        assert np.all(lo <= true)
+        assert np.all(true <= lo + merged.dec)
+        assert merged.dec <= merged.n / (merged.k + 1)
+
+
+def test_mg_heavy_hitters_zero_fn(rng):
+    """Every true phi-frequent key survives in heavy_hitters(phi)."""
+    from bloomfilter_spark.sketches import MisraGries
+    stream = _zipf_stream(rng, a=1.2)
+    mg = MisraGries(k=32)
+    mg.update(stream)
+    phi = 0.02
+    exact = _exact_counts(stream)
+    frequent = {h for h, c in exact.items() if c >= phi * stream.size}
+    got_items, _ = mg.heavy_hitters(phi)
+    assert frequent <= set(got_items.tolist())
+
+
+def test_mg_weighted_equals_repeated(rng):
+    """update(keys, counts) == the same multiset fed unweighted."""
+    from bloomfilter_spark.sketches import MisraGries
+    keys = hashes(rng, 40)
+    w = rng.integers(1, 9, 40)
+    a = MisraGries(k=8)
+    a.update(keys, w)
+    b = MisraGries(k=8)
+    b.update(np.repeat(keys, w))
+    assert a.n == b.n == int(w.sum())
+    probes = np.unique(keys)
+    true = np.array([int(w[keys == p].sum()) for p in probes])
+    for sk in (a, b):
+        lo = sk.query(probes)
+        assert np.all(lo <= true) and np.all(true <= lo + sk.dec)
+
+
+def test_mg_serialization_roundtrip_and_errors(rng):
+    from bloomfilter_spark.sketches import MisraGries, sketch_from_bytes
+    mg = MisraGries(k=16)
+    mg.update(_zipf_stream(rng, n=3000))
+    back = sketch_from_bytes(mg.to_bytes())
+    assert isinstance(back, MisraGries)
+    assert back.k == mg.k and back.n == mg.n and back.dec == mg.dec
+    assert np.array_equal(back.items, mg.items)
+    assert np.array_equal(back.counts, mg.counts)
+    with pytest.raises(ValueError, match="k mismatch"):
+        mg.merge(MisraGries(k=8))
+    with pytest.raises(ValueError, match="negative"):
+        mg.update(hashes(rng, 3), np.array([1, -2, 3]))
+    with pytest.raises(ValueError, match="k must be"):
+        MisraGries(k=0)

@@ -202,3 +202,28 @@ def test_nulls_are_skipped(spark):
     df = spark.createDataFrame([("a",), (None,), ("b",), (None,)], "v string")
     hll = build_sketch(df, ["v"], lambda: HyperLogLog(12))
     assert round(hll.estimate()) == 2
+
+
+def test_mg_vs_exact_counts(spark, documents):
+    """Distributed Misra-Gries build (merged per-partition partials) keeps
+    the deterministic sandwich for EVERY distinct token: lo <= exact <=
+    lo + dec, with dec <= n/(k+1); and every token frequent enough for
+    the presence guarantee is retained."""
+    from bloomfilter_spark.agg import build_sketch, with_mg_bounds
+    from bloomfilter_spark.sketches import MisraGries
+
+    c = F.col("text")
+    toks = (documents.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+            .select(F.explode(F.split(F.trim(F.lower(c)), r"\s+"))
+                    .alias("token")))
+    k = 16
+    mg = build_sketch(toks, ["token"], lambda: MisraGries(k=k))
+    exact = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    assert mg.n == toks.count()
+    assert mg.dec <= mg.n / (k + 1)
+    checked = with_mg_bounds(exact, mg, ["token"]).collect()
+    assert len(checked) > k          # corpus vocabulary exceeds the summary
+    for r in checked:
+        assert r["mg_lo"] <= r["cnt"] <= r["mg_hi"], r
+        if r["cnt"] > mg.n / (k + 1):
+            assert r["mg_lo"] > 0, r
