@@ -1132,6 +1132,30 @@ def _q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         present.cast("int").alias("mg_present_ok"))
 
 
+def _q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/skewjoin.salted_join): the
+    measured hottest partkey (plans.planning.diagnose_skew — one
+    map-side-combined pass) is salted so its occurrences spread over
+    `salt` shuffle keys while the dim replicates ONLY that key's rows;
+    per-brand revenue must be row-identical to the plain equi-join the
+    oracle computes. This is the explicit hot-KEY split AQE cannot do
+    (AQE splits oversized partitions, never one key's rows)."""
+    from bloomfilter_spark.operators import salted_join
+    from bloomfilter_spark.plans.planning import diagnose_skew
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+         .cast("long").alias("rev_cents"))
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand")
+    (top_key, share, suggested) = diagnose_skew(li, ["partkey"])
+    joined = salted_join(li, part, "partkey", salt=max(suggested, 4),
+                         how="inner", hot_keys=[top_key[0]])
+    return (joined.groupBy("p_brand")
+                  .agg(F.count("*").alias("n_items"),
+                       F.sum("rev_cents").alias("revenue_cents")))
+
+
 # --- transcripts flagship (BASELINE.json north rule / input_hint shape) ---
 
 _TRANSCRIPT_ORACLE_TURNS = 60_000  # fixed so oracle SQL and query agree at any sf_dir
@@ -2170,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_unigram_logprob": _q_unigram_logprob,
         "q88_char_entropy": _q_char_entropy,
         "q89_mg_heavy_hitters": _q_mg_heavy_hitters,
+        "q90_salted_skew_join": _q_salted_skew_join,
     }
 
 
@@ -2513,6 +2538,14 @@ def oracle_sql() -> dict[str, str]:
                    1 AS mg_sandwich_ok, 1 AS mg_present_ok
             FROM toks GROUP BY token
             ORDER BY cnt DESC, token ASC LIMIT 10
+        """,
+        "q90_salted_skew_join": """
+            SELECT p_brand, count(*) AS n_items,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
         """,
         "q81_transcripts_text_parity": f"""
             SELECT conv_id, turn_idx, md5(text) AS text_md5

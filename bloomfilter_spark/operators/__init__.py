@@ -32,6 +32,7 @@ from .semijoin import (bloom_anti_join, bloom_prefilter, bloom_semi_join,
                        build_key_bloom, sharded_bloom_semi_join)
 from .sharded import (build_sharded_bloom, merge_shard_tables, shard_geometry,
                       sharded_membership)
+from .skewjoin import salted_join
 from .similarity import (brute_force_topk, embedding_near_dups,
                          ivf_assign, ivf_topk, ivf_train,
                          hyperplane_signatures, lsh_ann_topk)
@@ -54,6 +55,7 @@ __all__ = [
     "cms_heavy_change", "token_vocabulary",
     "build_sharded_bloom", "sharded_membership", "shard_geometry",
     "merge_shard_tables",
+    "salted_join",
     "sketch_cube", "sketch_rollup", "sketch_grouping_sets",
     "decode_and_featurize", "sample_video_frames",
     "ivf_train", "ivf_assign", "ivf_topk",
