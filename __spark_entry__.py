@@ -1226,6 +1226,34 @@ def _q_transcripts_tool_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("est_cnt").alias("cnt"))
 
 
+def _q_transcripts_tool_transitions(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Tool-usage Markov transitions over the transcript corpus: for each
+    conversation ordered by turn_idx, count (previous tool -> tool) pairs
+    and the row-normalized transition probability — the agent-behavior
+    analytics a transcript warehouse answers daily (which tool follows
+    which). One window shuffle (each conv moves once) + one
+    map-side-combined groupBy of (prev, next) pairs; probabilities are a
+    second window over the TINY counts table. Every (prev_tool, tool,
+    cnt, p) row is exact; the oracle recomputes the identical windows in
+    DuckDB, p bit-identical (one int/int double division on both
+    engines)."""
+    from pyspark.sql import Window
+    tr = spark.read.parquet(_transcripts_parquet())
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # consecutive tool INVOCATIONS (tool turns), skipping the user/
+    # assistant turns between them — filter first, then lag, so the
+    # window input is only the tool turns
+    inv = tr.where(F.col("tool").isNotNull())
+    pairs = (inv.withColumn("prev_tool", F.lag("tool").over(w))
+                .where(F.col("prev_tool").isNotNull()))
+    counts = pairs.groupBy("prev_tool", "tool").agg(F.count("*").alias("cnt"))
+    per_prev = Window.partitionBy("prev_tool")
+    return counts.select(
+        "prev_tool", "tool", "cnt",
+        (F.col("cnt") / F.sum("cnt").over(per_prev)).alias("p"))
+
+
 def _q_transcripts_latency_quantiles(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
     """North-rule headline: inter-turn latency and turn-length quantiles
@@ -2195,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_char_entropy": _q_char_entropy,
         "q89_mg_heavy_hitters": _q_mg_heavy_hitters,
         "q90_salted_skew_join": _q_salted_skew_join,
+        "q91_transcripts_tool_transitions": _q_transcripts_tool_transitions,
     }
 
 
@@ -2546,6 +2575,24 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS revenue_cents
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "q91_transcripts_tool_transitions": f"""
+            WITH seq AS (
+              SELECT tool,
+                     lag(tool) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev_tool
+              FROM read_parquet('{_transcripts_parquet()}')
+              WHERE tool IS NOT NULL
+            ), counts AS (
+              SELECT prev_tool, tool, count(*) AS cnt
+              FROM seq
+              WHERE prev_tool IS NOT NULL
+              GROUP BY prev_tool, tool
+            )
+            SELECT prev_tool, tool, cnt,
+                   CAST(cnt AS DOUBLE)
+                   / sum(cnt) OVER (PARTITION BY prev_tool) AS p
+            FROM counts
         """,
         "q81_transcripts_text_parity": f"""
             SELECT conv_id, turn_idx, md5(text) AS text_md5
