@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     # bucketed interval join, inverted index, BM25 ranking
     "q66_bucketed_join", "q67_weighted_sampling", "q68_interval_join",
     "q70_inverted_index", "q71_bm25",
+    # salted hot-key join (diagnose_skew pass + salted shuffle)
+    "q90_salted_skew_join",
 ]
 
 
@@ -89,6 +91,7 @@ def main() -> None:
     from bloomfilter_spark.agg import build_sketch, multi_sketch_build
     from bloomfilter_spark.config import get_spark
     from bloomfilter_spark.jvm_build import (cms_build_jvm, hll_build_jvm,
+                                             mg_build_preagg,
                                              multi_sketch_build_jvm,
                                              quantile_build_preagg,
                                              theta_build_jvm)
@@ -174,6 +177,10 @@ def main() -> None:
         ("build_kll_preagg",
          lambda: quantile_build_preagg(tr.select(F.length("text").alias("len")),
                                        "len", lambda: KLL(200))),
+        # JVM-reduced Misra-Gries (deterministic heavy hitters): one
+        # rollup aggregation, k+2 rows to the driver
+        ("build_mg_preagg",
+         lambda: mg_build_preagg(tr, ["tool"], k=256)),
         ("sig_minhash_1m",
          lambda: minhash_signatures(sub, "doc_id", "text")
                  .write.format("noop").mode("overwrite").save()),

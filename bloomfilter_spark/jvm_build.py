@@ -763,3 +763,52 @@ def quantile_build_preagg(df: DataFrame, col, factory,
     sk.update_weighted(pdf["v"].to_numpy(dtype=np.float64),
                        pdf["w"].to_numpy(dtype=np.int64))
     return sk
+
+
+def mg_build_preagg(df: DataFrame, cols, k: int = 256,
+                    seed: int = DEFAULT_SEED) -> "MisraGries":
+    """JVM-reduced Misra-Gries build: ONE codegen aggregation, k+2 rows to
+    the driver, any key cardinality.
+
+    Only the top k+1 exact counts matter: trimming an exact count table
+    subtracts t = the (k+1)-th largest count, which zeroes every item at
+    or below t — items outside the top k+1 can never surface. So the
+    build is `rollup(key-hash).count()` (map-side partials collapse the
+    Zipf head; the rollup's grand-total row IS n, so no second pass over
+    the data) + `orderBy(cnt desc, hash asc).limit(k+2)` — a TakeOrdered,
+    per-task local top-k, never a global sort. The grand-total row sorts
+    first because n >= every per-key count (NULL-hash-first breaks the
+    tie when one key holds all rows).
+
+    The result is the BEST summary any arrival order could produce:
+    retained items carry exact-count - t, so ``stored + dec == exact``
+    with equality (the kernel path's dec accumulates a t per trim round;
+    here there is exactly one round over exact counts). All three MG
+    invariants hold: stored <= exact; exact <= stored + dec (dropped
+    items have exact <= t = dec); dec <= (n - M)/(k+1) since
+    n >= sum(top k+1 counts) = M + (k+1)*t. Deterministic: ties broken
+    by (cnt desc, hash asc)."""
+    from .sketches.mg import MisraGries
+    cs = _cols(cols)
+    rows = (df.where(_notnull(cs))
+              .select(hash_col(cs, seed).alias("__h"))
+              .rollup("__h")
+              .agg(F.count(F.lit(1)).alias("__c"))
+              .orderBy(F.col("__c").desc(), F.col("__h").asc_nulls_first())
+              .limit(k + 2)
+              .collect())
+    sk = MisraGries(k=k)
+    if not rows:
+        return sk
+    assert rows[0]["__h"] is None, "rollup grand-total row must sort first"
+    sk.n = int(rows[0]["__c"])
+    top = [(r["__h"], int(r["__c"])) for r in rows[1:]]
+    t = top[k][1] if len(top) > k else 0
+    kept = [(h, c - t) for h, c in top[:k] if c - t > 0]
+    sk.dec = t
+    if kept:
+        items = np.array([h for h, _ in kept], dtype=np.int64).view(U64)
+        counts = np.array([c for _, c in kept], dtype=np.int64)
+        order = np.argsort(items)
+        sk.items, sk.counts = items[order], counts[order]
+    return sk

@@ -299,3 +299,48 @@ def test_theta_grouped_build_jvm_byte_identical(spark, events):
     jvm2 = {r["event_type"]: bytes(r["sketch"]) for r in theta_grouped_build_jvm(
         events.repartition(5), ["event_type"], ["event_id"], k=64).collect()}
     assert jvm == jvm2
+
+
+def test_mg_build_preagg_invariants_and_tightness(spark, documents):
+    """One-pass JVM-reduced MG build (rollup + TakeOrdered, k+2 rows to
+    the driver): all three MG invariants hold against exact counts, and
+    retained items' upper bound is EXACT (stored + dec == exact) — the
+    minimal-decrement summary a single trim over exact counts yields."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from bloomfilter_spark.agg import hash_col
+    from bloomfilter_spark.jvm_build import mg_build_preagg
+
+    c = F.col("text")
+    toks = (documents.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+            .select(F.explode(F.split(F.trim(F.lower(c)), r"\s+"))
+                    .alias("token")))
+    k = 16
+    mg = mg_build_preagg(toks, ["token"], k=k)
+    exact = {r["h"]: r["cnt"] for r in
+             toks.groupBy(hash_col([F.col("token")]).alias("h"))
+                 .agg(F.count("*").alias("cnt")).collect()}
+    assert mg.n == sum(exact.values())
+    assert len(exact) > k            # trimming engaged
+    assert mg.dec <= mg.n / (k + 1)
+    probes = np.array(list(exact), dtype=np.int64).view(np.uint64)
+    true = np.array(list(exact.values()))
+    lo = mg.query(probes)
+    assert np.all(lo <= true) and np.all(true <= lo + mg.dec)
+    assert np.all((lo == 0) | (lo + mg.dec == true))   # tight upper bound
+
+    # deterministic across partitionings (byte equality, unlike the
+    # order-dependent kernel path)
+    mg2 = mg_build_preagg(toks.repartition(7), ["token"], k=k)
+    assert mg2.to_bytes() == mg.to_bytes()
+
+
+def test_mg_build_preagg_small_and_empty(spark):
+    from bloomfilter_spark.jvm_build import mg_build_preagg
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "v string")
+    mg = mg_build_preagg(df, ["v"], k=8)
+    assert mg.n == 3 and mg.dec == 0 and sorted(mg.counts.tolist()) == [1, 2]
+    empty = mg_build_preagg(df.where("v = 'zzz'"), ["v"], k=8)
+    assert empty.n == 0 and empty.dec == 0 and empty.items.size == 0
