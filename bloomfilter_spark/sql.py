@@ -185,6 +185,30 @@ def sketch_merge_pair(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([m(x, y) for x, y in zip(a, b)])
 
 
+def mg_count_lo(sketch: pd.Series, key_hash: pd.Series) -> pd.Series:
+    """Misra-Gries stored count: deterministic LOWER bound on the key's
+    true frequency (never overcounts; the complement of cms_count, which
+    never undercounts). Upper bound = mg_count_lo + mg_error_bound."""
+    return _per_row_hash_query(sketch, key_hash, "query")
+
+
+def mg_error_bound(sketch: pd.Series) -> pd.Series:
+    """The MG summary's carried decrement ``dec``: the max possible
+    undercount of any mg_count_lo answer (<= n/(k+1), deterministic)."""
+    from .sketches.mg import MisraGries
+
+    def dec(b):
+        if b is None:
+            return None
+        sk = _parse(bytes(b))
+        if not isinstance(sk, MisraGries):
+            raise TypeError(
+                f"mg_error_bound needs a Misra-Gries blob, got "
+                f"{type(sk).__name__}")
+        return sk.dec
+    return sketch.map(dec)
+
+
 def sketch_merge(sketch: pd.Series) -> bytes:
     """GROUP BY aggregate: merge every non-NULL sketch blob of the group
     (same type/params, as the builders guarantee per table). The
@@ -213,6 +237,8 @@ SQL_FUNCTIONS = {
     "theta_intersect_estimate": (theta_intersect_estimate, "double"),
     "theta_a_not_b_estimate": (theta_a_not_b_estimate, "double"),
     "theta_jaccard_estimate": (theta_jaccard_estimate, "double"),
+    "mg_count_lo": (mg_count_lo, "long"),
+    "mg_error_bound": (mg_error_bound, "long"),
     "sketch_merge_pair": (sketch_merge_pair, "binary"),
     "sketch_merge": (sketch_merge, "binary"),
 }

@@ -206,3 +206,53 @@ def test_sql_group_merge_all_null_group_is_null(spark):
     row = spark.sql("SELECT sketch_merge(sketch) AS m FROM null_sketches "
                     "GROUP BY g").first()
     assert row["m"] is None
+
+
+def test_sql_mg_bounds_on_grouped_table(spark, events):
+    """Grouped MG sketch table (per-key frequent items via the generic
+    grouped build) queried from plain spark.sql: the deterministic
+    sandwich lo <= exact <= lo + mg_error_bound holds per (group, key),
+    and sketch_merge GROUP-BY re-aggregation keeps the bounds valid."""
+    from bloomfilter_spark.sketches import MisraGries
+
+    ev = events.where(F.col("user_id").isNotNull())
+    tbl = grouped_sketch_table(ev, ["event_type"], ["user_id"],
+                               lambda: MisraGries(k=16))
+    tbl.createOrReplaceTempView("mg_by_type")
+    ev.createOrReplaceTempView("mg_events")
+    got = spark.sql("""
+        WITH exact AS (
+          SELECT event_type, user_id, count(*) AS cnt
+          FROM mg_events GROUP BY event_type, user_id
+        )
+        SELECT e.event_type, e.cnt,
+               mg_count_lo(t.sketch,
+                           xxhash64(sketch_seed(), e.user_id)) AS lo,
+               mg_error_bound(t.sketch) AS err
+        FROM exact e JOIN mg_by_type t ON e.event_type = t.event_type
+    """).collect()
+    assert len(got) > 16
+    for r in got:
+        assert r["lo"] <= r["cnt"] <= r["lo"] + r["err"], r
+
+    # GROUP BY merge across per-type rows -> one corpus-wide summary;
+    # bounds must hold against corpus-wide exact counts
+    merged = spark.sql("""
+        SELECT mg_count_lo(m.s, xxhash64(sketch_seed(), e.user_id)) AS lo,
+               mg_error_bound(m.s) AS err, e.cnt
+        FROM (SELECT sketch_merge(sketch) AS s FROM mg_by_type) m,
+             (SELECT user_id, count(*) AS cnt
+              FROM mg_events GROUP BY user_id) e
+    """).collect()
+    for r in merged:
+        assert r["lo"] <= r["cnt"] <= r["lo"] + r["err"], r
+
+
+def test_sql_mg_error_bound_rejects_wrong_type(spark, events):
+    ev = events.where(F.col("user_id").isNotNull())
+    cms_tbl = grouped_sketch_table(ev, ["event_type"], ["user_id"],
+                                   lambda: CountMinSketch(width=64, depth=3))
+    cms_tbl.createOrReplaceTempView("cms_by_type_mgtest")
+    with pytest.raises(Exception, match="Misra-Gries"):
+        spark.sql("SELECT mg_error_bound(sketch) AS e "
+                  "FROM cms_by_type_mgtest").collect()
