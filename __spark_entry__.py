@@ -1254,6 +1254,50 @@ def _q_transcripts_tool_transitions(spark: SparkSession,
         (F.col("cnt") / F.sum("cnt").over(per_prev)).alias("p"))
 
 
+def _q_transcripts_tool_latency(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-tool response latency (tool turn -> next turn in the same
+    conversation) quantiles from the grouped pre-aggregated KLL table
+    (jvm_build.quantile_grouped_build_preagg — codegen (tool, latency,
+    count) histogram, one weighted insert per tool) read back through
+    the spark.sql surface (sketch_quantile). Latencies are small
+    integers, so the histogram path ships O(tools x distinct latencies)
+    rows — the 10^12-turn shape. Exact-rank verification per tool at the
+    same 4x merged-build margin as q57."""
+    from pyspark.sql import Window
+    from bloomfilter_spark.jvm_build import quantile_grouped_build_preagg
+    from bloomfilter_spark.sketches import KLL
+    from bloomfilter_spark.sql import register_sketch_sql
+    register_sketch_sql(spark)
+    tr = spark.read.parquet(_transcripts_parquet())
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ts = F.unix_micros(F.col("ts").cast("timestamp"))
+    lat = (tr.withColumn("lat_s", (F.lead(ts).over(w) - ts) / 1e6)
+             .where(F.col("tool").isNotNull() & F.col("lat_s").isNotNull())
+             .select("tool", "lat_s"))
+    quantile_grouped_build_preagg(lat, ["tool"], "lat_s",
+                                  lambda: KLL(200)) \
+        .createOrReplaceTempView("q92_tool_latency_kll")
+    est = spark.sql("""
+        SELECT tool, sketch_quantile(sketch, 0.5) AS p50
+        FROM q92_tool_latency_kll""")
+    ranked = (lat.join(est, "tool")
+                 .groupBy("tool")
+                 .agg(F.count("*").alias("n_rows"),
+                      F.sum((F.col("lat_s") < F.col("p50")).cast("long"))
+                       .alias("rank_lt"),
+                      F.sum((F.col("lat_s") <= F.col("p50")).cast("long"))
+                       .alias("rank_le")))
+    # tie-correct interval check (as _quantile_rank_flags): integer
+    # latencies tie heavily, so the returned value occupies the exact-rank
+    # interval [rank_lt, rank_le]; the guarantee is 0.5 within `bound` of
+    # that interval
+    bound = 4 * KLL(200).rank_error_bound()
+    ok = ((F.col("rank_lt") / F.col("n_rows") - F.lit(bound) <= 0.5)
+          & (F.lit(0.5) <= F.col("rank_le") / F.col("n_rows") + F.lit(bound)))
+    return ranked.select("tool", "n_rows", ok.cast("int").alias("rank_ok"))
+
+
 def _q_transcripts_latency_quantiles(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
     """North-rule headline: inter-turn latency and turn-length quantiles
@@ -2224,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_mg_heavy_hitters": _q_mg_heavy_hitters,
         "q90_salted_skew_join": _q_salted_skew_join,
         "q91_transcripts_tool_transitions": _q_transcripts_tool_transitions,
+        "q92_transcripts_tool_latency": _q_transcripts_tool_latency,
     }
 
 
@@ -2593,6 +2638,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cnt AS DOUBLE)
                    / sum(cnt) OVER (PARTITION BY prev_tool) AS p
             FROM counts
+        """,
+        "q92_transcripts_tool_latency": f"""
+            WITH lat AS (
+              SELECT tool,
+                     (epoch_us(lead(ts) OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx))
+                      - epoch_us(ts)) / 1e6 AS lat_s
+              FROM read_parquet('{_transcripts_parquet()}')
+            )
+            SELECT tool, count(*) AS n_rows, 1 AS rank_ok
+            FROM lat
+            WHERE tool IS NOT NULL AND lat_s IS NOT NULL
+            GROUP BY tool
         """,
         "q81_transcripts_text_parity": f"""
             SELECT conv_id, turn_idx, md5(text) AS text_md5
