@@ -3,8 +3,9 @@ from .index_stream import StreamingFileIndexer
 from .sketch_stream import (SketchAccumulator,
                             stateful_grouped_heavy_hitters,
                             stateful_grouped_hll,
+                            stateful_grouped_mg,
                             stateful_grouped_quantile)
 
 __all__ = ["BloomDedupStream", "StreamingFileIndexer", "SketchAccumulator",
            "stateful_grouped_hll", "stateful_grouped_quantile",
-           "stateful_grouped_heavy_hitters"]
+           "stateful_grouped_heavy_hitters", "stateful_grouped_mg"]

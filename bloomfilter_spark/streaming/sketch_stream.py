@@ -266,3 +266,73 @@ def stateful_grouped_heavy_hitters(stream_df: DataFrame, key_col: str,
     return (hashed.groupBy(key_col)
                   .applyInPandasWithState(fn, out_schema, state_schema,
                                           "update", GroupStateTimeout.NoTimeout))
+
+
+def stateful_grouped_mg(stream_df: DataFrame, key_col: str, item_col: str,
+                        k: int = 64, emit_k: int = 10,
+                        seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-key streaming Misra-Gries: the deterministic counterpart of
+    `stateful_grouped_heavy_hitters` — O(k) state per key (vs the CMS's
+    O(d*w)) and two-sided bounds with NO failure probability: emitted
+    ``count_lo`` never overcounts, ``count_hi = count_lo + dec`` never
+    undercounts, dec <= N_key/(k+1). Every item with true frequency
+    > N_key/(k+1) is guaranteed retained (zero false negatives), the MG
+    presence guarantee the CMS variant only approximates.
+
+    Per batch-group: fold the batch as (unique item, count) weighted
+    updates — state-update cost per DISTINCT item — and keep the
+    hash -> item name map for the retained set only (at most k entries).
+    Emits the current top-``emit_k`` by stored count in update mode."""
+    from ..sketches.mg import MisraGries
+
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField(item_col, T.StringType()),
+        T.StructField("count_lo", T.LongType()),
+        T.StructField("count_hi", T.LongType()),
+        T.StructField("n_updates", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("mg", T.BinaryType()),
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("hashes", T.ArrayType(T.LongType())),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            blob, items, hashes, = state.get
+            sk = MisraGries.from_bytes(bytes(blob))
+            names = dict(zip(np.asarray(hashes, dtype=np.int64).tolist(),
+                             list(items)))
+        else:
+            sk = MisraGries(k=k)
+            names = {}
+        for pdf in pdfs:
+            h = pdf["__h"].to_numpy(dtype=np.int64)
+            uniq, inv = np.unique(h, return_inverse=True)
+            sk.update(to_u64(uniq), np.bincount(inv).astype(np.int64))
+            names.update(zip(uniq.tolist(), pdf["__item"].to_numpy()[
+                np.unique(inv, return_index=True)[1]].tolist()))
+        # retain names only for hashes still in the summary (<= k)
+        kept_hashes = sk.items.view(np.int64)
+        names = {int(h): names[int(h)] for h in kept_hashes if int(h) in names}
+        state.update((sk.to_bytes(),
+                      [names[int(h)] for h in kept_hashes],
+                      kept_hashes.tolist()))
+        order = np.argsort(-sk.counts, kind="stable")[:emit_k]
+        top_h = kept_hashes[order]
+        top_c = sk.counts[order]
+        yield pd.DataFrame({
+            key_col: [key[0]] * len(top_h),
+            item_col: [names[int(h)] for h in top_h],
+            "count_lo": top_c.astype(np.int64),
+            "count_hi": (top_c + sk.dec).astype(np.int64),
+            "n_updates": [sk.n] * len(top_h)})
+
+    hashed = (stream_df.where(F.col(item_col).isNotNull())
+              .select(F.col(key_col).cast("string").alias(key_col),
+                      F.col(item_col).cast("string").alias("__item"),
+                      F.xxhash64(F.lit(seed), F.col(item_col)).alias("__h")))
+    return (hashed.groupBy(key_col)
+                  .applyInPandasWithState(fn, out_schema, state_schema,
+                                          "update", GroupStateTimeout.NoTimeout))

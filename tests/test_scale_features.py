@@ -469,3 +469,61 @@ def test_stateful_grouped_heavy_hitters_stream(spark, tmp_path, events):
         assert list(top["user_id"]) == list(ex.head(len(top))["user_id"])
         assert list(top["est_count"]) == list(ex.head(len(top))["cnt"])
         assert (top["n_updates"] == totals[etype]).all()
+
+
+def test_stateful_grouped_mg_stream(spark, tmp_path, events):
+    """Streaming per-key Misra-Gries: deterministic sandwich
+    count_lo <= exact <= count_hi for every emitted item of the final
+    emission, n_updates exact, and with k ABOVE the per-key distinct
+    cardinality the bounds collapse (dec == 0) so counts are exact."""
+    from bloomfilter_spark.streaming import stateful_grouped_mg
+
+    src = str(tmp_path / "mg_src")
+    ev = (events.where(F.col("user_id").isNotNull())
+                .select("event_type", F.col("user_id").cast("string")
+                        .alias("user_id")))
+    ev.repartition(3).write.parquet(src)
+
+    exact = (ev.groupBy("event_type", "user_id")
+               .agg(F.count("*").alias("cnt")).toPandas())
+    totals = exact.groupby("event_type")["cnt"].sum().to_dict()
+    ex_map = {(r.event_type, r.user_id): r.cnt
+              for r in exact.itertuples(index=False)}
+
+    # small k: trimming engages; bounds must still sandwich every emission
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful_grouped_mg(stream, "event_type", "user_id",
+                              k=8, emit_k=5)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("mg_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = spark.sql("""
+        SELECT * FROM (
+          SELECT *, dense_rank() OVER (PARTITION BY event_type
+                                       ORDER BY n_updates DESC) AS rk
+          FROM mg_stream) WHERE rk = 1""").toPandas()
+    assert len(res)
+    for r in res.itertuples(index=False):
+        cnt = ex_map[(r.event_type, r.user_id)]
+        assert r.count_lo <= cnt <= r.count_hi, r
+        assert r.n_updates == totals[r.event_type]
+
+    # k above distinct per-key users: dec stays 0, counts exact
+    big_k = int(exact.groupby("event_type")["user_id"].nunique().max()) + 8
+    stream2 = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    out2 = stateful_grouped_mg(stream2, "event_type", "user_id",
+                               k=big_k, emit_k=3)
+    q2 = (out2.writeStream.outputMode("update").format("memory")
+          .queryName("mg_stream_exact").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    res2 = spark.sql("""
+        SELECT * FROM (
+          SELECT *, dense_rank() OVER (PARTITION BY event_type
+                                       ORDER BY n_updates DESC) AS rk
+          FROM mg_stream_exact) WHERE rk = 1""").toPandas()
+    assert len(res2)
+    for r in res2.itertuples(index=False):
+        cnt = ex_map[(r.event_type, r.user_id)]
+        assert r.count_lo == cnt == r.count_hi, r
