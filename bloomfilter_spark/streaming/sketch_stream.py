@@ -283,6 +283,8 @@ def stateful_grouped_mg(stream_df: DataFrame, key_col: str, item_col: str,
     updates — state-update cost per DISTINCT item — and keep the
     hash -> item name map for the retained set only (at most k entries).
     Emits the current top-``emit_k`` by stored count in update mode."""
+    import numpy as np
+
     from ..sketches.mg import MisraGries
 
     out_schema = T.StructType([
