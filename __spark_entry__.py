@@ -1156,6 +1156,22 @@ def _q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.sum("rev_cents").alias("revenue_cents")))
 
 
+def _q_extreme_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT tail quantiles (operators/quantiles.extreme_quantiles):
+    p99.9 / p99.99 / max of events.value via one bounded
+    TakeOrderedAndProject — the regime where rank sketches are useless at
+    corpus scale (KLL's ADDITIVE eps*n rank error smears p99.99 across
+    10^8 ranks at n=10^12, while the top-m tail is exact and tiny). The
+    pinned rank definition (ceil(q*n)-th smallest, tie-insensitive, no
+    interpolation) is recomputed by the oracle, so every (q, value, n)
+    row is bit-exact."""
+    from bloomfilter_spark.operators import extreme_quantiles
+    ev = _t(spark, sf_dir, "events")
+    res = extreme_quantiles(ev, "value", [0.999, 0.9999, 1.0])
+    rows = [(q, v, res["n"]) for q, v in res["quantiles"]]
+    return spark.createDataFrame(rows, "q double, value double, n long")
+
+
 # --- transcripts flagship (BASELINE.json north rule / input_hint shape) ---
 
 _TRANSCRIPT_ORACLE_TURNS = 60_000  # fixed so oracle SQL and query agree at any sf_dir
@@ -2269,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_salted_skew_join": _q_salted_skew_join,
         "q91_transcripts_tool_transitions": _q_transcripts_tool_transitions,
         "q92_transcripts_tool_latency": _q_transcripts_tool_latency,
+        "q93_extreme_quantiles": _q_extreme_quantiles,
     }
 
 
@@ -2620,6 +2637,20 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS revenue_cents
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "q93_extreme_quantiles": """
+            WITH v AS (
+              SELECT CAST(value AS DOUBLE) AS v FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+            ), ranked AS (
+              SELECT v, row_number() OVER (ORDER BY v) AS rk,
+                     count(*) OVER () AS n
+              FROM v
+            )
+            SELECT q, v AS value, n
+            FROM (VALUES (0.999), (0.9999), (1.0)) qs(q)
+            JOIN ranked
+              ON rk = greatest(CAST(ceil(q * n) AS BIGINT), 1)
         """,
         "q91_transcripts_tool_transitions": f"""
             WITH seq AS (

@@ -20,7 +20,8 @@ from .layout import (bucketed_join, equidepth_bucket, has_exchange,
                      write_bucketed, write_range_partitioned,
                      zorder_key, zorder_write)
 from .multimodal import decode_and_featurize, sample_video_frames
-from .quantiles import (filter_outliers, grouped_quantiles, quantiles,
+from .quantiles import (extreme_quantiles, filter_outliers,
+                        grouped_quantiles, quantiles,
                         robust_bounds)
 from .sampling import (grouped_weighted_sample, hash_sample,
                        sample_to_budget, sample_uniform_col,
@@ -47,7 +48,7 @@ __all__ = [
     "minhash_lsh_dedup", "minhash_lsh_join_candidates", "minhash_join",
     "simhash_signatures", "simhash_near_dups",
     "ngram_jaccard_pairs", "quantiles", "grouped_quantiles",
-    "robust_bounds", "filter_outliers",
+    "robust_bounds", "filter_outliers", "extreme_quantiles",
     "bloom_semi_join", "bloom_anti_join", "bloom_prefilter", "build_key_bloom",
     "sharded_bloom_semi_join",
     "brute_force_topk", "lsh_ann_topk", "hyperplane_signatures",

@@ -121,3 +121,53 @@ def _factory(method: str, kwargs: dict):
     if method == "kll":
         return lambda: KLL(**kwargs) if kwargs else KLL()
     raise ValueError(f"unknown quantile method {method!r}")
+
+
+def extreme_quantiles(df: DataFrame, col, qs: Sequence[float],
+                      max_tail_rows: int = 1_000_000):
+    """EXACT extreme-tail quantiles (p99.99, p99.999, max) via a bounded
+    top-m: the regime where every rank sketch fails at corpus scale —
+    KLL/t-digest carry ADDITIVE rank error eps*n, and at n = 10^12 even
+    eps = 1e-4 smears p99.99 across 10^8 ranks, the entire tail. But the
+    tail is SMALL by definition: rank-exact p-quantiles for p >= 1 - m/n
+    need only the top m rows, and Catalyst's `orderBy(desc).limit(m)`
+    plans as TakeOrderedAndProject — per-task local top-m heaps, no
+    global sort, no shuffle of the corpus; O(m) rows reach the driver.
+
+    Definition (pinned so any engine reproduces it bit-exactly): the
+    q-quantile is the ceil(q*n)-th smallest value, i.e. the MINIMUM of
+    the top (n - ceil(q*n) + 1) multiset — tie-insensitive, no
+    interpolation.
+
+    Returns a list of (q, value) tuples plus n, as
+    ``{"n": n, "quantiles": [(q, value), ...]}``. Raises if any q needs
+    a tail wider than ``max_tail_rows`` (use the KLL path for central
+    quantiles — this operator is the tail complement, not a
+    replacement)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ..agg import _cols
+
+    c = _cols([col])[0].cast("double")
+    vals = df.select(c.alias("__v")).where(
+        F.col("__v").isNotNull() & ~F.isnan(F.col("__v")))
+    n = vals.count()
+    out = []
+    if n == 0:
+        return {"n": 0, "quantiles": [(float(q), None) for q in qs]}
+    ranks = {q: max(math.ceil(q * n), 1) for q in qs}   # 1-indexed, q=0 -> min
+    widest = max(n - r + 1 for r in ranks.values())
+    if widest > max_tail_rows:
+        raise ValueError(
+            f"q={min(qs)} needs the top {widest} rows (> max_tail_rows="
+            f"{max_tail_rows}); use quantiles()/KLL for central ranks")
+    # one TakeOrdered for the widest tail serves every requested q
+    tail = [r["__v"] for r in
+            vals.orderBy(F.col("__v").desc()).limit(widest).collect()]
+    tail.sort()                       # ascending; len == widest (<= n)
+    for q in qs:
+        m = n - ranks[q] + 1          # tail width for this q
+        out.append((float(q), tail[len(tail) - m]))
+    return {"n": n, "quantiles": out}

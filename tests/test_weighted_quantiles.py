@@ -197,3 +197,29 @@ def test_filter_outliers_keep_nulls(spark):
     without = filter_outliers(df, "v", n_sigmas=10.0)
     assert with_nulls.where(F.col("v").isNull()).count() == 5
     assert without.where(F.col("v").isNull()).count() == 0
+
+
+def test_extreme_quantiles_exact_and_guard(spark):
+    """extreme_quantiles: bit-exact against a full sort at every
+    requested rank (incl. q=0 clamp and q=1 max), and the max_tail_rows
+    guard rejects central quantiles."""
+    import math
+    import pytest
+    from pyspark.sql import functions as F
+    from bloomfilter_spark.operators import extreme_quantiles
+
+    df = spark.range(10007).select(
+        (F.xxhash64("id") % 100000).cast("double").alias("v"))
+    vals = sorted(r["v"] for r in df.collect())
+    n = len(vals)
+    qs = [0.0, 0.5, 0.999, 0.9999, 1.0]
+    res = extreme_quantiles(df, "v", qs, max_tail_rows=n + 1)
+    assert res["n"] == n
+    for q, got in res["quantiles"]:
+        want = vals[max(math.ceil(q * n), 1) - 1]
+        assert got == want, (q, got, want)
+
+    with pytest.raises(ValueError, match="max_tail_rows"):
+        extreme_quantiles(df, "v", [0.5], max_tail_rows=100)
+    empty = extreme_quantiles(df.where("v IS NULL"), "v", [0.99])
+    assert empty == {"n": 0, "quantiles": [(0.99, None)]}
