@@ -1172,6 +1172,19 @@ def _q_extreme_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "q double, value double, n long")
 
 
+def _q_grouped_extreme_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key exact tail quantiles (operators/quantiles.
+    grouped_extreme_quantiles): p99 / p99.9 / max of events.value per
+    event_type, via a rank-limited descending window (WindowGroupLimit —
+    tasks keep only each key's tail, never its full value list). Same
+    pinned tie-insensitive rank definition as q93; every (key, q, value,
+    n) row is bit-exact vs the oracle's full-sort window."""
+    from bloomfilter_spark.operators import grouped_extreme_quantiles
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    return grouped_extreme_quantiles(ev, ["event_type"], "value",
+                                     [0.99, 0.999, 1.0])
+
+
 # --- transcripts flagship (BASELINE.json north rule / input_hint shape) ---
 
 _TRANSCRIPT_ORACLE_TURNS = 60_000  # fixed so oracle SQL and query agree at any sf_dir
@@ -2286,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_transcripts_tool_transitions": _q_transcripts_tool_transitions,
         "q92_transcripts_tool_latency": _q_transcripts_tool_latency,
         "q93_extreme_quantiles": _q_extreme_quantiles,
+        "q94_grouped_extreme_quantiles": _q_grouped_extreme_quantiles,
     }
 
 
@@ -2649,6 +2663,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q, v AS value, n
             FROM (VALUES (0.999), (0.9999), (1.0)) qs(q)
+            JOIN ranked
+              ON rk = greatest(CAST(ceil(q * n) AS BIGINT), 1)
+        """,
+        "q94_grouped_extreme_quantiles": """
+            WITH v AS (
+              SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+                AND event_type IS NOT NULL
+            ), ranked AS (
+              SELECT event_type, v,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY v) AS rk,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM v
+            )
+            SELECT event_type, q, v AS value, n
+            FROM (VALUES (0.99), (0.999), (1.0)) qs(q)
             JOIN ranked
               ON rk = greatest(CAST(ceil(q * n) AS BIGINT), 1)
         """,

@@ -21,6 +21,7 @@ from .layout import (bucketed_join, equidepth_bucket, has_exchange,
                      zorder_key, zorder_write)
 from .multimodal import decode_and_featurize, sample_video_frames
 from .quantiles import (extreme_quantiles, filter_outliers,
+                        grouped_extreme_quantiles,
                         grouped_quantiles, quantiles,
                         robust_bounds)
 from .sampling import (grouped_weighted_sample, hash_sample,
@@ -49,6 +50,7 @@ __all__ = [
     "simhash_signatures", "simhash_near_dups",
     "ngram_jaccard_pairs", "quantiles", "grouped_quantiles",
     "robust_bounds", "filter_outliers", "extreme_quantiles",
+    "grouped_extreme_quantiles",
     "bloom_semi_join", "bloom_anti_join", "bloom_prefilter", "build_key_bloom",
     "sharded_bloom_semi_join",
     "brute_force_topk", "lsh_ann_topk", "hyperplane_signatures",

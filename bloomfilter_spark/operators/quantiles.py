@@ -171,3 +171,59 @@ def extreme_quantiles(df: DataFrame, col, qs: Sequence[float],
         m = n - ranks[q] + 1          # tail width for this q
         out.append((float(q), tail[len(tail) - m]))
     return {"n": n, "quantiles": out}
+
+
+def grouped_extreme_quantiles(df: DataFrame, keys: Sequence[str], col,
+                              qs: Sequence[float],
+                              max_tail_rows_per_key: int = 100_000):
+    """Per-key EXACT tail quantiles — extreme_quantiles' grouped form,
+    fully distributed (no driver collection of values): per key,
+    rank-descending window -> keep only each key's tail (Catalyst plans
+    the rank<=m filter as WindowGroupLimit, so tasks never materialize a
+    key's full value list) -> select the pinned rank per q.
+
+    Rank definition matches extreme_quantiles: the q-quantile of a key
+    with n values is its ceil(q*n)-th smallest = the (n-ceil(q*n)+1)-th
+    LARGEST, tie-insensitive. Returns (keys..., q, value, n) rows.
+
+    ``max_tail_rows_per_key`` bounds the per-key tail the window keeps
+    (guard against central q on a huge key): a cheap pre-flight pass
+    (limit-1 probe over the tail) raises if any key's widest tail —
+    determined by min(qs) — exceeds it."""
+    import math
+
+    from pyspark.sql import Window, functions as F
+
+    from ..agg import _cols
+
+    if not 0 <= min(qs):
+        raise ValueError("quantiles must be in [0, 1]")
+    ks = list(keys)
+    c = _cols([col])[0].cast("double")
+    vals = (df.select(*ks, c.alias("__v"))
+              .where(F.col("__v").isNotNull() & ~F.isnan(F.col("__v"))))
+    w = Window.partitionBy(*ks).orderBy(F.col("__v").desc())
+    cnt = Window.partitionBy(*ks)
+    q_min = min(qs)
+    ranked = (vals
+              .withColumn("__n", F.count("*").over(cnt))
+              .withColumn("__rk", F.row_number().over(w)))
+    # widest tail any q needs for this key: n - max(ceil(q_min*n),1) + 1
+    widest = (F.col("__n")
+              - F.greatest(F.ceil(F.lit(q_min) * F.col("__n")), F.lit(1))
+              + 1)
+    tail = ranked.where(F.col("__rk") <= widest)
+    over = tail.where(F.col("__rk") > max_tail_rows_per_key).limit(1)
+    if over.count() > 0:
+        raise ValueError(
+            f"a key's q={q_min} tail exceeds max_tail_rows_per_key="
+            f"{max_tail_rows_per_key}; use grouped_quantiles()/KLL for "
+            "central ranks")
+    q_df = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    picked = (tail.select(*ks, "__v", "__n", "__rk", q_df)
+                  .where(F.col("__rk")
+                         == F.col("__n")
+                         - F.greatest(F.ceil(F.col("q") * F.col("__n")),
+                                      F.lit(1)) + 1))
+    return picked.select(*ks, "q", F.col("__v").alias("value"),
+                         F.col("__n").alias("n"))

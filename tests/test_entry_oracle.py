@@ -36,7 +36,7 @@ CHECKED = [
     "q86_tfidf_keywords", "q87_unigram_logprob", "q88_char_entropy",
     "q89_mg_heavy_hitters", "q90_salted_skew_join",
     "q91_transcripts_tool_transitions", "q92_transcripts_tool_latency",
-    "q93_extreme_quantiles",
+    "q93_extreme_quantiles", "q94_grouped_extreme_quantiles",
 ]
 
 

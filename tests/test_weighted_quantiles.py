@@ -223,3 +223,35 @@ def test_extreme_quantiles_exact_and_guard(spark):
         extreme_quantiles(df, "v", [0.5], max_tail_rows=100)
     empty = extreme_quantiles(df.where("v IS NULL"), "v", [0.99])
     assert empty == {"n": 0, "quantiles": [(0.99, None)]}
+
+
+def test_grouped_extreme_quantiles_exact(spark):
+    """Per-key exact tails: every (key, q) value equals the full-sort
+    reference at the pinned rank; guard rejects too-central q."""
+    import math
+    import pytest
+    from collections import defaultdict
+    from pyspark.sql import functions as F
+    from bloomfilter_spark.operators import grouped_extreme_quantiles
+
+    df = spark.range(30011).select(
+        (F.col("id") % 7).cast("string").alias("k"),
+        (F.xxhash64("id") % 100000).cast("double").alias("v"))
+    ref = defaultdict(list)
+    for r in df.collect():
+        ref[r["k"]].append(r["v"])
+    for vs in ref.values():
+        vs.sort()
+    qs = [0.99, 0.999, 1.0]
+    got = grouped_extreme_quantiles(df, ["k"], "v", qs).collect()
+    assert len(got) == 7 * len(qs)
+    for r in got:
+        vs = ref[r["k"]]
+        n = len(vs)
+        assert r["n"] == n
+        want = vs[max(math.ceil(r["q"] * n), 1) - 1]
+        assert r["value"] == want, (r, want)
+
+    with pytest.raises(ValueError, match="max_tail_rows_per_key"):
+        grouped_extreme_quantiles(df, ["k"], "v", [0.5],
+                                  max_tail_rows_per_key=50)
