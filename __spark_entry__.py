@@ -1185,6 +1185,40 @@ def _q_grouped_extreme_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      [0.99, 0.999, 1.0])
 
 
+def _q_rolling_distinct_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from the per-day HLL table, computed
+    as `sketch_merge` over a BOUNDED window frame in plain spark.sql —
+    the mergeability payoff: one grouped JVM build of per-day sketches
+    (O(days x 2^p) state), then any rolling/cumulative distinct question
+    is a window over sketch rows, never a re-scan of the corpus. Emits
+    the exact rolling count (oracle-matchable) + within-3-sigma flag per
+    day."""
+    from bloomfilter_spark.jvm_build import hll_grouped_build_jvm
+    from bloomfilter_spark.sql import register_sketch_sql
+    register_sketch_sql(spark)
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+          .withColumn("day", F.to_date("ts")))
+    hll_grouped_build_jvm(ev, ["day"], ["user_id"], p=14) \
+        .createOrReplaceTempView("q95_daily_hll")
+    est = spark.sql("""
+        SELECT day, sketch_estimate(sketch_merge(sketch) OVER (
+                 ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+               AS approx_users
+        FROM q95_daily_hll""")
+    days = ev.select("day").distinct()
+    pairs = (days.alias("d")
+             .join(ev.alias("e"),
+                   (F.col("e.day") <= F.col("d.day"))
+                   & (F.col("e.day") >= F.date_sub(F.col("d.day"), 6)))
+             .groupBy("d.day")
+             .agg(F.countDistinct("e.user_id").alias("exact_users")))
+    return (pairs.join(est, "day")
+                 .select("day", "exact_users",
+                         _hll_within("exact_users", "approx_users")
+                         .cast("int").alias("within_bound")))
+
+
 # --- transcripts flagship (BASELINE.json north rule / input_hint shape) ---
 
 _TRANSCRIPT_ORACLE_TURNS = 60_000  # fixed so oracle SQL and query agree at any sf_dir
@@ -2300,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_transcripts_tool_latency": _q_transcripts_tool_latency,
         "q93_extreme_quantiles": _q_extreme_quantiles,
         "q94_grouped_extreme_quantiles": _q_grouped_extreme_quantiles,
+        "q95_rolling_distinct_window": _q_rolling_distinct_window,
     }
 
 
@@ -2682,6 +2717,18 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0.99), (0.999), (1.0)) qs(q)
             JOIN ranked
               ON rk = greatest(CAST(ceil(q * n) AS BIGINT), 1)
+        """,
+        "q95_rolling_distinct_window": """
+            WITH ev AS (
+              SELECT CAST(ts AS DATE) AS day, user_id FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), days AS (SELECT DISTINCT day FROM ev)
+            SELECT d.day,
+                   count(DISTINCT e.user_id) AS exact_users,
+                   1 AS within_bound
+            FROM days d JOIN ev e
+              ON e.day <= d.day AND e.day >= d.day - INTERVAL 6 DAY
+            GROUP BY d.day
         """,
         "q91_transcripts_tool_transitions": f"""
             WITH seq AS (
