@@ -1219,6 +1219,35 @@ def _q_rolling_distinct_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("int").alias("within_bound")))
 
 
+def _q_freq_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS + Misra-Gries frequency BRACKET: mg_lo <= exact <= cms_est is
+    UNCONDITIONALLY true (MG never overcounts, CMS never undercounts —
+    two one-sided deterministic guarantees composed into a two-sided
+    enclosure with zero failure probability, something neither sketch
+    gives alone), and the bracket width is bounded by eps*N + dec. Both
+    summaries are built distributed (merged partials); per event_type
+    the oracle asserts the exact count and both flags as constants."""
+    from bloomfilter_spark.agg import (build_sketch, with_cms_count,
+                                       with_mg_bounds)
+    from bloomfilter_spark.sketches import CountMinSketch, MisraGries
+    eps = 1e-4
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    cms = build_sketch(ev, ["event_type"],
+                       lambda: CountMinSketch(eps=eps, delta=1e-3))
+    mg = build_sketch(ev, ["event_type"], lambda: MisraGries(k=64))
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_count"))
+    both = with_mg_bounds(
+        with_cms_count(exact, cms, ["event_type"], out_col="cms_est"),
+        mg, ["event_type"])
+    bracket = (F.col("mg_lo") <= F.col("exact_count")) & \
+              (F.col("exact_count") <= F.col("cms_est"))
+    width_cap = int(2 * eps * mg.n) + mg.dec + 1
+    width = (F.col("cms_est") - F.col("mg_lo")) <= F.lit(width_cap)
+    return both.select("event_type", "exact_count",
+                       bracket.cast("int").alias("bracket_ok"),
+                       width.cast("int").alias("width_ok"))
+
+
 # --- transcripts flagship (BASELINE.json north rule / input_hint shape) ---
 
 _TRANSCRIPT_ORACLE_TURNS = 60_000  # fixed so oracle SQL and query agree at any sf_dir
@@ -2335,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_extreme_quantiles": _q_extreme_quantiles,
         "q94_grouped_extreme_quantiles": _q_grouped_extreme_quantiles,
         "q95_rolling_distinct_window": _q_rolling_distinct_window,
+        "q96_freq_bracket": _q_freq_bracket,
     }
 
 
@@ -2717,6 +2747,11 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0.99), (0.999), (1.0)) qs(q)
             JOIN ranked
               ON rk = greatest(CAST(ceil(q * n) AS BIGINT), 1)
+        """,
+        "q96_freq_bracket": """
+            SELECT event_type, count(*) AS exact_count,
+                   1 AS bracket_ok, 1 AS width_ok
+            FROM events WHERE event_type IS NOT NULL GROUP BY event_type
         """,
         "q95_rolling_distinct_window": """
             WITH ev AS (

@@ -37,7 +37,7 @@ CHECKED = [
     "q89_mg_heavy_hitters", "q90_salted_skew_join",
     "q91_transcripts_tool_transitions", "q92_transcripts_tool_latency",
     "q93_extreme_quantiles", "q94_grouped_extreme_quantiles",
-    "q95_rolling_distinct_window",
+    "q95_rolling_distinct_window", "q96_freq_bracket",
 ]
 
 
