@@ -75,3 +75,58 @@ def test_union_rejects_mismatched_tables(spark, events, tmp_path):
         paths.append(p)
     with pytest.raises(ValueError, match="differs"):
         union_sketch_tables(spark, paths)
+
+
+def test_mg_table_roundtrip_and_merge(spark, events, tmp_path):
+    """Misra-Gries tables persist byte-exact through the warehouse and
+    union_sketch_tables' merge keeps the deterministic bounds valid per
+    key (MG merge = mergeable-summaries rule; order-dependent state, so
+    the contract is bounds validity, not byte equality of the merge)."""
+    from bloomfilter_spark.sketches import MisraGries
+    from bloomfilter_spark.warehouse import union_sketch_tables
+
+    ev = events.where(F.col("user_id").isNotNull())
+    tbl = grouped_sketch_table(ev, ["event_type"], ["user_id"],
+                               lambda: MisraGries(k=16))
+    path = str(tmp_path / "mg_wt")
+    save_sketch_table(tbl, path, keys=["event_type"],
+                      factory=lambda: MisraGries(k=16))
+    back, meta = load_sketch_table(spark, path,
+                                   expected_factory=lambda: MisraGries(k=16))
+    orig = {r["event_type"]: bytes(r["sketch"]) for r in tbl.collect()}
+    got = {r["event_type"]: bytes(r["sketch"]) for r in back.collect()}
+    assert got == orig
+    assert sketch_factory_from_meta(meta)().to_bytes() == \
+        MisraGries(k=16).to_bytes()
+
+    # split the stream, build two tables, warehouse-merge them: the
+    # merged summary's sandwich must hold vs exact full-stream counts
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    pa, pb = str(tmp_path / "mg_a"), str(tmp_path / "mg_b")
+    save_sketch_table(
+        grouped_sketch_table(a, ["event_type"], ["user_id"],
+                             lambda: MisraGries(k=16)),
+        pa, keys=["event_type"], factory=lambda: MisraGries(k=16))
+    save_sketch_table(
+        grouped_sketch_table(b, ["event_type"], ["user_id"],
+                             lambda: MisraGries(k=16)),
+        pb, keys=["event_type"], factory=lambda: MisraGries(k=16))
+    merged, _meta = union_sketch_tables(spark, [pa, pb])
+    exact = {(r["event_type"], r["user_id"]): r["cnt"] for r in
+             ev.groupBy("event_type", "user_id")
+               .agg(F.count("*").alias("cnt")).collect()}
+    from bloomfilter_spark.agg import hash_col
+    import numpy as np
+    hashes = {r["user_id"]: r["h"] for r in
+              ev.select("user_id",
+                        hash_col([F.col("user_id")]).alias("h"))
+                .distinct().collect()}
+    for row in merged.collect():
+        sk = MisraGries.from_bytes(bytes(row["sketch"]))
+        for (etype, uid), cnt in exact.items():
+            if etype != row["event_type"]:
+                continue
+            lo = int(sk.query(np.array([hashes[uid]],
+                                       dtype=np.int64).view(np.uint64))[0])
+            assert lo <= cnt <= lo + sk.dec
