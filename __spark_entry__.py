@@ -1105,20 +1105,22 @@ def _q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     give — stored <= exact (never overcounts) AND exact <= stored + dec
     (undercount bounded by the sketch's own carried decrement), plus the
     zero-false-negative presence guarantee for every token with
-    cnt > n/(k+1). Same merged-partials distributed build as the other
-    hash-keyed sketches; flags are deterministic (no failure
-    probability), so the oracle asserts them as constants alongside the
-    bit-exact top-10 (token, cnt) rows."""
-    from bloomfilter_spark.agg import build_sketch, with_mg_bounds
+    cnt > n/(k+1). Built on the scale path (jvm_build.mg_build_preagg:
+    one codegen rollup, k+2 rows to the driver at any vocabulary size —
+    the kernel merged-partials build is covered in test_spark_agg);
+    flags are deterministic (no failure probability), so the oracle
+    asserts them as constants alongside the bit-exact top-10
+    (token, cnt) rows."""
+    from bloomfilter_spark.agg import with_mg_bounds
+    from bloomfilter_spark.jvm_build import mg_build_preagg
     from bloomfilter_spark.operators import token_vocabulary
-    from bloomfilter_spark.sketches import MisraGries
     docs = _t(spark, sf_dir, "documents").select("text")
     c = F.col("text")
     toks = (docs.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
                 .select(F.explode(F.split(F.trim(F.lower(c)), r"\s+"))
                          .alias("token")))
     k = 64
-    mg = build_sketch(toks, ["token"], lambda: MisraGries(k=k))
+    mg = mg_build_preagg(toks, ["token"], k=k)
     top = token_vocabulary(docs, "text", k=10)          # exact, tie-broken
     both = with_mg_bounds(top, mg, ["token"])
     sandwich = (F.col("mg_lo") <= F.col("cnt")) & \
