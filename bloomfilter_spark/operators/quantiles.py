@@ -143,7 +143,8 @@ def extreme_quantiles(df: DataFrame, col, qs: Sequence[float],
     ``{"n": n, "quantiles": [(q, value), ...]}``. Raises if any q needs
     a tail wider than ``max_tail_rows`` (use the KLL path for central
     quantiles — this operator is the tail complement, not a
-    replacement)."""
+    replacement). Two scans by design: a codegen count() (rank -> tail
+    width needs n), then ONE TakeOrdered serving every requested q."""
     import math
 
     from pyspark.sql import functions as F
