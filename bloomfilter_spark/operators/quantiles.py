@@ -203,23 +203,39 @@ def grouped_extreme_quantiles(df: DataFrame, keys: Sequence[str], col,
     c = _cols([col])[0].cast("double")
     vals = (df.select(*ks, c.alias("__v"))
               .where(F.col("__v").isNotNull() & ~F.isnan(F.col("__v"))))
-    w = Window.partitionBy(*ks).orderBy(F.col("__v").desc())
-    cnt = Window.partitionBy(*ks)
     q_min = min(qs)
-    ranked = (vals
-              .withColumn("__n", F.count("*").over(cnt))
-              .withColumn("__rk", F.row_number().over(w)))
-    # widest tail any q needs for this key: n - max(ceil(q_min*n),1) + 1
-    widest = (F.col("__n")
-              - F.greatest(F.ceil(F.lit(q_min) * F.col("__n")), F.lit(1))
-              + 1)
-    tail = ranked.where(F.col("__rk") <= widest)
-    over = tail.where(F.col("__rk") > max_tail_rows_per_key).limit(1)
-    if over.count() > 0:
+    # per-key totals via map-side-combined groupBy (NOT count().over(),
+    # whose unbounded frame buffers each key's rows in the window
+    # operator); the counts table is O(keys) and drives both the guard
+    # and the per-key tail width
+    counts = vals.groupBy(*ks).agg(F.count("*").alias("__n"))
+    widest_of = (F.col("__n")
+                 - F.greatest(F.ceil(F.lit(q_min) * F.col("__n")), F.lit(1))
+                 + 1)
+    # one O(keys) aggregate doubles as the guard AND the tightest
+    # literal rank cutoff any key needs
+    mx_row = counts.agg(F.max(widest_of).alias("mx")).first()
+    cutoff = int(mx_row["mx"] or 0)
+    if cutoff > max_tail_rows_per_key:
         raise ValueError(
-            f"a key's q={q_min} tail exceeds max_tail_rows_per_key="
-            f"{max_tail_rows_per_key}; use grouped_quantiles()/KLL for "
-            "central ranks")
+            f"a key's q={q_min} tail needs {cutoff} rows "
+            f"(> max_tail_rows_per_key={max_tail_rows_per_key}); use "
+            "grouped_quantiles()/KLL for central ranks")
+    cutoff = max(cutoff, 1)
+    # LITERAL rank cutoff: Catalyst rewrites rank<=literal into
+    # WindowGroupLimit (per-task top-m heaps before the window sort,
+    # asserted in tests) — the rewrite only fires up to the optimizer
+    # threshold, so raise it to cover this cutoff; the exact per-key
+    # width refines after the join
+    spark = df.sparkSession
+    thr_key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    if int(spark.conf.get(thr_key, "1000")) < cutoff:
+        spark.conf.set(thr_key, str(cutoff))
+    w = Window.partitionBy(*ks).orderBy(F.col("__v").desc())
+    ranked = (vals.withColumn("__rk", F.row_number().over(w))
+                  .where(F.col("__rk") <= cutoff)
+                  .join(counts, ks))
+    tail = ranked.where(F.col("__rk") <= widest_of)
     q_df = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
     picked = (tail.select(*ks, "__v", "__n", "__rk", q_df)
                   .where(F.col("__rk")

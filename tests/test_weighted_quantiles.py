@@ -243,7 +243,12 @@ def test_grouped_extreme_quantiles_exact(spark):
     for vs in ref.values():
         vs.sort()
     qs = [0.99, 0.999, 1.0]
-    got = grouped_extreme_quantiles(df, ["k"], "v", qs).collect()
+    out = grouped_extreme_quantiles(df, ["k"], "v", qs)
+    # the literal rank cutoff must engage the WindowGroupLimit rewrite
+    # (per-task top-m heaps), the property the operator exists for
+    assert "WindowGroupLimit" in \
+        out._jdf.queryExecution().executedPlan().toString()
+    got = out.collect()
     assert len(got) == 7 * len(qs)
     for r in got:
         vs = ref[r["k"]]
