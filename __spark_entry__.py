@@ -1250,6 +1250,39 @@ def _q_freq_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
                        width.cast("int").alias("width_ok"))
 
 
+def _q_retention_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment retention — distinct users active in BOTH halves of
+    the event window — from two per-key theta sketch TABLES joined in
+    plain spark.sql (theta_intersect_estimate over the paired blobs):
+    the cross-period set-expression query HLL cannot answer and exact
+    COUNT(DISTINCT) recomputes from raw data every time, answered here
+    from O(segments x k) persisted sketch state. Each period's table is
+    the all-JVM grouped build; at k=4096 >> per-segment users the
+    sketches are in exact mode, so the estimate EQUALS the exact
+    intersection the oracle computes."""
+    from bloomfilter_spark.jvm_build import theta_grouped_build_jvm
+    from bloomfilter_spark.sql import register_sketch_sql
+    register_sketch_sql(spark)
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull()))
+    # integer-exact midpoint of the time range (same arithmetic in the
+    # oracle, so the two halves are identical row sets)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lohi = ev.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).first()
+    mid = lohi["lo"] + (lohi["hi"] - lohi["lo"]) // 2
+    a = ev.where(us < F.lit(mid))
+    b = ev.where(us >= F.lit(mid))
+    theta_grouped_build_jvm(a, ["event_type"], ["user_id"], k=4096) \
+        .createOrReplaceTempView("q97_theta_a")
+    theta_grouped_build_jvm(b, ["event_type"], ["user_id"], k=4096) \
+        .createOrReplaceTempView("q97_theta_b")
+    return spark.sql("""
+        SELECT a.event_type,
+               CAST(round(theta_intersect_estimate(a.sketch, b.sketch))
+                    AS BIGINT) AS retained_users
+        FROM q97_theta_a a JOIN q97_theta_b b USING (event_type)""")
+
+
 # --- transcripts flagship (BASELINE.json north rule / input_hint shape) ---
 
 _TRANSCRIPT_ORACLE_TURNS = 60_000  # fixed so oracle SQL and query agree at any sf_dir
@@ -2367,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_grouped_extreme_quantiles": _q_grouped_extreme_quantiles,
         "q95_rolling_distinct_window": _q_rolling_distinct_window,
         "q96_freq_bracket": _q_freq_bracket,
+        "q97_retention_by_segment": _q_retention_by_segment,
     }
 
 
@@ -2749,6 +2783,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0.99), (0.999), (1.0)) qs(q)
             JOIN ranked
               ON rk = greatest(CAST(ceil(q * n) AS BIGINT), 1)
+        """,
+        "q97_retention_by_segment": """
+            WITH ev AS (
+              SELECT event_type, user_id, epoch_us(ts) AS us FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), rng AS (
+              SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM ev
+            )
+            SELECT event_type,
+                   count(DISTINCT CASE WHEN in_both THEN user_id END)
+                     AS retained_users
+            FROM (
+              SELECT event_type, user_id,
+                     bool_or(us < (SELECT mid FROM rng))
+                       AND bool_or(us >= (SELECT mid FROM rng)) AS in_both
+              FROM ev GROUP BY event_type, user_id
+            ) GROUP BY event_type
         """,
         "q96_freq_bracket": """
             SELECT event_type, count(*) AS exact_count,
