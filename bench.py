@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "q70_inverted_index", "q71_bm25",
     # salted hot-key join (diagnose_skew pass + salted shuffle)
     "q90_salted_skew_join",
+    # exact per-key tails (WindowGroupLimit) + rolling sketch window
+    "q94_grouped_extreme_quantiles", "q95_rolling_distinct_window",
 ]
 
 
