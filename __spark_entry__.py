@@ -1283,6 +1283,37 @@ def _q_retention_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q97_theta_a a JOIN q97_theta_b b USING (event_type)""")
 
 
+def _q_streaming_mg_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming per-key Misra-Gries
+    (streaming/sketch_stream.stateful_grouped_mg): with k=512 above
+    every key's distinct-user cardinality the summary never trims, so
+    the final emission's top-5 (count desc, user asc) EQUALS the exact
+    batch counts with count_lo == count_hi — the deterministic O(k)-state
+    counterpart of q62's CMS variant (whose exactness is probabilistic in
+    the collision bound). Oracle recomputes with a plain window."""
+    import os
+
+    from bloomfilter_spark.streaming import stateful_grouped_mg
+    ev_schema = _t(spark, sf_dir, "events").schema
+    key = os.path.basename(os.path.normpath(sf_dir))
+    stream_dir = f"/tmp/bloomfilter_spark_stream/{key}/events"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(ev_schema).parquet(stream_dir)
+    out = stateful_grouped_mg(stream, "event_type", "user_id",
+                              k=512, emit_k=5)
+    name = "mg_state_" + str(abs(hash(sf_dir)) % 100000)
+    q = (out.writeStream.outputMode("update").format("memory")
+            .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(f"""
+        SELECT event_type, user_id, count_lo, count_hi FROM (
+          SELECT *, max(n_updates) OVER (PARTITION BY event_type) AS mx
+          FROM {name}) WHERE n_updates = mx""")
+
+
 # --- transcripts flagship (BASELINE.json north rule / input_hint shape) ---
 
 _TRANSCRIPT_ORACLE_TURNS = 60_000  # fixed so oracle SQL and query agree at any sf_dir
@@ -2401,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_rolling_distinct_window": _q_rolling_distinct_window,
         "q96_freq_bracket": _q_freq_bracket,
         "q97_retention_by_segment": _q_retention_by_segment,
+        "q98_streaming_mg_hitters": _q_streaming_mg_hitters,
     }
 
 
@@ -2783,6 +2815,21 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0.99), (0.999), (1.0)) qs(q)
             JOIN ranked
               ON rk = greatest(CAST(ceil(q * n) AS BIGINT), 1)
+        """,
+        "q98_streaming_mg_hitters": """
+            WITH c AS (
+              SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+                     count(*) AS cnt
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                        ORDER BY cnt DESC, user_id ASC) AS rn
+              FROM c
+            )
+            SELECT event_type, user_id, cnt AS count_lo, cnt AS count_hi
+            FROM r WHERE rn <= 5
         """,
         "q97_retention_by_segment": """
             WITH ev AS (

@@ -321,7 +321,12 @@ def stateful_grouped_mg(stream_df: DataFrame, key_col: str, item_col: str,
         state.update((sk.to_bytes(),
                       [names[int(h)] for h in kept_hashes],
                       kept_hashes.tolist()))
-        order = np.argsort(-sk.counts, kind="stable")[:emit_k]
+        # deterministic emit tie-break (count desc, item name asc) — the
+        # same order every exact/oracle recomputation uses; <= k items so
+        # the Python sort is O(k log k) per key per batch
+        order = sorted(range(len(kept_hashes)),
+                       key=lambda i: (-int(sk.counts[i]),
+                                      names[int(kept_hashes[i])]))[:emit_k]
         top_h = kept_hashes[order]
         top_c = sk.counts[order]
         yield pd.DataFrame({

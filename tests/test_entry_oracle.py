@@ -38,7 +38,7 @@ CHECKED = [
     "q91_transcripts_tool_transitions", "q92_transcripts_tool_latency",
     "q93_extreme_quantiles", "q94_grouped_extreme_quantiles",
     "q95_rolling_distinct_window", "q96_freq_bracket",
-    "q97_retention_by_segment",
+    "q97_retention_by_segment", "q98_streaming_mg_hitters",
 ]
 
 
