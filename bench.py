@@ -94,6 +94,7 @@ def main() -> None:
     from bloomfilter_spark.config import get_spark
     from bloomfilter_spark.jvm_build import (cms_build_jvm, hll_build_jvm,
                                              mg_build_preagg,
+                                             mg_grouped_build_preagg,
                                              multi_sketch_build_jvm,
                                              quantile_build_preagg,
                                              theta_build_jvm)
@@ -183,6 +184,11 @@ def main() -> None:
         # rollup aggregation, k+2 rows to the driver
         ("build_mg_preagg",
          lambda: mg_build_preagg(tr, ["tool"], k=256)),
+        # grouped JVM-reduced Misra-Gries: per-tool heavy-conversation
+        # TABLE (one groupingSets pass + WindowGroupLimit top-(k+2)/key)
+        ("build_mg_grouped",
+         lambda: mg_grouped_build_preagg(tr, ["tool"], ["conv_id"],
+                                         k=64).count()),
         ("sig_minhash_1m",
          lambda: minhash_signatures(sub, "doc_id", "text")
                  .write.format("noop").mode("overwrite").save()),
@@ -249,20 +255,31 @@ def main() -> None:
     total_sketch = sum(timings[k] for k in
                        ("build_bloom_sharded", "build_hll", "build_cms_jvm",
                         "build_kll"))
+    headline = ("build_bloom_sharded", "build_hll", "build_cms_jvm",
+                "build_kll", "build_mg_preagg", "sig_minhash_1m",
+                "sig_simhash_1m")
+    # Key ORDER is load-bearing: the driver records only the LAST ~2000
+    # chars of this line, so bulky sections print first and the headline
+    # (scalars + the flagship phase rep lists) prints last — truncation
+    # can never eat it, and the r4+ artifact is self-contained without a
+    # BASELINE.md cross-reference.
     result = {
-        "metric": "sketch_build_turns_per_sec",
-        "value": round(n_actual / t_bloom, 1),
-        "unit": "turns/sec",
-        "queries": timings,
         "phases": {name: {"reps": r, "min": min(r)}
                    for name, r in reps.items()},
+        "queries": timings,
         "rounds": rounds,
         "sf": sf,
-        "n_turns": n_actual,
         "cores": cores,
         "cpu_calibration": calib,
         "cpu_calibration_end": calib_end,
         "hll_estimate_convs": round(hll.estimate(), 1),
+        # ---- headline tail below ----
+        "headline_phases": {name: {"reps": reps[name], "min": timings[name]}
+                            for name in headline},
+        "n_turns": n_actual,
+        "metric": "sketch_build_turns_per_sec",
+        "value": round(n_actual / t_bloom, 1),
+        "unit": "turns/sec",
         "all_sketches_turns_per_sec": round(4 * n_actual / total_sketch, 1),
         "minhash_docs_per_sec": round(n_docs / timings["sig_minhash_1m"], 1),
         "simhash_docs_per_sec": round(n_docs / timings["sig_simhash_1m"], 1),

@@ -812,3 +812,76 @@ def mg_build_preagg(df: DataFrame, cols, k: int = 256,
         order = np.argsort(items)
         sk.items, sk.counts = items[order], counts[order]
     return sk
+
+
+def mg_grouped_build_preagg(df: DataFrame, keys, cols, k: int = 256,
+                            seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-key Misra-Gries sketch table (keys..., sketch binary), the
+    grouped analog of `mg_build_preagg` and the MG counterpart of
+    `hll_grouped_build_jvm`: exact (key, item) counts from ONE
+    map-side-combined aggregation, a rank-filtered window that keeps only
+    each key's top k+1 counts plus its total (WindowGroupLimit prunes to
+    k+2 rows per key on both shuffle sides when k+2 <= the optimizer
+    threshold, default 1000), then one trim round in `applyInPandas` —
+    O(|keys| * k) rows ever reach Python, never n.
+
+    Grouping levels: `groupingSets([keys+[item], keys])` computes the
+    per-(key, item) counts AND the per-key total n in the same
+    aggregation pass; `grouping(item)` separates the two row kinds, so a
+    genuinely-NULL key value is still a real group (the flag, not NULL,
+    marks subtotals). Within each key the total row is forced first in
+    the window order (grouping flag desc), mirroring the global build's
+    rollup-grand-total-sorts-first invariant.
+
+    Same determinism contract as `mg_build_preagg`: built from exact
+    counts with exactly one trim round (t = the (k+1)-th largest count),
+    ties broken (count desc, hash asc) — so each key's sketch is
+    byte-identical to `mg_build_preagg` run on that key's rows alone
+    (tested), is the tightest summary any arrival order could produce,
+    and carries the full MG invariants (stored <= exact <= stored + dec,
+    dec <= (n - M)/(k+1)). Persist with `warehouse.save_sketch_table`,
+    merge across corpora via the kernel merge, and query from SQL via
+    `mg_count_lo` / `mg_error_bound`."""
+    from pyspark.sql.window import Window
+    from .sketches.mg import MisraGries
+    MisraGries(k)  # validate k
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cs = _cols(cols)
+    base = (df.where(_notnull(cs))
+              .select(*keys, hash_col(cs, seed).alias("__h")))
+    counts = (base.groupingSets([keys + ["__h"], keys], *keys, "__h")
+                  .agg(F.count(F.lit(1)).alias("__c"),
+                       F.grouping("__h").alias("__g")))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__g").desc(), F.col("__c").desc(), F.col("__h").asc())
+    top = (counts.withColumn("__rn", F.row_number().over(w))
+                 .where(F.col("__rn") <= k + 2)
+                 # the total row's __h is NULL; a null in an int64 column
+                 # turns the whole pandas column float64 (53-bit mantissa,
+                 # corrupting hashes), so fill it — assemble never reads
+                 # the total row's hash
+                 .withColumn("__h", F.coalesce(F.col("__h"), F.lit(0))))
+    out_schema = ", ".join(
+        f"{kk} {df.schema[kk].dataType.simpleString()}" for kk in keys
+    ) + ", sketch binary"
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__rn")
+        sk = MisraGries(k)
+        assert int(pdf["__g"].iloc[0]) == 1, \
+            "per-key total row must rank first"
+        sk.n = int(pdf["__c"].iloc[0])
+        hs = pdf["__h"].iloc[1:].to_numpy(dtype=np.int64).view(U64)
+        ct = pdf["__c"].iloc[1:].to_numpy(dtype=np.int64)
+        t = int(ct[k]) if hs.size > k else 0  # the (k+1)-th largest count
+        kept = ct[:k] - t
+        pos = kept > 0
+        items, cnts = hs[:k][pos], kept[pos]
+        order = np.argsort(items)
+        sk.items, sk.counts = items[order], cnts[order]
+        sk.dec = t
+        row = {kk: [pdf[kk].iloc[0]] for kk in keys}
+        row["sketch"] = [sk.to_bytes()]
+        return pd.DataFrame(row)
+
+    return top.groupBy(*keys).applyInPandas(assemble, schema=out_schema)

@@ -151,6 +151,8 @@ def extreme_quantiles(df: DataFrame, col, qs: Sequence[float],
 
     from ..agg import _cols
 
+    if not qs or not all(0 <= q <= 1 for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1], got {list(qs)}")
     c = _cols([col])[0].cast("double")
     vals = df.select(c.alias("__v")).where(
         F.col("__v").isNotNull() & ~F.isnan(F.col("__v")))
@@ -197,8 +199,8 @@ def grouped_extreme_quantiles(df: DataFrame, keys: Sequence[str], col,
 
     from ..agg import _cols
 
-    if not 0 <= min(qs):
-        raise ValueError("quantiles must be in [0, 1]")
+    if not qs or not all(0 <= q <= 1 for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1], got {list(qs)}")
     ks = list(keys)
     c = _cols([col])[0].cast("double")
     vals = (df.select(*ks, c.alias("__v"))
@@ -225,22 +227,41 @@ def grouped_extreme_quantiles(df: DataFrame, keys: Sequence[str], col,
     # LITERAL rank cutoff: Catalyst rewrites rank<=literal into
     # WindowGroupLimit (per-task top-m heaps before the window sort,
     # asserted in tests) — the rewrite only fires up to the optimizer
-    # threshold, so raise it to cover this cutoff; the exact per-key
-    # width refines after the join
+    # threshold, so raise it to cover this cutoff, SCOPED: the returned
+    # plan is materialized eagerly under the raised threshold (a
+    # DataFrame's QueryExecution is fixed at creation, so the rewrite is
+    # pinned into it), then the session value is restored — no hidden
+    # global side effect on later window queries. Caveat: a DataFrame
+    # DERIVED from the result re-optimizes under the restored threshold
+    # and may lose the rewrite when cutoff exceeds it (correctness
+    # unaffected; only the top-m heap pruning).
     spark = df.sparkSession
     thr_key = "spark.sql.optimizer.windowGroupLimitThreshold"
-    if int(spark.conf.get(thr_key, "1000")) < cutoff:
+    prev = spark.conf.get(thr_key, None)
+    raised = int(prev if prev is not None else "1000") < cutoff
+    if raised:
         spark.conf.set(thr_key, str(cutoff))
-    w = Window.partitionBy(*ks).orderBy(F.col("__v").desc())
-    ranked = (vals.withColumn("__rk", F.row_number().over(w))
-                  .where(F.col("__rk") <= cutoff)
-                  .join(counts, ks))
-    tail = ranked.where(F.col("__rk") <= widest_of)
-    q_df = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
-    picked = (tail.select(*ks, "__v", "__n", "__rk", q_df)
-                  .where(F.col("__rk")
-                         == F.col("__n")
-                         - F.greatest(F.ceil(F.col("q") * F.col("__n")),
-                                      F.lit(1)) + 1))
-    return picked.select(*ks, "q", F.col("__v").alias("value"),
-                         F.col("__n").alias("n"))
+    try:
+        w = Window.partitionBy(*ks).orderBy(F.col("__v").desc())
+        ranked = (vals.withColumn("__rk", F.row_number().over(w))
+                      .where(F.col("__rk") <= cutoff)
+                      .join(counts, ks))
+        tail = ranked.where(F.col("__rk") <= widest_of)
+        q_df = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+        picked = (tail.select(*ks, "__v", "__n", "__rk", q_df)
+                      .where(F.col("__rk")
+                             == F.col("__n")
+                             - F.greatest(F.ceil(F.col("q") * F.col("__n")),
+                                          F.lit(1)) + 1))
+        out = picked.select(*ks, "q", F.col("__v").alias("value"),
+                            F.col("__n").alias("n"))
+        if raised:
+            # force optimization NOW so the pinned plan carries the rewrite
+            out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        if raised:
+            if prev is None:
+                spark.conf.unset(thr_key)
+            else:
+                spark.conf.set(thr_key, prev)

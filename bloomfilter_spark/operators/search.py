@@ -66,7 +66,7 @@ def build_inverted_index(docs: DataFrame, id_col: str, text_col: str,
 
 def bm25_scores(postings: DataFrame, stats: DataFrame, doclens: DataFrame,
                 queries, k1: float = 1.2, b: float = 0.75,
-                max_df_fraction: float = 1.0,
+                max_df_fraction: float = 0.5,
                 pattern: str = DEFAULT_TOKEN_PATTERN) -> DataFrame:
     """BM25 score for every (query, doc) pair sharing at least one
     scorable term. ``queries`` is a list of (query_id, text) tuples or an
@@ -75,7 +75,12 @@ def bm25_scores(postings: DataFrame, stats: DataFrame, doclens: DataFrame,
     simplification). Returns (query_id, doc_id, score).
 
     Corpus constants N and avgdl come from `doclens` (one tiny agg).
-    Terms with df/N > max_df_fraction are excluded from scoring."""
+    Terms with df/N > max_df_fraction are excluded from scoring — ON BY
+    DEFAULT (0.5): a stopword's posting list is O(corpus) at 10^12 docs
+    and would otherwise flow into the score join; such terms carry
+    near-zero IDF anyway, so dropping them is the standard IR stopword
+    cut, applied from the df stats rather than a fixed word list. Pass
+    max_df_fraction=1.0 to score every term regardless of frequency."""
     spark = postings.sparkSession
     if not isinstance(queries, DataFrame):
         queries = spark.createDataFrame(list(queries),

@@ -68,12 +68,17 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: Sequence[str] | str,
     if not keys:
         raise ValueError("need at least one join key")
 
-    # Deterministic per-row salt from the fact row's full content — which
+    # Per-row salt from the join keys + a per-row monotonic id: which
     # bucket a row lands in is irrelevant for correctness (any value in
-    # [0, salt) joins), content-hashing just makes runs reproducible and
-    # spreads a hot key's occurrences ~uniformly.
+    # [0, salt) joins), the id term spreads a hot key's occurrences
+    # ~uniformly EVEN when rows are byte-identical duplicates, and
+    # hashing only the keys (always hashable — Spark rejects map-typed
+    # equi-join keys anyway) keeps map/array payload columns out of
+    # xxhash64, which rejects maps. The output is row-identical under
+    # any salt assignment; only task placement varies.
     fact_salt = F.pmod(
-        F.xxhash64(F.lit(seed ^ 0x5A17), *[F.col(c) for c in fact.columns]),
+        F.xxhash64(F.lit(seed ^ 0x5A17), *[F.col(c) for c in keys],
+                   F.monotonically_increasing_id()),
         F.lit(salt)).cast("int")
     replicas = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias(_SALT)
 

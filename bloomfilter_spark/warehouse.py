@@ -118,3 +118,52 @@ def union_sketch_tables(spark: SparkSession, paths: Sequence[str]
         unioned = unioned.unionByName(f)
     merged = merge_grouped_sketches(unioned, meta["keys"], factory)
     return merged, meta
+
+
+def save_ivf_centroids(spark: SparkSession, centroids, path: str,
+                       *, mode: str = "overwrite") -> None:
+    """Persist a trained IVF coarse quantizer ((n_lists, d) float32,
+    `operators/similarity.ivf_train`) so assignment/search jobs run
+    WITHOUT retraining — the quantizer is index state exactly like a
+    sketch table: train once, reuse across ingest jobs, and never let
+    two jobs assign against silently-different centroids. Stored one row
+    per centroid as raw little-endian float32 bytes (bit-exact
+    round-trip: Voronoi assignment ties resolve identically across
+    jobs), with shape metadata riding with the data like
+    `save_sketch_table`'s."""
+    import numpy as np
+    cn = np.ascontiguousarray(np.asarray(centroids, dtype=np.float32))
+    if cn.ndim != 2 or not cn.size:
+        raise ValueError(f"centroids must be (n_lists, d), got {cn.shape}")
+    meta = {"kind": "ivf_centroids", "n_lists": int(cn.shape[0]),
+            "dim": int(cn.shape[1]), "dtype": "<f4", "format_version": 1}
+    rows = [(i, cn[i].astype("<f4").tobytes()) for i in range(len(cn))]
+    (spark.createDataFrame(rows, "list_id int, centroid binary")
+          .coalesce(1).write.mode(mode).parquet(f"{path}/{_DATA_SUBDIR}"))
+    (spark.createDataFrame([(json.dumps(meta),)], "meta string")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(f"{path}/{_META_SUBDIR}"))
+
+
+def load_ivf_centroids(spark: SparkSession, path: str):
+    """Load a persisted IVF quantizer back into the (n_lists, d) float32
+    ndarray `ivf_assign`/`ivf_topk` take. Raises on wrong table kind or
+    shape-corrupted rows rather than mis-assigning a corpus."""
+    import numpy as np
+    meta = json.loads(
+        spark.read.parquet(f"{path}/{_META_SUBDIR}").first()["meta"])
+    if meta.get("kind") != "ivf_centroids":
+        raise ValueError(f"table at {path} is {meta.get('kind')!r}, "
+                         "not ivf_centroids")
+    rows = spark.read.parquet(f"{path}/{_DATA_SUBDIR}").collect()
+    n, d = meta["n_lists"], meta["dim"]
+    if len(rows) != n:
+        raise ValueError(f"expected {n} centroid rows, found {len(rows)}")
+    out = np.empty((n, d), dtype=np.float32)
+    for r in rows:
+        vec = np.frombuffer(bytes(r["centroid"]), dtype=meta["dtype"])
+        if vec.size != d:
+            raise ValueError(f"centroid {r['list_id']} has dim {vec.size}, "
+                             f"expected {d}")
+        out[r["list_id"]] = vec
+    return out

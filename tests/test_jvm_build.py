@@ -344,3 +344,100 @@ def test_mg_build_preagg_small_and_empty(spark):
     assert mg.n == 3 and mg.dec == 0 and sorted(mg.counts.tolist()) == [1, 2]
     empty = mg_build_preagg(df.where("v = 'zzz'"), ["v"], k=8)
     assert empty.n == 0 and empty.dec == 0 and empty.items.size == 0
+
+
+def test_mg_grouped_build_preagg_parity_and_invariants(spark, events):
+    """Grouped MG build: each key's sketch is byte-identical to the global
+    preagg build run on that key's rows alone (same exact-counts +
+    one-trim-round determinism), invariants hold per key, and the result
+    is partition-invariant."""
+    import numpy as np
+    from bloomfilter_spark.jvm_build import mg_build_preagg, \
+        mg_grouped_build_preagg
+    from bloomfilter_spark.sketches.mg import MisraGries
+
+    k = 8
+    table = {r["event_type"]: bytes(r["sketch"])
+             for r in mg_grouped_build_preagg(
+                 events, ["event_type"], ["user_id"], k=k).collect()}
+    assert len(table) > 1
+    trimmed = 0
+    for et, blob in table.items():
+        sub = events.where(F.col("event_type") == et)
+        ref = mg_build_preagg(sub, ["user_id"], k=k)
+        assert blob == ref.to_bytes(), f"parity broke for key {et!r}"
+        sk = MisraGries.from_bytes(blob)
+        assert sk.dec <= sk.n / (k + 1)
+        trimmed += sk.dec > 0
+    assert trimmed > 0  # trimming engaged for at least one key
+
+    table2 = {r["event_type"]: bytes(r["sketch"])
+              for r in mg_grouped_build_preagg(
+                  events.repartition(7), ["event_type"], ["user_id"],
+                  k=k).collect()}
+    assert table2 == table
+
+
+def test_mg_grouped_build_preagg_null_key_and_small(spark):
+    """A genuinely-NULL key value is a real group (the grouping flag, not
+    NULL, marks subtotal rows); keys below k counters carry dec == 0."""
+    from bloomfilter_spark.jvm_build import mg_grouped_build_preagg
+    from bloomfilter_spark.sketches.mg import MisraGries
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), (None, "z"), (None, "z"),
+         ("b", None)],
+        "grp string, v string")
+    rows = mg_grouped_build_preagg(df, ["grp"], ["v"], k=8).collect()
+    by_key = {r["grp"]: MisraGries.from_bytes(bytes(r["sketch"]))
+              for r in rows}
+    # ("b", None) is dropped (NULL value col), so "b" has no group at all
+    assert set(by_key) == {"a", None}
+    assert by_key["a"].n == 3 and by_key["a"].dec == 0
+    assert sorted(by_key["a"].counts.tolist()) == [1, 2]
+    assert by_key[None].n == 2 and by_key[None].counts.tolist() == [2]
+
+
+def test_mg_grouped_build_warehouse_roundtrip(spark, events, tmp_path):
+    """The grouped table persists byte-exact through the warehouse and a
+    path-union merge of two disjoint slices preserves the MG bounds
+    against the full corpus's exact counts."""
+    import numpy as np
+    from bloomfilter_spark.agg import hash_col
+    from bloomfilter_spark.jvm_build import mg_grouped_build_preagg
+    from bloomfilter_spark.sketches.mg import MisraGries
+    from bloomfilter_spark.warehouse import load_sketch_table, \
+        save_sketch_table
+
+    k = 8
+    table = mg_grouped_build_preagg(events, ["event_type"], ["user_id"], k=k)
+    path = str(tmp_path / "mg_grouped")
+    save_sketch_table(table, path, keys=["event_type"],
+                      factory=lambda: MisraGries(k=k))
+    loaded, meta = load_sketch_table(
+        spark, path, expected_factory=lambda: MisraGries(k=k))
+    assert meta["keys"] == ["event_type"]
+    assert ({r["event_type"]: bytes(r["sketch"]) for r in loaded.collect()}
+            == {r["event_type"]: bytes(r["sketch"]) for r in table.collect()})
+
+    # bounds survive a merge of per-slice sketches (kernel merge rule)
+    lo_sl = events.where(F.col("event_id") % 2 == 0)
+    hi_sl = events.where(F.col("event_id") % 2 == 1)
+    merged = {}
+    for sl in (lo_sl, hi_sl):
+        for r in mg_grouped_build_preagg(
+                sl, ["event_type"], ["user_id"], k=k).collect():
+            sk = MisraGries.from_bytes(bytes(r["sketch"]))
+            if r["event_type"] in merged:
+                merged[r["event_type"]].merge(sk)
+            else:
+                merged[r["event_type"]] = sk
+    exact = {(r["event_type"], r["h"]): r["cnt"] for r in
+             events.groupBy("event_type",
+                            hash_col([F.col("user_id")]).alias("h"))
+                   .agg(F.count("*").alias("cnt")).collect()}
+    for (et, h), cnt in exact.items():
+        sk = merged[et]
+        lo = int(sk.query(np.array([h], dtype=np.int64)
+                          .view(np.uint64))[0])
+        assert lo <= cnt <= lo + sk.dec

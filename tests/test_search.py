@@ -105,3 +105,29 @@ def test_bm25_partition_invariant(spark):
     want = {(r["query_id"], r["doc_id"]): round(r["score"], 9) for r in
             bm25_scores(*idx1, [(0, "spark join merge")]).collect()}
     assert got == want
+
+
+def test_bm25_stopword_guard_on_by_default(spark):
+    """A term in more than half the corpus never reaches the score join
+    under the DEFAULT max_df_fraction=0.5: with a one-stopword query the
+    result is empty (no scorable terms at all), and a mixed query scores
+    identically to the explicit-cap reference."""
+    corpus = [
+        (0, "the quick fox"),
+        (1, "the lazy dog"),
+        (2, "the fox again"),
+        (3, "the dog sleeps"),
+        (4, "quick quick run"),
+        (5, "run dog run"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    idx = build_inverted_index(docs, "doc_id", "text")
+    # 'the' is in 4/6 docs (df/N = 0.667 > 0.5): zero rows may score
+    assert bm25_scores(*idx, [(0, "the")]).count() == 0
+    # mixed query: 'the' contributes nothing, 'fox' (2/6) scores normally
+    got = {(r["query_id"], r["doc_id"]): r["score"] for r in
+           bm25_scores(*idx, [(0, "the fox")]).collect()}
+    explicit = {(r["query_id"], r["doc_id"]): r["score"] for r in
+                bm25_scores(*idx, [(0, "fox")],
+                            max_df_fraction=1.0).collect()}
+    assert got == explicit and set(d for _, d in got) == {0, 2}

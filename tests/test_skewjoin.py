@@ -79,8 +79,10 @@ def test_salted_join_spreads_hot_key(spark, skewed):
     from bloomfilter_spark.config import DEFAULT_SEED
     fact, _ = skewed
     salt = 5
-    s = F.pmod(F.xxhash64(F.lit(DEFAULT_SEED ^ 0x5A17),
-                          *[F.col(c) for c in fact.columns]),
+    # the operator's salt formula: join keys + per-row monotonic id, so
+    # even byte-identical duplicate rows of the hot key spread out
+    s = F.pmod(F.xxhash64(F.lit(DEFAULT_SEED ^ 0x5A17), F.col("k"),
+                          F.monotonically_increasing_id()),
                F.lit(salt)).cast("int")
     buckets = (fact.where(F.col("k") == "hot").select(s.alias("s"))
                .distinct().count())
@@ -95,3 +97,25 @@ def test_salted_join_rejects_bad_args(spark, skewed):
         salted_join(fact, dim, "k", salt=0)
     with pytest.raises(ValueError, match="join key"):
         salted_join(fact, dim, [])
+
+
+def test_salted_join_map_typed_payload(spark):
+    """Map/array payload columns must not break the salt derivation
+    (xxhash64 rejects maps; only the join keys + a monotonic id are
+    hashed)."""
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame(
+        [(1, {"a": 1}, [1, 2]), (1, {"b": 2}, [3]), (2, {}, [])],
+        "k int, m map<string,int>, arr array<int>")
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k int, name string")
+    canon = lambda r: (r["k"], r["name"],  # noqa: E731
+                       sorted(dict(r["m"]).items()), list(r["arr"]))
+    got = sorted(canon(r)
+                 for r in salted_join(fact, dim, "k", salt=4).collect())
+    want = sorted(canon(r) for r in fact.join(dim, "k").collect())
+    assert got == want
+
+    # hot_keys mode too
+    got_hot = salted_join(fact, dim, "k", salt=4, hot_keys=[1]).count()
+    assert got_hot == 3

@@ -256,3 +256,36 @@ def test_sql_mg_error_bound_rejects_wrong_type(spark, events):
     with pytest.raises(Exception, match="Misra-Gries"):
         spark.sql("SELECT mg_error_bound(sketch) AS e "
                   "FROM cms_by_type_mgtest").collect()
+
+
+def test_sketch_merge_window_calendar_on_gapped_days(spark):
+    """Rolling 7-day sketch_merge window with GAPS in the day axis: the
+    q95 pattern densifies the axis (date spine left join, NULL sketches
+    skipped by the merge), so the 6-PRECEDING row frame is the CALENDAR
+    window [day-6, day] — a frame over present days only would merge
+    older days across the gap and overcount."""
+    import datetime
+
+    from bloomfilter_spark.jvm_build import hll_grouped_build_jvm
+
+    register_sketch_sql(spark)
+    # users 0..9 on day 1, users 100.. on day 2, then a 10-day gap, then
+    # day 13: the calendar window for day 13 must NOT include days 1-2
+    rows = [(datetime.date(2024, 1, 1), i) for i in range(10)]
+    rows += [(datetime.date(2024, 1, 2), 100 + i) for i in range(10)]
+    rows += [(datetime.date(2024, 1, 13), 200 + i) for i in range(5)]
+    ev = spark.createDataFrame(rows, "day date, user_id long")
+    daily = hll_grouped_build_jvm(ev, ["day"], ["user_id"], p=14)
+    spine = (ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+               .select(F.explode(F.sequence("lo", "hi")).alias("day")))
+    spine.join(daily, "day", "left").createOrReplaceTempView("gap_daily")
+    est = {r["day"]: r["u"] for r in spark.sql("""
+        SELECT day, sketch_estimate(sketch_merge(sketch) OVER (
+                 ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+               AS u
+        FROM gap_daily""").collect()}
+    # p=14 on tiny counts: estimates are exact (linear counting regime)
+    assert round(est[datetime.date(2024, 1, 2)]) == 20   # day 1 + day 2
+    assert round(est[datetime.date(2024, 1, 13)]) == 5   # gap excluded
+    # day 8 (present in spine only): frame covers days 2..8 -> 10 users
+    assert round(est[datetime.date(2024, 1, 8)]) == 10

@@ -130,3 +130,46 @@ def test_mg_table_roundtrip_and_merge(spark, events, tmp_path):
             lo = int(sk.query(np.array([hashes[uid]],
                                        dtype=np.int64).view(np.uint64))[0])
             assert lo <= cnt <= lo + sk.dec
+
+
+def test_ivf_centroids_roundtrip(spark, tmp_path):
+    """The trained IVF quantizer persists bit-exact (float32 bytes), and
+    assignment from the LOADED centroids equals assignment from the
+    trained ones — the retrain-free later-job path."""
+    import numpy as np
+    from bloomfilter_spark.operators.similarity import ivf_assign, ivf_train
+    from bloomfilter_spark.warehouse import (load_ivf_centroids,
+                                             save_ivf_centroids)
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(400, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    cents = ivf_train(df, "embedding", n_lists=8, max_train=400)
+    path = str(tmp_path / "ivf")
+    save_ivf_centroids(spark, cents, path)
+    loaded = load_ivf_centroids(spark, path)
+    assert loaded.dtype == np.float32 and loaded.shape == cents.shape
+    assert np.array_equal(loaded, np.asarray(cents, dtype=np.float32))
+
+    a1 = {r["vec_id"]: r["list_id"]
+          for r in ivf_assign(df, "vec_id", "embedding", cents).collect()}
+    a2 = {r["vec_id"]: r["list_id"]
+          for r in ivf_assign(df, "vec_id", "embedding", loaded).collect()}
+    assert a1 == a2 and len(a1) == 400
+
+    import pytest
+    with pytest.raises(ValueError, match="ivf_centroids"):
+        # a sketch table is not a quantizer
+        from bloomfilter_spark.sketches import HyperLogLog
+        from bloomfilter_spark.agg import grouped_sketch_table
+        from bloomfilter_spark.warehouse import (load_sketch_table,
+                                                 save_sketch_table)
+        ev = spark.createDataFrame([("a", 1)], "k string, v long")
+        t = grouped_sketch_table(ev, ["k"], ["v"],
+                                 lambda: HyperLogLog(p=10))
+        sk_path = str(tmp_path / "sk")
+        save_sketch_table(t, sk_path, keys=["k"],
+                          factory=lambda: HyperLogLog(p=10))
+        load_ivf_centroids(spark, sk_path)

@@ -260,3 +260,48 @@ def test_grouped_extreme_quantiles_exact(spark):
     with pytest.raises(ValueError, match="max_tail_rows_per_key"):
         grouped_extreme_quantiles(df, ["k"], "v", [0.5],
                                   max_tail_rows_per_key=50)
+
+
+def test_extreme_quantiles_reject_out_of_range_q(spark):
+    """q outside [0, 1] (or an empty q list) raises instead of silently
+    mis-indexing the tail / dropping rows."""
+    import pytest
+    from pyspark.sql import functions as F
+    from bloomfilter_spark.operators import (extreme_quantiles,
+                                             grouped_extreme_quantiles)
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        F.col("id").cast("double").alias("v"))
+    for bad in ([1.5], [0.9, 2.0], [-0.1], []):
+        with pytest.raises(ValueError, match="quantiles must be in"):
+            extreme_quantiles(df, "v", bad)
+        with pytest.raises(ValueError, match="quantiles must be in"):
+            grouped_extreme_quantiles(df, ["k"], "v", bad)
+
+
+def test_grouped_extreme_quantiles_restores_window_threshold(spark):
+    """The WindowGroupLimit threshold raise is scoped: the returned plan
+    carries the rewrite, but the session conf is restored afterwards (no
+    hidden global optimizer side effect)."""
+    from pyspark.sql import functions as F
+    from bloomfilter_spark.operators import grouped_extreme_quantiles
+
+    thr_key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    prev = spark.conf.get(thr_key, None)
+    try:
+        spark.conf.set(thr_key, "10")
+        df = spark.range(5000).select(
+            (F.col("id") % 2).cast("string").alias("k"),
+            F.col("id").cast("double").alias("v"))
+        # widest tail per key ~ 25 rows > the 10 threshold -> must raise it
+        out = grouped_extreme_quantiles(df, ["k"], "v", [0.99, 1.0])
+        assert spark.conf.get(thr_key) == "10"   # restored
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan        # rewrite pinned in plan
+        assert out.count() == 4                  # still correct
+    finally:
+        if prev is None:
+            spark.conf.unset(thr_key)
+        else:
+            spark.conf.set(thr_key, prev)

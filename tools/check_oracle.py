@@ -42,13 +42,16 @@ def normalize(pdf):
     return pdf
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entry_mod.queries()
+    if only:
+        qs = {k: v for k, v in qs.items()
+              if any(k.startswith(p) for p in only)}
     oracles = entry_mod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
@@ -90,4 +93,6 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    # usage: check_oracle.py [sf_dir] [query-name-prefix ...]
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+                  sys.argv[2:] or None))
