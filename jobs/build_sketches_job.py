@@ -80,6 +80,20 @@ def main(argv=None) -> int:
     cms, _ = checkpointed_build(
         spark, args.input, ["tool"], lambda: CountMinSketch(eps=1e-4, delta=1e-3),
         checkpoint_dir=f"{args.checkpoint_dir}/cms", n_buckets=args.buckets)
+    # per-tool heavy-conversation table (grouped JVM-reduced Misra-Gries):
+    # persisted through the warehouse so later jobs answer
+    # mg_count_lo/mg_error_bound probes from SQL without re-scanning
+    from bloomfilter_spark.jvm_build import mg_grouped_build_preagg
+    from bloomfilter_spark.sketches import MisraGries
+    from bloomfilter_spark.warehouse import save_sketch_table
+    mg_k = 64
+    mg_table = mg_grouped_build_preagg(
+        spark.read.parquet(args.input).where(F.col("tool").isNotNull()),
+        ["tool"], ["conv_id"], k=mg_k)
+    save_sketch_table(mg_table, f"{args.checkpoint_dir}/mg_tool_convs",
+                      keys=["tool"], factory=lambda: MisraGries(k=mg_k))
+    mg_keys = spark.read.parquet(
+        f"{args.checkpoint_dir}/mg_tool_convs/data").count()
     elapsed = time.time() - t0
 
     rows = sum(e["rows"] for e in read_lineage(f"{args.checkpoint_dir}/bloom"))
@@ -91,6 +105,7 @@ def main(argv=None) -> int:
         "bloom_bits_set": bloom_bits,
         "hll_distinct_convs": round(hll.estimate(), 1),
         "cms_total": cms.total,
+        "mg_tool_keys": mg_keys,
     }))
     spark.stop()
     return 0

@@ -72,3 +72,17 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert len(spdf) == len(opdf)
     assert sorted(spdf.columns) == sorted(opdf.columns)
     assert value_hash(spdf) == value_hash(opdf)
+
+
+def test_driver_window_rotation_round4():
+    """Pins the round-4 driver correctness window (see the rotation-policy
+    comment in queries() and COVERAGE.md's ledger): the FIRST 50 dict
+    entries must be exactly the q04 canary + every query without an r3
+    driver row (q46-q54, q60-q98) + the new q99 — an accidental reorder
+    would silently un-witness components."""
+    names = list(entry_mod.queries())
+    assert len(names) == len(set(names)) == 99
+    window = names[:50]
+    assert window[0] == "q04_bloom_zero_fn"
+    nums = sorted(int(n[1:3]) for n in window[1:])
+    assert nums == sorted(list(range(46, 55)) + list(range(60, 100)))
