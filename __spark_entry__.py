@@ -1287,13 +1287,19 @@ def _q_rolling_distinct_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
                AS approx_users
         FROM q95_daily_hll""")
+    # exact reference: each event contributes to the 7 calendar days
+    # [day, day+6] — a codegen explode + broadcast equi-join on present
+    # days (O(7) rows per event at ANY day-axis length), replacing the
+    # BroadcastNestedLoop range join a (days x events) interval predicate
+    # would plan (O(|days|) comparisons per event)
     days = ev.select("day").distinct()
-    pairs = (days.alias("d")
-             .join(ev.alias("e"),
-                   (F.col("e.day") <= F.col("d.day"))
-                   & (F.col("e.day") >= F.date_sub(F.col("d.day"), 6)))
-             .groupBy("d.day")
-             .agg(F.countDistinct("e.user_id").alias("exact_users")))
+    contrib = ev.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6)))
+         .alias("day"),
+        "user_id")
+    pairs = (contrib.join(F.broadcast(days), "day")
+                    .groupBy("day")
+                    .agg(F.countDistinct("user_id").alias("exact_users")))
     return (pairs.join(est, "day")
                  .select("day", "exact_users",
                          _hll_within("exact_users", "approx_users")
