@@ -86,3 +86,42 @@ def test_driver_window_rotation_round4():
     assert window[0] == "q04_bloom_zero_fn"
     nums = sorted(int(n[1:3]) for n in window[1:])
     assert nums == sorted(list(range(46, 55)) + list(range(60, 100)))
+
+
+def test_stream_source_dir_self_heals(tmp_path):
+    """The streaming source helper keys by hash of the ABSOLUTE target
+    path (same-basename sf_dirs cannot collide) and re-points dangling or
+    stale symlinks instead of silently reusing them / raising
+    FileExistsError."""
+    import os
+
+    a = tmp_path / "corpusA" / "sf0.01"
+    b = tmp_path / "corpusB" / "sf0.01"   # same basename, different dir
+    for d in (a, b):
+        os.makedirs(d)
+        (d / "events.parquet").write_bytes(b"x")
+
+    da = entry_mod._stream_source_dir(str(a))
+    db = entry_mod._stream_source_dir(str(b))
+    assert da != db                        # no basename collision
+    la = os.path.join(da, "events.parquet")
+    assert os.readlink(la) == str(a / "events.parquet")
+
+    # dangling link: target removed -> helper must re-point, not raise
+    os.remove(a / "events.parquet")
+    (a / "events.parquet").write_bytes(b"y")
+    assert entry_mod._stream_source_dir(str(a)) == da
+    assert os.readlink(la) == str(a / "events.parquet")
+
+    # stale link (points elsewhere): re-pointed to the right target
+    os.remove(la)
+    os.symlink(str(b / "events.parquet"), la)
+    entry_mod._stream_source_dir(str(a))
+    assert os.readlink(la) == str(a / "events.parquet")
+
+    # a regular file squatting on the link path is replaced
+    os.remove(la)
+    with open(la, "wb") as fh:
+        fh.write(b"junk")
+    entry_mod._stream_source_dir(str(a))
+    assert os.path.islink(la)
