@@ -157,3 +157,43 @@ def load_transcripts(spark, n_turns: int, root: str = "/tmp/bloomfilter_spark_da
         (sdf.repartition(partitions or spark.sparkContext.defaultParallelism)
             .write.mode("overwrite").parquet(path))
     return spark.read.parquet(path)
+
+
+#: the authoritative input_hint shape as an explicit Spark DDL schema —
+#: transcript corpora arriving as JSONL/CSV parse against THIS, never
+#: against sampled inference (which silently widens int32 -> long or
+#: reads ts as string and corrupts every downstream hash/window)
+TRANSCRIPT_SCHEMA = ("conv_id string, turn_idx int, role string, "
+                     "text string, tool string, ts timestamp")
+
+
+def read_transcripts(spark, path: str, format: str = "parquet",
+                     mode: str = "FAILFAST", **options):
+    """Read a transcript corpus in any of the at-rest formats real
+    transcript pipelines deliver — parquet (columnar default), jsonl
+    (the interchange format agent frameworks emit), or csv — always
+    returning the EXACT input_hint schema (TRANSCRIPT_SCHEMA).
+
+    Schema is imposed, not inferred: inference costs an extra pass over
+    10^12 rows AND is sample-dependent (a turn_idx column of small ints
+    infers long; an all-null tool chunk infers string vs void), so two
+    ingests of the same corpus could disagree. ``mode`` follows Spark's
+    parser modes — FAILFAST (default) raises on any malformed row so a
+    corrupt corpus is caught at ingest, PERMISSIVE nulls malformed
+    fields instead (pass columnNameOfCorruptRecord to keep them).
+
+    jsonl/csv notes: timestamps parse ISO-8601 by default (override with
+    timestampFormat=...); csv reads headerless files in TRANSCRIPT_SCHEMA
+    column order unless header=True is passed."""
+    fmt = format.lower()
+    reader = spark.read.schema(TRANSCRIPT_SCHEMA).option("mode", mode)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if fmt == "parquet":
+        return spark.read.parquet(path)  # parquet embeds the schema
+    if fmt in ("json", "jsonl"):
+        return reader.json(path)
+    if fmt == "csv":
+        return reader.csv(path)
+    raise ValueError(f"unsupported transcript format {format!r} "
+                     "(parquet, jsonl, csv)")

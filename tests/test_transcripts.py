@@ -124,3 +124,57 @@ def test_grouped_quantiles_on_transcripts(spark, transcripts):
             hi = bisect.bisect_right(lens, est_v) / n
             assert lo - 0.05 <= q <= hi + 0.05, (role, q, est_v, lo, hi)
     assert set(est) == set(exact)
+
+
+def test_read_transcripts_jsonl_csv_parity(spark, tmp_path):
+    """The same corpus read back from jsonl and csv equals the parquet
+    rows exactly (schema imposed, not inferred: turn_idx stays int32, ts
+    stays timestamp), and FAILFAST raises on a malformed row instead of
+    silently nulling it."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bloomfilter_spark.sources.transcripts import (TRANSCRIPT_SCHEMA,
+                                                       generate_pandas,
+                                                       read_transcripts)
+
+    pdf = generate_pandas(500)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    base = spark.createDataFrame(pdf)
+    pq = str(tmp_path / "t.parquet")
+    base.write.parquet(pq)
+
+    jl = str(tmp_path / "t.jsonl")
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    (base.withColumn("ts", F.date_format("ts", ts_fmt))
+         .write.json(jl))
+    cv = str(tmp_path / "t.csv")
+    (base.withColumn("ts", F.date_format("ts", ts_fmt))
+         .write.option("header", "true").csv(cv))
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    want = rows(read_transcripts(spark, pq))
+    got_j = read_transcripts(spark, jl, format="jsonl",
+                             timestampFormat=ts_fmt)
+    got_c = read_transcripts(spark, cv, format="csv", header=True,
+                             timestampFormat=ts_fmt)
+    assert [f.name for f in got_j.schema.fields] == \
+        [f.split()[0] for f in TRANSCRIPT_SCHEMA.split(", ")]
+    assert [f.dataType.simpleString() for f in got_j.schema.fields] == \
+        ["string", "int", "string", "string", "string", "timestamp"]
+    assert rows(got_j) == want
+    assert rows(got_c) == want
+
+    bad = str(tmp_path / "bad.jsonl")
+    with open(f"{bad}", "w") as fh:
+        fh.write('{"conv_id": "c1", "turn_idx": "NOT_AN_INT", '
+                 '"role": "user", "text": "x", "tool": null, '
+                 '"ts": "2024-01-01T00:00:00.000000Z"}\n')
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        read_transcripts(spark, bad, format="jsonl",
+                         timestampFormat=ts_fmt).collect()
+
+    with pytest.raises(ValueError, match="unsupported transcript format"):
+        read_transcripts(spark, pq, format="orc")
