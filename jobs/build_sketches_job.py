@@ -43,7 +43,7 @@ def main(argv=None) -> int:
     from bloomfilter_spark.checkpoint import checkpointed_build, read_lineage
     from bloomfilter_spark.plans import plan_bloom
     from bloomfilter_spark.sizing import suggest_sizing
-    from bloomfilter_spark.sketches import (KLL, BloomFilter, CountMinSketch,
+    from bloomfilter_spark.sketches import (BloomFilter, CountMinSketch,
                                             HyperLogLog)
 
     spark = SparkSession.builder.appName("build_sketches").getOrCreate()
