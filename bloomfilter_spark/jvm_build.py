@@ -884,4 +884,22 @@ def mg_grouped_build_preagg(df: DataFrame, keys, cols, k: int = 256,
         row["sketch"] = [sk.to_bytes()]
         return pd.DataFrame(row)
 
-    return top.groupBy(*keys).applyInPandas(assemble, schema=out_schema)
+    out = top.groupBy(*keys).applyInPandas(assemble, schema=out_schema)
+    # the rank<=literal -> WindowGroupLimit rewrite only fires up to the
+    # optimizer threshold (default 1000): for larger k, raise it SCOPED —
+    # pin the rewrite into this DataFrame's QueryExecution eagerly, then
+    # restore the session value (same discipline as
+    # operators/quantiles.grouped_extreme_quantiles)
+    spark = df.sparkSession
+    thr_key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    prev = spark.conf.get(thr_key, None)
+    if int(prev if prev is not None else "1000") < k + 2:
+        spark.conf.set(thr_key, str(k + 2))
+        try:
+            out._jdf.queryExecution().executedPlan()
+        finally:
+            if prev is None:
+                spark.conf.unset(thr_key)
+            else:
+                spark.conf.set(thr_key, prev)
+    return out

@@ -441,3 +441,30 @@ def test_mg_grouped_build_warehouse_roundtrip(spark, events, tmp_path):
         lo = int(sk.query(np.array([h], dtype=np.int64)
                           .view(np.uint64))[0])
         assert lo <= cnt <= lo + sk.dec
+
+
+def test_mg_grouped_build_large_k_engages_window_group_limit(spark, events):
+    """k above the optimizer's windowGroupLimitThreshold still gets the
+    rank-filter pruning (threshold raised SCOPED, session value
+    restored), and results equal the default-threshold build."""
+    from bloomfilter_spark.jvm_build import mg_grouped_build_preagg
+
+    thr_key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    prev = spark.conf.get(thr_key, None)
+    try:
+        spark.conf.set(thr_key, "10")   # force k+2 > threshold
+        t = mg_grouped_build_preagg(events, ["event_type"], ["user_id"],
+                                    k=16)
+        assert spark.conf.get(thr_key) == "10"          # restored
+        plan = t._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan               # rewrite pinned
+        got = {r["event_type"]: bytes(r["sketch"]) for r in t.collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset(thr_key)
+        else:
+            spark.conf.set(thr_key, prev)
+    want = {r["event_type"]: bytes(r["sketch"])
+            for r in mg_grouped_build_preagg(
+                events, ["event_type"], ["user_id"], k=16).collect()}
+    assert got == want
