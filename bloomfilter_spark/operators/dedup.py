@@ -220,9 +220,35 @@ def _band_table(signatures: DataFrame, id_col: str, bands: int, seed: int,
             .select(id_col, "bh.band", "bh.band_hash"))
 
 
+def _cap_band_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop (band, band_hash) buckets above ``max_bucket`` occupancy BEFORE
+    any pairing join — the degenerate-bucket guard, mirroring the embedding
+    path (similarity._neardup_candidates). A bucket of B members yields
+    O(B^2) candidate pairs inside ONE join task; on a boilerplate-heavy
+    corpus (millions of identical/empty documents sharing every band hash)
+    that single task goes quadratic at 100 TB. The cap costs one extra
+    shuffle of the (8-byte-keyed) band table — a window count over the same
+    partitioning the join needs anyway.
+
+    Recall trade (documented, bounded): identical documents collide in ALL
+    bands, so a cluster larger than the cap loses its pairs entirely —
+    run exact dedup (dedup_exact / line dedup) upstream, which removes
+    identical texts for free; near-identical (non-equal) clusters collide
+    in different band subsets, so the other bands usually still catch a
+    dropped bucket's true pairs (MMDS ch.3 banding analysis)."""
+    if max_bucket is None:
+        return banded
+    if max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2 (a pair needs 2 rows)")
+    w = Window.partitionBy("band", "band_hash")
+    return (banded.withColumn("__occ", F.count("*").over(w))
+                  .where(F.col("__occ") <= max_bucket).drop("__occ"))
+
+
 def minhash_lsh_candidates(signatures: DataFrame, id_col: str,
                            bands: int = 16, seed: int = DEFAULT_SEED,
-                           sig_len: int | None = None) -> DataFrame:
+                           sig_len: int | None = None,
+                           max_bucket: int | None = None) -> DataFrame:
     """Banded LSH: split each signature into `bands` bands, hash each band
     (see _band_table), self-join on (band_id, band_hash) -> candidate
     pairs (id_a < id_b).
@@ -230,8 +256,11 @@ def minhash_lsh_candidates(signatures: DataFrame, id_col: str,
     The join key is a small long, so the candidate shuffle moves band
     hashes, not documents; Catalyst handles the equi-join strategy. Pass
     ``sig_len`` (= num_perm) to keep the plan fully lazy; it is probed
-    with one tiny job otherwise."""
-    banded = _band_table(signatures, id_col, bands, seed, sig_len)
+    with one tiny job otherwise. ``max_bucket`` drops degenerate buckets
+    before the self-join (see _cap_band_buckets for the scale rationale
+    and recall trade)."""
+    banded = _cap_band_buckets(
+        _band_table(signatures, id_col, bands, seed, sig_len), max_bucket)
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (left.join(right, on=[F.col("a.band") == F.col("b.band"),
@@ -263,11 +292,18 @@ def minhash_jaccard_estimates(signatures: DataFrame, pairs: DataFrame,
 def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.8, num_perm: int = 128,
                       bands: int = 16, shingle_k: int = 5,
-                      seed: int = DEFAULT_SEED) -> DataFrame:
-    """Near-duplicate pairs (id_a, id_b, est_jaccard >= threshold)."""
+                      seed: int = DEFAULT_SEED,
+                      max_bucket: int | None = 4096) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, est_jaccard >= threshold).
+
+    ``max_bucket`` (default 4096 — generous: healthy near-dup buckets hold
+    tens of rows, and 4096 is still only ~8M pairs in one task) guards the
+    quadratic degenerate-bucket case; see _cap_band_buckets. Pass None to
+    disable (exact pre-r5 behavior)."""
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
     sigs = sigs.persist()
-    pairs = minhash_lsh_candidates(sigs, id_col, bands, seed, sig_len=num_perm)
+    pairs = minhash_lsh_candidates(sigs, id_col, bands, seed,
+                                   sig_len=num_perm, max_bucket=max_bucket)
     est = minhash_jaccard_estimates(sigs, pairs, id_col)
     return est.where(F.col("est_jaccard") >= threshold)
 
@@ -275,7 +311,8 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_join_candidates(query_sigs: DataFrame, corpus_sigs: DataFrame,
                                 id_col: str, bands: int = 16,
                                 seed: int = DEFAULT_SEED,
-                                sig_len: int | None = None) -> DataFrame:
+                                sig_len: int | None = None,
+                                max_bucket: int | None = None) -> DataFrame:
     """Cross-table banded LSH: (query_id, corpus_id) pairs whose signatures
     collide in at least one band. Both signature tables MUST come from
     minhash_signatures with the same (num_perm, shingle_k, seed) — band
@@ -287,13 +324,19 @@ def minhash_lsh_join_candidates(query_sigs: DataFrame, corpus_sigs: DataFrame,
     side's band table when it fits, so the corpus is streamed once with
     no shuffle of corpus rows; otherwise it degrades to a hash join on
     8-byte keys, never on documents. No id_a<id_b predicate applies —
-    the two id namespaces are independent."""
-    qb = _band_table(query_sigs, id_col, bands, seed,
-                     sig_len).alias("q")
-    cb = _band_table(corpus_sigs, id_col, bands, seed,
-                     sig_len if sig_len is not None
-                     else corpus_sigs.select(
-                         F.size("signature").alias("n")).first()["n"]).alias("c")
+    the two id namespaces are independent. ``max_bucket`` caps EACH side's
+    degenerate buckets independently before the join (see
+    _cap_band_buckets): a hot corpus bucket of B rows times a hot query
+    bucket of Q rows is a B*Q blowup in one task otherwise."""
+    qb = _cap_band_buckets(
+        _band_table(query_sigs, id_col, bands, seed, sig_len),
+        max_bucket).alias("q")
+    cb = _cap_band_buckets(
+        _band_table(corpus_sigs, id_col, bands, seed,
+                    sig_len if sig_len is not None
+                    else corpus_sigs.select(
+                        F.size("signature").alias("n")).first()["n"]),
+        max_bucket).alias("c")
     return (qb.join(cb, on=[F.col("q.band") == F.col("c.band"),
                             F.col("q.band_hash") == F.col("c.band_hash")])
               .select(F.col(f"q.{id_col}").alias("query_id"),
@@ -304,7 +347,8 @@ def minhash_lsh_join_candidates(query_sigs: DataFrame, corpus_sigs: DataFrame,
 def minhash_join(query_df: DataFrame, corpus_df: DataFrame, id_col: str,
                  text_col: str, threshold: float = 0.8, num_perm: int = 128,
                  bands: int = 16, shingle_k: int = 5,
-                 seed: int = DEFAULT_SEED) -> DataFrame:
+                 seed: int = DEFAULT_SEED,
+                 max_bucket: int | None = 4096) -> DataFrame:
     """Fuzzy join of a new document batch against an existing corpus:
     (query_id, corpus_id, est_jaccard) for every cross pair with estimated
     char-shingle Jaccard >= threshold. The incremental near-dup primitive —
@@ -318,7 +362,8 @@ def minhash_join(query_df: DataFrame, corpus_df: DataFrame, id_col: str,
     c_sigs = minhash_signatures(corpus_df, id_col, text_col, num_perm,
                                 shingle_k, seed).persist()
     pairs = minhash_lsh_join_candidates(q_sigs, c_sigs, id_col, bands, seed,
-                                        sig_len=num_perm)
+                                        sig_len=num_perm,
+                                        max_bucket=max_bucket)
     joined = (pairs
               .join(q_sigs.select(F.col(id_col).alias("query_id"),
                                   F.col("signature").alias("sig_q")),

@@ -74,18 +74,21 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert value_hash(spdf) == value_hash(opdf)
 
 
-def test_driver_window_rotation_round4():
-    """Pins the round-4 driver correctness window (see the rotation-policy
-    comment in queries() and COVERAGE.md's ledger): the FIRST 50 dict
-    entries must be exactly the q04 canary + every query without an r3
-    driver row (q46-q54, q60-q98) + the new q99 — an accidental reorder
-    would silently un-witness components."""
+def test_driver_window_rotation_round5():
+    """Pins the round-5 driver correctness window (see the rotation-policy
+    comment in queries(), COVERAGE.md's ledger, and ROUND5_NOTES.md §1):
+    the FIRST 50 dict entries must be exactly the new q100 canary + the
+    49 queries last driver-witnessed in r3 (q01-q19, q20-q45, q55-q59) —
+    an accidental reorder would silently un-witness components."""
     names = list(entry_mod.queries())
-    assert len(names) == len(set(names)) == 99
+    assert len(names) == len(set(names)) == 100
     window = names[:50]
-    assert window[0] == "q04_bloom_zero_fn"
+    assert window[0] == "q100_scalable_bloom_dedup"
     nums = sorted(int(n[1:3]) for n in window[1:])
-    assert nums == sorted(list(range(46, 55)) + list(range(60, 100)))
+    assert nums == sorted((set(range(1, 46)) - {4}) | set(range(55, 60)))
+    # every r4-witnessed query stays registered below the window
+    r4 = {4} | set(range(46, 55)) | set(range(60, 100))
+    assert sorted(int(n[1:3]) for n in names[50:]) == sorted(r4)
 
 
 def test_stream_source_dir_self_heals(tmp_path):

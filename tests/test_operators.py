@@ -165,6 +165,72 @@ def test_minhash_finds_injected_near_dups(spark, documents):
     assert hit >= len(want) * 0.8, f"only {hit}/{len(want)} near-dup pairs found"
 
 
+def test_minhash_lsh_max_bucket_cap(spark, documents):
+    """1k identical documents share EVERY band bucket — the degenerate
+    quadratic case (boilerplate-heavy corpus). max_bucket must eliminate
+    the hot cluster's O(B^2) candidate pairs while recall on normal
+    injected near-dups is unchanged vs the uncapped run."""
+    from bloomfilter_spark.operators.dedup import (minhash_lsh_candidates,
+                                                   minhash_signatures)
+    base = documents.limit(20).select("doc_id", "text")
+    mutated = base.select((F.col("doc_id") + 100000).alias("doc_id"),
+                          F.concat("text", F.lit(" xyzzy")).alias("text"))
+    hot = spark.range(1000).select(
+        (F.col("id") + 500000).alias("doc_id"),
+        F.lit("the same boilerplate document body").alias("text"))
+    corpus = base.unionByName(mutated).unionByName(hot)
+    sigs = minhash_signatures(corpus, "doc_id", "text",
+                              num_perm=128).persist()
+    try:
+        free = minhash_lsh_candidates(sigs, "doc_id", bands=32, sig_len=128)
+        capped = minhash_lsh_candidates(sigs, "doc_id", bands=32,
+                                        sig_len=128, max_bucket=32)
+        assert free.count() >= 1000 * 999 // 2   # blowup without the cap
+        assert capped.count() < 2000             # hot cluster never pairs
+        normal = (F.col("id_a") < 500000) & (F.col("id_b") < 500000)
+        got = {(r["id_a"], r["id_b"]) for r in capped.where(normal).collect()}
+        free_got = {(r["id_a"], r["id_b"])
+                    for r in free.where(normal).collect()}
+        want = {(r["doc_id"], r["doc_id"] + 100000) for r in base.collect()}
+        hit = sum(1 for p in want if p in got)
+        assert hit == sum(1 for p in want if p in free_got)  # recall kept
+        assert hit >= len(want) * 0.8
+    finally:
+        sigs.unpersist()
+
+
+def test_minhash_join_max_bucket_cap(spark):
+    """Cross-corpus path: a hot bucket on BOTH sides (identical boilerplate
+    in the query batch and the corpus) is a B*Q single-task blowup;
+    max_bucket caps each side independently, and genuine cross near-dups
+    outside the hot bucket still match."""
+    from bloomfilter_spark.operators.dedup import minhash_join
+    real = [(i, f"unique document {i} with shared trailing words "
+                "alpha beta gamma delta epsilon") for i in range(5)]
+    corpus = spark.createDataFrame(
+        real + [(1000 + j, "boilerplate body") for j in range(200)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(i, t + " zeta") for i, t in real]
+        + [(5000 + j, "boilerplate body") for j in range(200)],
+        "doc_id long, text string")
+    free = minhash_join(batch, corpus, "doc_id", "text", threshold=0.5,
+                        num_perm=128, bands=32, max_bucket=None)
+    capped = minhash_join(batch, corpus, "doc_id", "text", threshold=0.5,
+                          num_perm=128, bands=32, max_bucket=32)
+    assert free.where("query_id >= 5000").count() == 200 * 200
+    assert capped.where("query_id >= 5000").count() == 0
+    real_pairs = {(r["query_id"], r["corpus_id"])
+                  for r in capped.where("query_id < 5000").collect()}
+    assert {(i, i) for i in range(5)} <= real_pairs
+
+
+def test_minhash_max_bucket_validation():
+    from bloomfilter_spark.operators.dedup import _cap_band_buckets
+    with pytest.raises(ValueError):
+        _cap_band_buckets(None, 1)
+
+
 def test_minhash_batch_kernel_matches_per_doc_reference():
     """The concatenated-buffer shingle hasher must produce byte-identical
     hashes to the per-document reference, including boundary and padding
