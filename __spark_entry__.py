@@ -38,21 +38,27 @@ def _stream_source_dir(sf_dir: str, table: str = "events") -> str:
     basename can never reuse each other's link — and self-healing: a
     dangling symlink (os.path.exists returns False on those, so a naive
     existence check would then hit FileExistsError on symlink) or one
-    pointing at a different target is re-pointed."""
+    pointing at a different target is re-pointed. Race-free: the link is
+    created under a unique temp name and os.rename'd over the final path
+    (atomic, replaces any existing entry), so a concurrent process (bench
+    + oracle run sharing an sf_dir) can never make os.symlink raise
+    FileExistsError between a check and the create."""
     import hashlib
     import os
+    import uuid
     target = os.path.abspath(f"{os.path.normpath(sf_dir)}/{table}.parquet")
     key = hashlib.sha1(target.encode()).hexdigest()[:16]
     stream_dir = f"/tmp/bloomfilter_spark_stream/{key}/{table}"
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, f"{table}.parquet")
-    if os.path.islink(link):
-        if os.readlink(link) != target:
-            os.remove(link)
-    elif os.path.exists(link):
-        os.remove(link)
-    if not os.path.islink(link):
-        os.symlink(target, link)
+    try:
+        if os.path.islink(link) and os.readlink(link) == target:
+            return stream_dir
+    except OSError:
+        pass  # link vanished under us: fall through to the atomic replace
+    tmp = os.path.join(stream_dir, f".{table}.{uuid.uuid4().hex}.tmp")
+    os.symlink(target, tmp)
+    os.rename(tmp, link)  # atomic over files AND symlinks
     return stream_dir
 
 

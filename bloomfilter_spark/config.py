@@ -23,6 +23,18 @@ DEFAULT_MERGE_PARTITIONS = 16
 # Broadcast budget: sketches larger than this should use the sharded path.
 BROADCAST_BUDGET_BYTES = 512 * 1024 * 1024
 
+# Serializes the scoped raise/pin/restore of
+# spark.sql.optimizer.windowGroupLimitThreshold (jvm_build grouped builds,
+# operators.quantiles.grouped_extreme_quantiles): session conf is
+# session-global, so without this lock a query PLANNED concurrently on the
+# same SparkSession in another thread could see the temporarily raised
+# threshold, and two overlapping windows could restore a stale prev value.
+# Guards only the library's own call sites — a user mutating the conf
+# mid-window from another thread is out of scope.
+import threading  # noqa: E402
+
+WGL_THRESHOLD_LOCK = threading.Lock()
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -86,6 +98,10 @@ def get_spark(app_name: str = "bloomfilter_spark", cores: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # progress-bar carriage returns interleave with tool output
+        # (check_oracle PASS lines); the bar carries no information in
+        # headless runs
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     )
     iceberg_warehouse = iceberg_warehouse or os.environ.get(

@@ -42,7 +42,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .config import DEFAULT_SEED
+from .config import DEFAULT_SEED, WGL_THRESHOLD_LOCK
 from .agg import _cols, hash_col
 from .sketches.bloom import BloomFilter
 from .sketches.hll import HyperLogLog
@@ -889,17 +889,20 @@ def mg_grouped_build_preagg(df: DataFrame, keys, cols, k: int = 256,
     # optimizer threshold (default 1000): for larger k, raise it SCOPED —
     # pin the rewrite into this DataFrame's QueryExecution eagerly, then
     # restore the session value (same discipline as
-    # operators/quantiles.grouped_extreme_quantiles)
+    # operators/quantiles.grouped_extreme_quantiles). The shared lock
+    # keeps the raised window invisible to the library's other planning
+    # threads (see config.WGL_THRESHOLD_LOCK).
     spark = df.sparkSession
     thr_key = "spark.sql.optimizer.windowGroupLimitThreshold"
-    prev = spark.conf.get(thr_key, None)
-    if int(prev if prev is not None else "1000") < k + 2:
-        spark.conf.set(thr_key, str(k + 2))
-        try:
-            out._jdf.queryExecution().executedPlan()
-        finally:
-            if prev is None:
-                spark.conf.unset(thr_key)
-            else:
-                spark.conf.set(thr_key, prev)
+    with WGL_THRESHOLD_LOCK:
+        prev = spark.conf.get(thr_key, None)
+        if int(prev if prev is not None else "1000") < k + 2:
+            spark.conf.set(thr_key, str(k + 2))
+            try:
+                out._jdf.queryExecution().executedPlan()
+            finally:
+                if prev is None:
+                    spark.conf.unset(thr_key)
+                else:
+                    spark.conf.set(thr_key, prev)
     return out

@@ -7,6 +7,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 
 from ..agg import build_sketch, grouped_sketch_df
+from ..config import WGL_THRESHOLD_LOCK
 from ..sketches.kll import KLL
 from ..sketches.tdigest import TDigest
 
@@ -234,34 +235,40 @@ def grouped_extreme_quantiles(df: DataFrame, keys: Sequence[str], col,
     # global side effect on later window queries. Caveat: a DataFrame
     # DERIVED from the result re-optimizes under the restored threshold
     # and may lose the rewrite when cutoff exceeds it (correctness
-    # unaffected; only the top-m heap pruning).
+    # unaffected; only the top-m heap pruning). The shared lock keeps the
+    # raised window invisible to the library's other planning threads
+    # (config.WGL_THRESHOLD_LOCK, shared with jvm_build's grouped builds).
     spark = df.sparkSession
     thr_key = "spark.sql.optimizer.windowGroupLimitThreshold"
-    prev = spark.conf.get(thr_key, None)
-    raised = int(prev if prev is not None else "1000") < cutoff
-    if raised:
-        spark.conf.set(thr_key, str(cutoff))
-    try:
-        w = Window.partitionBy(*ks).orderBy(F.col("__v").desc())
-        ranked = (vals.withColumn("__rk", F.row_number().over(w))
-                      .where(F.col("__rk") <= cutoff)
-                      .join(counts, ks))
-        tail = ranked.where(F.col("__rk") <= widest_of)
-        q_df = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
-        picked = (tail.select(*ks, "__v", "__n", "__rk", q_df)
-                      .where(F.col("__rk")
-                             == F.col("__n")
-                             - F.greatest(F.ceil(F.col("q") * F.col("__n")),
-                                          F.lit(1)) + 1))
-        out = picked.select(*ks, "q", F.col("__v").alias("value"),
-                            F.col("__n").alias("n"))
+    with WGL_THRESHOLD_LOCK:
+        prev = spark.conf.get(thr_key, None)
+        raised = int(prev if prev is not None else "1000") < cutoff
         if raised:
-            # force optimization NOW so the pinned plan carries the rewrite
-            out._jdf.queryExecution().executedPlan()
-        return out
-    finally:
-        if raised:
-            if prev is None:
-                spark.conf.unset(thr_key)
-            else:
-                spark.conf.set(thr_key, prev)
+            spark.conf.set(thr_key, str(cutoff))
+        try:
+            w = Window.partitionBy(*ks).orderBy(F.col("__v").desc())
+            ranked = (vals.withColumn("__rk", F.row_number().over(w))
+                          .where(F.col("__rk") <= cutoff)
+                          .join(counts, ks))
+            tail = ranked.where(F.col("__rk") <= widest_of)
+            q_df = F.explode(F.array(*[F.lit(float(q)) for q in qs])) \
+                    .alias("q")
+            picked = (tail.select(*ks, "__v", "__n", "__rk", q_df)
+                          .where(F.col("__rk")
+                                 == F.col("__n")
+                                 - F.greatest(
+                                     F.ceil(F.col("q") * F.col("__n")),
+                                     F.lit(1)) + 1))
+            out = picked.select(*ks, "q", F.col("__v").alias("value"),
+                                F.col("__n").alias("n"))
+            if raised:
+                # force optimization NOW so the pinned plan carries the
+                # rewrite
+                out._jdf.queryExecution().executedPlan()
+            return out
+        finally:
+            if raised:
+                if prev is None:
+                    spark.conf.unset(thr_key)
+                else:
+                    spark.conf.set(thr_key, prev)

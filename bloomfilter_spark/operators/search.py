@@ -67,7 +67,8 @@ def build_inverted_index(docs: DataFrame, id_col: str, text_col: str,
 def bm25_scores(postings: DataFrame, stats: DataFrame, doclens: DataFrame,
                 queries, k1: float = 1.2, b: float = 0.75,
                 max_df_fraction: float = 0.5,
-                pattern: str = DEFAULT_TOKEN_PATTERN) -> DataFrame:
+                pattern: str = DEFAULT_TOKEN_PATTERN,
+                log_pruned: bool = False) -> DataFrame:
     """BM25 score for every (query, doc) pair sharing at least one
     scorable term. ``queries`` is a list of (query_id, text) tuples or an
     equivalent DataFrame with columns (query_id, qtext); each DISTINCT
@@ -80,7 +81,14 @@ def bm25_scores(postings: DataFrame, stats: DataFrame, doclens: DataFrame,
     and would otherwise flow into the score join; such terms carry
     near-zero IDF anyway, so dropping them is the standard IR stopword
     cut, applied from the df stats rather than a fixed word list. Pass
-    max_df_fraction=1.0 to score every term regardless of frequency."""
+    max_df_fraction=1.0 to score every term regardless of frequency
+    (the pre-guard behavior — a query whose only shared terms are common
+    returns no rows under the default; see log_pruned).
+
+    ``log_pruned=True`` makes the cut observable: runs one small agg over
+    the query terms and logs how many DISTINCT query terms were pruned by
+    the df guard (opt-in — it costs an extra job, so the hot path stays
+    one-pass)."""
     spark = postings.sparkSession
     if not isinstance(queries, DataFrame):
         queries = spark.createDataFrame(list(queries),
@@ -99,9 +107,17 @@ def bm25_scores(postings: DataFrame, stats: DataFrame, doclens: DataFrame,
     idf = F.log(F.lit(1.0)
                 + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))
+    df_ok = (F.col("df") / F.lit(float(n_docs))
+             <= F.lit(float(max_df_fraction)))
+    if log_pruned:
+        import logging
+        pruned = (qterms.join(stats, "term").where(~df_ok)
+                        .select("term").distinct().count())
+        logging.getLogger(__name__).info(
+            "bm25_scores: %d distinct query term(s) pruned by "
+            "max_df_fraction=%s", pruned, max_df_fraction)
     scorable = (qterms.join(stats, "term")
-                      .where(F.col("df") / F.lit(float(n_docs))
-                             <= F.lit(float(max_df_fraction)))
+                      .where(df_ok)
                       .select("query_id", "term", idf.alias("idf")))
     tf = F.col("tf").cast("double")
     dl_norm = F.lit(k1) * (F.lit(1.0 - b)

@@ -39,8 +39,21 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 
 from ..config import DEFAULT_SEED
+
+
+def _contains_map(dt: DataType) -> bool:
+    """xxhash64 rejects MapType (map element order is undefined, so a map
+    has no canonical hash) — anywhere in the type tree."""
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
 
 _SALT = "__skew_salt"
 _OK_HOW = {"inner", "left", "leftouter", "left_outer", "left_semi",
@@ -68,17 +81,26 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: Sequence[str] | str,
     if not keys:
         raise ValueError("need at least one join key")
 
-    # Per-row salt from the join keys + a per-row monotonic id: which
-    # bucket a row lands in is irrelevant for correctness (any value in
-    # [0, salt) joins), the id term spreads a hot key's occurrences
-    # ~uniformly EVEN when rows are byte-identical duplicates, and
-    # hashing only the keys (always hashable — Spark rejects map-typed
-    # equi-join keys anyway) keeps map/array payload columns out of
-    # xxhash64, which rejects maps. The output is row-identical under
-    # any salt assignment; only task placement varies.
+    # Per-row salt = content hash over the join keys + every map-free
+    # payload column, taken modulo `salt`. Which bucket a row lands in is
+    # irrelevant for correctness (any value in [0, salt) joins), but the
+    # derivation must be DETERMINISTIC: the salt feeds a shuffle/join key,
+    # and a non-deterministic term (monotonically_increasing_id, rand)
+    # can re-evaluate differently when a map stage is recomputed after a
+    # fetch failure — reducers that consumed the old output plus ones
+    # consuming the recomputed output then double-count or drop rows (the
+    # classic non-deterministic-shuffle-key bug). Content hashing is
+    # retry-stable by construction. Map-typed columns are excluded
+    # (xxhash64 rejects maps — no canonical element order); rows identical
+    # in ALL hashed columns share a salt, so byte-identical duplicates of
+    # a hot key do not spread — run dedup/frequency-cap upstream if the
+    # skew IS duplicates (operators.dedup), which is cheaper than joining
+    # them anyway.
+    payload = [f.name for f in fact.schema.fields
+               if f.name not in keys and not _contains_map(f.dataType)]
     fact_salt = F.pmod(
-        F.xxhash64(F.lit(seed ^ 0x5A17), *[F.col(c) for c in keys],
-                   F.monotonically_increasing_id()),
+        F.xxhash64(F.lit(seed ^ 0x5A17),
+                   *[F.col(c) for c in keys + payload]),
         F.lit(salt)).cast("int")
     replicas = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias(_SALT)
 

@@ -184,13 +184,19 @@ def read_transcripts(spark, path: str, format: str = "parquet",
 
     jsonl/csv notes: timestamps parse ISO-8601 by default (override with
     timestampFormat=...); csv reads headerless files in TRANSCRIPT_SCHEMA
-    column order unless header=True is passed."""
+    column order unless header=True is passed.
+
+    parquet reads under the SAME imposed schema (and options): a corpus
+    whose embedded types drifted (turn_idx stored as long, ts as string)
+    fails loudly at read instead of flowing through unchecked — exactly
+    the drift this function exists to prevent; a missing column reads as
+    NULL, extra columns are pruned."""
     fmt = format.lower()
     reader = spark.read.schema(TRANSCRIPT_SCHEMA).option("mode", mode)
     for k, v in options.items():
         reader = reader.option(k, v)
     if fmt == "parquet":
-        return spark.read.parquet(path)  # parquet embeds the schema
+        return reader.parquet(path)
     if fmt in ("json", "jsonl"):
         return reader.json(path)
     if fmt == "csv":

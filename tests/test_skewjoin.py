@@ -99,9 +99,22 @@ def test_salted_join_rejects_bad_args(spark, skewed):
         salted_join(fact, dim, [])
 
 
+def test_salted_join_salt_deterministic(spark, skewed):
+    """The salt feeds a shuffle/join key, so it must contain NO
+    non-deterministic expression: a monotonically_increasing_id or rand
+    term can re-evaluate differently when a map stage is recomputed after
+    a fetch failure, double-counting/dropping rows across reducers."""
+    fact, dim = skewed
+    for out in (salted_join(fact, dim, "k", salt=8),
+                salted_join(fact, dim, "k", salt=8, hot_keys=["hot"])):
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "monotonically_increasing_id" not in plan
+        assert "rand(" not in plan
+
+
 def test_salted_join_map_typed_payload(spark):
     """Map/array payload columns must not break the salt derivation
-    (xxhash64 rejects maps; only the join keys + a monotonic id are
+    (xxhash64 rejects maps; the join keys + map-free payload columns are
     hashed)."""
     from pyspark.sql import functions as F
 

@@ -178,3 +178,32 @@ def test_read_transcripts_jsonl_csv_parity(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported transcript format"):
         read_transcripts(spark, pq, format="orc")
+
+
+def test_read_transcripts_parquet_schema_imposed(spark, tmp_path):
+    """The parquet branch enforces TRANSCRIPT_SCHEMA too: a drifted corpus
+    (turn_idx stored as long) fails loudly at read instead of flowing
+    through; extra columns are pruned to the exact contract schema."""
+    from bloomfilter_spark.sources.transcripts import read_transcripts
+    drifted = str(tmp_path / "drifted.parquet")
+    spark.createDataFrame(
+        [("c1", 2**40, "user", "x", None, "2024-01-01 00:00:00")],
+        "conv_id string, turn_idx long, role string, text string, "
+        "tool string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .write.parquet(drifted)
+    with pytest.raises(Exception,
+                       match="(?i)parquet|convert|schema|cast"):
+        read_transcripts(spark, drifted).collect()
+
+    extra = str(tmp_path / "extra.parquet")
+    spark.createDataFrame(
+        [("c1", 0, "user", "x", None, "2024-01-01 00:00:00", 7)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string, junk int") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .write.parquet(extra)
+    got = read_transcripts(spark, extra)
+    assert [f.dataType.simpleString() for f in got.schema.fields] == \
+        ["string", "int", "string", "string", "string", "timestamp"]
+    assert got.count() == 1 and "junk" not in got.columns
