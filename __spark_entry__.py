@@ -298,17 +298,23 @@ def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range (band) join: lineitem against a broadcast band dimension on an
-    interval predicate. At 100 TB one computes the band arithmetically
-    (constant-width bands fold to floor(price/width)); the explicit range
-    join form is kept because real band dims are irregular."""
-    li = _t(spark, sf_dir, "lineitem")
+    """Range (band) join: lineitem against a band dimension on a half-open
+    interval predicate, routed through operators/interval.interval_join
+    (bucket-binned EQUI-join + residual predicate, closed="left") — the
+    form that handles IRREGULAR band dims and still never plans a
+    BroadcastNestedLoopJoin: the join key is the bucket id, so at 100 TB
+    the fact side hash-joins on a long instead of nested-looping every
+    row against every band. (A truly constant-width band dim folds to
+    pure arithmetic floor(price/width); the join form is kept because
+    real band dims are irregular.)"""
+    from bloomfilter_spark.operators.interval import interval_join
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
     bands = spark.range(6).select(
         F.col("id").cast("int").alias("band"),
         (F.col("id") * 20000.0).alias("lo"),
         ((F.col("id") + 1) * 20000.0).alias("hi"))
-    j = li.join(F.broadcast(bands),
-                (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi))
+    j = interval_join(li, bands, "l_extendedprice", "lo", "hi",
+                      bucket_width=20000.0, closed="left")
     cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
     return j.groupBy("band").agg(F.count("*").alias("n_rows"),
                                  F.sum(cents).alias("price_cents"))

@@ -57,12 +57,19 @@ def suggest_bucket_width(intervals: DataFrame, lo_col: str, hi_col: str,
 def interval_join(points: DataFrame, intervals: DataFrame, point_col,
                   lo_col: str, hi_col: str, bucket_width: float,
                   equi_keys=None,
-                  max_buckets_per_interval: int = 10_000) -> DataFrame:
+                  max_buckets_per_interval: int = 10_000,
+                  closed: str = "both") -> DataFrame:
     """Inner-join every point row to every interval row with
     ``lo <= point <= hi`` (and optional extra equi keys), via bucket
     binning. Output columns = points' columns ++ intervals' columns
     (equi keys appear once). NULL points/bounds and empty (hi < lo)
     intervals match nothing, like the SQL BETWEEN they replace.
+
+    ``closed`` picks which bounds are inclusive: "both" (default, SQL
+    BETWEEN), "left" (lo <= p < hi — half-open price/histogram bands,
+    where a shared band edge must match exactly one band), "right"
+    (lo < p <= hi), "neither". Bucket binning is unaffected (buckets
+    over-approximate; the residual predicate decides).
 
     ``max_buckets_per_interval`` guards the explode: one open-ended
     interval would otherwise fan out into millions of rows. The check is
@@ -71,6 +78,8 @@ def interval_join(points: DataFrame, intervals: DataFrame, point_col,
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be > 0")
+    if closed not in ("both", "left", "right", "neither"):
+        raise ValueError(f"closed={closed!r}: expected both/left/right/neither")
     equi_keys = list(equi_keys) if equi_keys else []
     p = F.col(point_col) if isinstance(point_col, str) else point_col
     w = F.lit(float(bucket_width))
@@ -93,8 +102,11 @@ def interval_join(points: DataFrame, intervals: DataFrame, point_col,
     binned = points.withColumn("__ij_bucket",
                                F.floor(p / w).cast("long"))
     on = ["__ij_bucket", *equi_keys]
-    cond = (F.col(lo_col) <= p) & (p <= F.col(hi_col))
-    return binned.join(exploded, on, "inner").where(cond) \
+    lo_cmp = (F.col(lo_col) <= p) if closed in ("both", "left") \
+        else (F.col(lo_col) < p)
+    hi_cmp = (p <= F.col(hi_col)) if closed in ("both", "right") \
+        else (p < F.col(hi_col))
+    return binned.join(exploded, on, "inner").where(lo_cmp & hi_cmp) \
                  .drop("__ij_bucket")
 
 

@@ -29,7 +29,8 @@ from typing import Callable, Sequence
 from pyspark.sql import DataFrame
 
 from ..config import DEFAULT_SEED
-from ..operators.file_index import build_file_bloom_index
+from ..operators.file_index import (build_file_bloom_index,
+                                    build_file_minmax_index)
 
 
 def _local_parquet_files(path: str) -> set[str]:
@@ -55,13 +56,27 @@ class StreamingFileIndexer:
     ``list_files`` abstracts file enumeration (default: local FS listdir).
     On an object store, pass a lister for that filesystem; everything else
     is path-string bookkeeping and works unchanged.
+
+    ``range_cols`` + ``minmax_index_path``: also maintain the min/max
+    zone-map index (`build_file_minmax_index` — the RANGE-predicate
+    complement) over the SAME epoch state: both indexes cover exactly the
+    not-yet-indexed file sweep each batch, so neither ever needs a batch
+    rebuild for new files. The min/max agg is a second scan of ONLY the
+    new files (O(batch), page-cache-hot — they were just written); the
+    `indexed` set advances only after BOTH appends, so a crash between
+    them re-indexes the file into both tables on replay (duplicate index
+    rows are path-deduplicated by prune_files / prune_files_range).
     """
 
     def __init__(self, table_path: str, index_path: str,
                  cols: Sequence[str], fpr: float = 0.001,
                  seed: int = DEFAULT_SEED,
                  state_path: str | None = None,
-                 list_files: Callable[[str], set[str]] = _local_parquet_files):
+                 list_files: Callable[[str], set[str]] = _local_parquet_files,
+                 range_cols: Sequence[str] | None = None,
+                 minmax_index_path: str | None = None):
+        if (range_cols is None) != (minmax_index_path is None):
+            raise ValueError("range_cols and minmax_index_path go together")
         self.table_path = table_path
         self.index_path = index_path
         self.cols = [cols] if isinstance(cols, str) else list(cols)
@@ -69,6 +84,9 @@ class StreamingFileIndexer:
         self.seed = seed
         self.state_path = state_path
         self.list_files = list_files
+        self.range_cols = ([range_cols] if isinstance(range_cols, str)
+                           else list(range_cols)) if range_cols else None
+        self.minmax_index_path = minmax_index_path
         self.indexed: set[str] = set()
         self.last_epoch = -1
         self.files_indexed = 0  # metrics
@@ -77,7 +95,8 @@ class StreamingFileIndexer:
 
     # --- state ----------------------------------------------------------
     def _params(self) -> dict:
-        return {"cols": self.cols, "seed": self.seed, "fpr": self.fpr}
+        return {"cols": self.cols, "seed": self.seed, "fpr": self.fpr,
+                "range_cols": self.range_cols}
 
     def _restore(self) -> None:
         if not self.state_path or not os.path.exists(self.state_path):
@@ -94,6 +113,8 @@ class StreamingFileIndexer:
         with open(self.state_path, "rb") as fh:
             st = json.load(fh)
         saved = st.get("params")
+        if saved is not None:
+            saved = {"range_cols": None, **saved}  # pre-zone-map states
         if saved is not None and saved != self._params():
             # resuming with different key columns / seed / fpr would append
             # incompatible filters into one index — the same silent-merge
@@ -107,26 +128,35 @@ class StreamingFileIndexer:
         self.rows_indexed = st.get("rows_indexed", 0)
 
     def _files_already_indexed(self, spark) -> set[str]:
-        """Distinct file paths already present in the index table (empty
-        set if the table does not exist yet). Index rows store
+        """Distinct file paths already covered by EVERY maintained index
+        table (empty set if a table does not exist yet). With zone maps
+        on, a file is "indexed" only when present in BOTH tables — a file
+        a crash left in just one gets re-swept into both (duplicates
+        dedup at probe time), so a pruned range read can never silently
+        miss a file the bloom table alone knows about. Index rows store
         ``input_file_name()`` URIs (file:///...); normalize back to the
         plain paths ``list_files`` yields so set subtraction works. A
         custom object-store lister must yield paths matching its
         filesystem's input_file_name scheme (e.g. s3a://) for the
         bootstrap to recognize them."""
-        try:
-            rows = (spark.read.parquet(self.index_path)
-                    .select("file").distinct().collect())
-        except Exception:
-            return set()  # no index yet — fresh start
-
         def norm(p: str) -> str:
             if p.startswith("file:"):
                 from urllib.parse import unquote, urlparse
                 return unquote(urlparse(p).path)
             return p
 
-        return {norm(r["file"]) for r in rows}
+        def files_of(path: str) -> set[str]:
+            try:
+                rows = (spark.read.parquet(path)
+                        .select("file").distinct().collect())
+            except Exception:
+                return set()  # no index yet — fresh start
+            return {norm(r["file"]) for r in rows}
+
+        covered = files_of(self.index_path)
+        if self.minmax_index_path:
+            covered &= files_of(self.minmax_index_path)
+        return covered
 
     def _persist(self) -> None:
         if not self.state_path:
@@ -167,6 +197,12 @@ class StreamingFileIndexer:
             rows = idx.collect()
             spark.createDataFrame(rows, idx.schema) \
                  .write.mode("append").parquet(self.index_path)
+            if self.range_cols:
+                # zone-map upkeep in the SAME epoch: one more agg over
+                # only the just-indexed files (page-cache-hot)
+                build_file_minmax_index(spark, self.table_path,
+                                        self.range_cols, files=new) \
+                    .write.mode("append").parquet(self.minmax_index_path)
             self.rows_indexed += sum(r["n_rows"] for r in rows)
             self.files_indexed += len(new)
             self.indexed.update(new)

@@ -137,3 +137,86 @@ def test_streaming_index_stateless_restart_bootstraps_from_table(spark, tmp_path
     assert spark.read.parquet(table).count() == 200
     # the bootstrap recognized every previously indexed file
     assert b.files_indexed == len(files)
+
+
+def test_streaming_index_with_zone_maps(spark, tmp_path):
+    """Zone-map (min/max) upkeep rides the same epoch sweep as the Bloom
+    index: both tables cover every data file, a replayed epoch is a no-op
+    for both, a crash window that indexed only the Bloom side self-heals
+    (the file is re-swept into BOTH; duplicate rows dedup at probe time),
+    and a pruned range read equals the full scan."""
+    from bloomfilter_spark.operators.file_index import (prune_files_range,
+                                                        pruned_read_range)
+
+    src = _mk_source(spark, tmp_path)
+    table = str(tmp_path / "tz")
+    index = str(tmp_path / "iz")
+    minmax = str(tmp_path / "mz")
+    state = str(tmp_path / "sz.json")
+
+    def mk():
+        return StreamingFileIndexer(table, index, ["user_id"],
+                                    state_path=state,
+                                    range_cols=["user_id"],
+                                    minmax_index_path=minmax)
+
+    indexer = mk()
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream.writeStream.foreachBatch(indexer) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    data_files = {r["file"] for r in
+                  spark.read.parquet(table)
+                  .select(F.input_file_name().alias("file"))
+                  .distinct().collect()}
+    mm = spark.read.parquet(minmax)
+    assert {r["file"] for r in mm.select("file").collect()} == data_files
+
+    # range prune: only files overlapping [1000, 1500] survive, read is
+    # row-identical to the full-scan filter
+    kept = prune_files_range(mm, "user_id", 1000, 1500)
+    assert 1 <= len(kept) < len(data_files)
+    got = (pruned_read_range(spark, table, mm, "user_id", 1000, 1500)
+           .where(F.col("user_id").between(1000, 1500)))
+    assert got.count() == 501
+
+    # replayed epoch after restart: no-op for BOTH tables
+    n_idx = spark.read.parquet(index).count()
+    n_mm = mm.count()
+    b = mk()
+    b(spark.read.parquet(src).limit(1), 0)
+    assert spark.read.parquet(index).count() == n_idx
+    assert spark.read.parquet(minmax).count() == n_mm
+
+    # crash window: a data file present in the bloom index but NOT the
+    # zone maps (simulated by deleting the minmax table) is re-swept
+    # into both on a stateless restart
+    import shutil
+    shutil.rmtree(minmax)
+    c = StreamingFileIndexer(table, index, ["user_id"],
+                             range_cols=["user_id"],
+                             minmax_index_path=minmax)
+    c(spark.range(3000, 3100).select(F.col("id").alias("user_id"),
+                                     F.lit("y").alias("payload")), 0)
+    mm2 = spark.read.parquet(minmax)
+    data_files2 = {r["file"] for r in
+                   spark.read.parquet(table)
+                   .select(F.input_file_name().alias("file"))
+                   .distinct().collect()}
+    assert {r["file"] for r in mm2.select("file").collect()} == data_files2
+    # bloom table now holds duplicate rows for the re-swept files;
+    # prune_files dedups, so pruning still returns each file once
+    probe = spark.createDataFrame([(5,)], "user_id long")
+    idx2 = spark.read.parquet(index)
+    assert len(prune_files(idx2, ["user_id"], probe)) == \
+        len(set(prune_files(idx2, ["user_id"], probe)))
+
+
+def test_streaming_index_zone_map_param_validation(tmp_path):
+    import pytest
+    with pytest.raises(ValueError, match="go together"):
+        StreamingFileIndexer(str(tmp_path / "t"), str(tmp_path / "i"),
+                             ["user_id"], range_cols=["user_id"])

@@ -95,3 +95,23 @@ def test_sessionize_partition_invariant(spark, pts):
                for r in sessionize(ev.repartition(13), "user", "ts", 3.0)
                .collect())
     assert a == b
+
+
+def test_interval_join_closed_modes(spark):
+    """Points exactly on shared band edges: 'left' (half-open) assigns the
+    edge to exactly one band; 'both' matches it in two; 'right'/'neither'
+    mirror. Bucket binning must not lose any edge case."""
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 15.0), (4, 20.0)], "pid long, x double")
+    ivs = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 10.0, 20.0)], "iid long, lo double, hi double")
+    def got(closed):
+        return sorted((r["pid"], r["iid"]) for r in
+                      interval_join(pts, ivs, "x", "lo", "hi", 10.0,
+                                    closed=closed).collect())
+    assert got("both") == [(1, 100), (2, 100), (2, 200), (3, 200), (4, 200)]
+    assert got("left") == [(1, 100), (2, 200), (3, 200)]
+    assert got("right") == [(2, 100), (3, 200), (4, 200)]
+    assert got("neither") == [(3, 200)]
+    with pytest.raises(ValueError, match="closed"):
+        interval_join(pts, ivs, "x", "lo", "hi", 10.0, closed="open")
