@@ -60,15 +60,21 @@ def _small_star(e: DataFrame) -> DataFrame:
                  .distinct())
 
 
-def _signature(e: DataFrame):
-    """(count, xor-of-hash) set signature for convergence detection — one
-    map-side-combinable pass instead of an exceptAll shuffle. A false
-    'converged' needs a 64-bit xor collision between successive edge sets
-    (~2^-64); the result would still be a valid partial contraction, and
-    tests compare final labels against an exact oracle."""
-    row = e.agg(F.count("*").alias("c"),
-                F.bit_xor(F.xxhash64("u", "v")).alias("x")).collect()[0]
-    return row["c"], row["x"]
+def _is_star_forest(e: DataFrame) -> bool:
+    """Exact fixpoint test: a canonical edge set is a star forest iff no
+    node appears both as a member (u) and as a root (v) — members all
+    point directly at their star's root, which (u > v canonical form +
+    connectivity preservation, Kiveris et al. §3) is the component
+    minimum. Detecting the fixpoint THIS way ends the loop one full
+    large-star/small-star round earlier than comparing successive edge
+    sets (the fixpoint recomputation those need), and an input that is
+    already a forest — the common near-dup case of disjoint A~B pairs —
+    converges with ZERO rounds. Cost: one self semi-join on the (already
+    checkpointed) edge set per round, vs ~4 shuffles for the round it
+    replaces."""
+    return (e.select("v")
+             .join(e.select(F.col("u").alias("v")), "v", "left_semi")
+             .isEmpty())
 
 
 def connected_components(edges: DataFrame, src: str = "src",
@@ -88,28 +94,32 @@ def connected_components(edges: DataFrame, src: str = "src",
     high-degree stars. State lives entirely in the edge DataFrame — no
     driver materialization at any point.
 
+    Round cost (measured, interleaved min-of-5 on the bench graph):
+    convergence is detected by the `_is_star_forest` fixpoint test, one
+    round earlier than successive-edge-set comparison, and an input that
+    is already a star forest (disjoint near-dup pairs) runs zero rounds.
+    Per-round shuffle-partition scaling was evaluated and left out: AQE
+    partition coalescing (on via config.get_spark) already shrinks the
+    late rounds' tiny shuffles, so a manual per-round conf override adds
+    session-global mutation for no measured gain.
+
     ``_probe``: test hook, called with the round number each iteration.
     """
     e = _canonical(edges.select(F.col(src).alias("u"),
                                 F.col(dst).alias("v")))
     e = e.localCheckpoint(eager=True)
-    sig = _signature(e)
-    if sig[0] == 0:
-        return e.select(F.col("u").alias("node"),
-                        F.col("v").alias("component"))
-    for it in range(max_iter):
-        if _probe is not None:
-            _probe(it)
-        nxt = _canonical(_small_star(_large_star(e))).localCheckpoint(
-            eager=True)
-        nsig = _signature(nxt)
-        e, prev, sig = nxt, sig, nsig
-        if nsig == prev:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(needs O(log^2 n)); raise max_iter")
+    if not _is_star_forest(e):  # already-forest input: zero rounds
+        for it in range(max_iter):
+            if _probe is not None:
+                _probe(it)
+            e = _canonical(_small_star(_large_star(e))).localCheckpoint(
+                eager=True)
+            if _is_star_forest(e):
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds (needs O(log^2 n)); raise max_iter")
     # Converged star forest: edges are (member, root), member > root. A
     # node absent as a member is a component root -> labels itself.
     members = e.select(F.col("u").alias("node"),

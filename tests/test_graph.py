@@ -88,6 +88,19 @@ def test_cc_hot_hub_star(spark):
     assert got == {i: 0 for i in range(501)}
 
 
+def test_cc_forest_input_zero_rounds(spark):
+    """An input that is already a star forest (disjoint pairs — the common
+    near-dup shape) must converge with ZERO large/small-star rounds via
+    the _is_star_forest fixpoint test, and still label correctly."""
+    df = spark.createDataFrame([(i + 1000, i) for i in range(50)],
+                               "src long, dst long")
+    rounds = []
+    got = _labels(connected_components(df, _probe=rounds.append))
+    assert rounds == []
+    assert got == {**{i: i for i in range(50)},
+                   **{i + 1000: i for i in range(50)}}
+
+
 def test_cc_max_iter_raises(spark):
     edges = [(i, i + 1) for i in range(64)]
     df = spark.createDataFrame(edges, "src long, dst long")
