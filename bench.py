@@ -237,6 +237,17 @@ def main() -> None:
             t0 = time.time()
             fn()
             reps[name].append(round(time.time() - t0, 3))
+    # extra reps for the most steal-sensitive phase: sig_minhash_1m's rep
+    # spread has measured 80-367k docs/s across rounds (r4 list
+    # 11.3/22.1/3.7 s) — wide enough to hide a real 2x regression at
+    # min-of-3, so it gets min-of-5 (SPARK_GRAFT_MINHASH_REPS) while the
+    # cheap phases stay at `rounds`
+    n_mh = int(os.environ.get("SPARK_GRAFT_MINHASH_REPS", "5"))
+    mh_fn = dict(phases)["sig_minhash_1m"]
+    for _ in range(max(0, n_mh - rounds)):
+        t0 = time.time()
+        mh_fn()
+        reps["sig_minhash_1m"].append(round(time.time() - t0, 3))
     timings = {name: min(r) for name, r in reps.items()}
 
     idx_box["idx"].unpersist()
