@@ -220,7 +220,8 @@ def _band_table(signatures: DataFrame, id_col: str, bands: int, seed: int,
             .select(id_col, "bh.band", "bh.band_hash"))
 
 
-def _cap_band_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+def _cap_band_buckets(banded: DataFrame, max_bucket: int | None,
+                      bucket_cols: tuple = ("band", "band_hash")) -> DataFrame:
     """Drop (band, band_hash) buckets above ``max_bucket`` occupancy BEFORE
     any pairing join — the degenerate-bucket guard, mirroring the embedding
     path (similarity._neardup_candidates). A bucket of B members yields
@@ -240,7 +241,7 @@ def _cap_band_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
         return banded
     if max_bucket < 2:
         raise ValueError("max_bucket must be >= 2 (a pair needs 2 rows)")
-    w = Window.partitionBy("band", "band_hash")
+    w = Window.partitionBy(*bucket_cols)
     return (banded.withColumn("__occ", F.count("*").over(w))
                   .where(F.col("__occ") <= max_bucket).drop("__occ"))
 
@@ -516,10 +517,23 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
-                      max_hamming: int = 3, seed: int = DEFAULT_SEED) -> DataFrame:
+                      max_hamming: int = 3, seed: int = DEFAULT_SEED,
+                      max_bucket: int | None = 4096) -> DataFrame:
     """Near-dup pairs by SimHash. Candidates share at least one of four
     16-bit chunks (any pair within Hamming distance 3 must agree on >=1
-    chunk — pigeonhole); verified exactly with bit_count(xor)."""
+    chunk — pigeonhole); verified exactly with bit_count(xor).
+
+    ``max_bucket`` (default 4096; None disables) drops (chunk_id,
+    chunk_val) buckets above that occupancy before the self-join — the
+    same degenerate-bucket guard as the MinHash path (_cap_band_buckets),
+    and MORE important here: the bucket space is only 2^16 values per
+    chunk, so bucket occupancy grows LINEARLY with corpus size even on
+    benign data (10^9 docs -> ~15k docs per bucket -> quadratic single
+    tasks). At that scale prefer more/longer chunks (Manku et al. 2007's
+    table/permutation trade) — this guard keeps the 4x16 default from
+    melting down meanwhile. Same recall caveat: identical documents share
+    ALL chunks, so over-cap identical clusters must be exact-deduped
+    upstream."""
     sigs = simhash_signatures(df, id_col, text_col, seed).persist()
     chunks = sigs.select(
         id_col, "simhash",
@@ -529,6 +543,8 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                       .alias("chunk_val"))
             for i in range(4)])).alias("c")
     ).select(id_col, "simhash", "c.chunk_id", "c.chunk_val")
+    chunks = _cap_band_buckets(chunks, max_bucket,
+                               bucket_cols=("chunk_id", "chunk_val"))
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (a.join(b, on=[F.col("a.chunk_id") == F.col("b.chunk_id"),
                           F.col("a.chunk_val") == F.col("b.chunk_val"),

@@ -225,6 +225,31 @@ def test_minhash_join_max_bucket_cap(spark):
     assert {(i, i) for i in range(5)} <= real_pairs
 
 
+def test_simhash_max_bucket_cap(spark, documents):
+    """SimHash chunk banding has the same degenerate-bucket blowup (worse:
+    2^16 bucket space per chunk): 1k identical docs must be capped out of
+    the self-join while mutated near-dups of normal docs are still found
+    at the same recall as the uncapped run."""
+    from bloomfilter_spark.operators.dedup import simhash_near_dups
+    base = documents.limit(20).select("doc_id", "text")
+    mutated = base.select((F.col("doc_id") + 100000).alias("doc_id"),
+                          F.concat("text", F.lit(" q")).alias("text"))
+    hot = spark.range(1000).select(
+        (F.col("id") + 500000).alias("doc_id"),
+        F.lit("the same boilerplate document body").alias("text"))
+    corpus = base.unionByName(mutated).unionByName(hot)
+    free = simhash_near_dups(corpus, "doc_id", "text", max_hamming=3,
+                             max_bucket=None)
+    capped = simhash_near_dups(corpus, "doc_id", "text", max_hamming=3,
+                               max_bucket=32)
+    assert free.where("id_a >= 500000").count() == 1000 * 999 // 2
+    assert capped.where("id_a >= 500000").count() == 0
+    normal = (F.col("id_a") < 500000) & (F.col("id_b") < 500000)
+    got = {(r["id_a"], r["id_b"]) for r in capped.where(normal).collect()}
+    free_got = {(r["id_a"], r["id_b"]) for r in free.where(normal).collect()}
+    assert got == free_got and len(got) > 0
+
+
 def test_minhash_max_bucket_validation():
     from bloomfilter_spark.operators.dedup import _cap_band_buckets
     with pytest.raises(ValueError):
