@@ -223,13 +223,19 @@ def _band_table(signatures: DataFrame, id_col: str, bands: int, seed: int,
 def _cap_band_buckets(banded: DataFrame, max_bucket: int | None,
                       bucket_cols: tuple = ("band", "band_hash")) -> DataFrame:
     """Drop (band, band_hash) buckets above ``max_bucket`` occupancy BEFORE
-    any pairing join — the degenerate-bucket guard, mirroring the embedding
-    path (similarity._neardup_candidates). A bucket of B members yields
-    O(B^2) candidate pairs inside ONE join task; on a boilerplate-heavy
-    corpus (millions of identical/empty documents sharing every band hash)
-    that single task goes quadratic at 100 TB. The cap costs one extra
-    shuffle of the (8-byte-keyed) band table — a window count over the same
-    partitioning the join needs anyway.
+    any pairing join — the degenerate-bucket guard. A bucket of B members
+    yields O(B^2) candidate pairs inside ONE join task; on a
+    boilerplate-heavy corpus (millions of identical/empty documents
+    sharing every band hash) that single task goes quadratic at 100 TB.
+
+    Topology (same as the C4 line dedup's over-cap set): a map-side-
+    combined groupBy-count finds the over-cap bucket KEYS — a small,
+    anomalous set by definition — and a broadcast anti-join removes their
+    rows. This shuffles only per-partition count partials, NOT the band
+    table itself (a window count would re-shuffle every band row; measured
+    plans: +2 full-table exchanges). If an adversarial corpus ever pushed
+    the hot-key set past the broadcast budget, Catalyst/AQE degrades the
+    anti-join to a shuffled join on the 8-byte keys — slower, never wrong.
 
     Recall trade (documented, bounded): identical documents collide in ALL
     bands, so a cluster larger than the cap loses its pairs entirely —
@@ -241,9 +247,11 @@ def _cap_band_buckets(banded: DataFrame, max_bucket: int | None,
         return banded
     if max_bucket < 2:
         raise ValueError("max_bucket must be >= 2 (a pair needs 2 rows)")
-    w = Window.partitionBy(*bucket_cols)
-    return (banded.withColumn("__occ", F.count("*").over(w))
-                  .where(F.col("__occ") <= max_bucket).drop("__occ"))
+    cols = list(bucket_cols)
+    hot = (banded.groupBy(*cols).agg(F.count("*").alias("__occ"))
+                 .where(F.col("__occ") > max_bucket)
+                 .select(*cols))
+    return banded.join(F.broadcast(hot), cols, "left_anti")
 
 
 def minhash_lsh_candidates(signatures: DataFrame, id_col: str,

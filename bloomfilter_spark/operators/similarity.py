@@ -243,9 +243,12 @@ def _neardup_candidates(df: DataFrame, id_col: str, vec_col: str,
     sigs = df.select(id_col, vec_col).mapInPandas(all_buckets,
                                                   schema=sig_schema)
     if max_bucket is not None:
-        w = Window.partitionBy("table_id", "bucket")
-        sigs = (sigs.withColumn("__occ", F.count("*").over(w))
-                    .where(F.col("__occ") <= max_bucket).drop("__occ"))
+        # over-cap bucket keys via map-side-combined agg + broadcast
+        # anti-join — shuffles count partials, not the bucket table
+        # (shared topology + rationale: dedup._cap_band_buckets)
+        from .dedup import _cap_band_buckets
+        sigs = _cap_band_buckets(sigs, max_bucket,
+                                 bucket_cols=("table_id", "bucket"))
     a, b = sigs.alias("a"), sigs.alias("b")
     return (a.join(b, on=[F.col("a.table_id") == F.col("b.table_id"),
                           F.col("a.bucket") == F.col("b.bucket"),
