@@ -171,7 +171,8 @@ def read_transcripts(spark, path: str, format: str = "parquet",
                      mode: str = "FAILFAST", **options):
     """Read a transcript corpus in any of the at-rest formats real
     transcript pipelines deliver — parquet (columnar default), jsonl
-    (the interchange format agent frameworks emit), or csv — always
+    (the interchange format agent frameworks emit), csv, orc, or avro
+    (when the spark-avro connector is on the classpath) — always
     returning the EXACT input_hint schema (TRANSCRIPT_SCHEMA).
 
     Schema is imposed, not inferred: inference costs an extra pass over
@@ -201,5 +202,21 @@ def read_transcripts(spark, path: str, format: str = "parquet",
         return reader.json(path)
     if fmt == "csv":
         return reader.csv(path)
+    if fmt == "orc":
+        # ORC runtime ships with Spark; same imposed-schema semantics as
+        # parquet (embedded types must match; missing -> NULL, extra
+        # pruned)
+        return reader.orc(path)
+    if fmt == "avro":
+        # the spark-avro connector is a separate artifact not present in
+        # every deployment (absent in this sandbox); same imposed schema
+        # when available
+        try:
+            return reader.format("avro").load(path)
+        except Exception as e:  # pragma: no cover - env-dependent
+            raise RuntimeError(
+                "avro transcript ingestion needs the spark-avro connector "
+                "jar on the classpath (org.apache.spark:spark-avro)"
+            ) from e
     raise ValueError(f"unsupported transcript format {format!r} "
-                     "(parquet, jsonl, csv)")
+                     "(parquet, jsonl, csv, orc, avro)")

@@ -151,11 +151,18 @@ def test_read_transcripts_jsonl_csv_parity(spark, tmp_path):
     cv = str(tmp_path / "t.csv")
     (base.withColumn("ts", F.date_format("ts", ts_fmt))
          .write.option("header", "true").csv(cv))
+    oc = str(tmp_path / "t.orc")
+    base.withColumn("turn_idx", F.col("turn_idx").cast("int")) \
+        .write.orc(oc)
 
     def rows(df):
         return sorted(map(tuple, df.collect()))
 
     want = rows(read_transcripts(spark, pq))
+    got_o = read_transcripts(spark, oc, format="orc")
+    assert [f.dataType.simpleString() for f in got_o.schema.fields] == \
+        ["string", "int", "string", "string", "string", "timestamp"]
+    assert rows(got_o) == want
     got_j = read_transcripts(spark, jl, format="jsonl",
                              timestampFormat=ts_fmt)
     got_c = read_transcripts(spark, cv, format="csv", header=True,
@@ -177,7 +184,7 @@ def test_read_transcripts_jsonl_csv_parity(spark, tmp_path):
                          timestampFormat=ts_fmt).collect()
 
     with pytest.raises(ValueError, match="unsupported transcript format"):
-        read_transcripts(spark, pq, format="orc")
+        read_transcripts(spark, pq, format="xml")
 
 
 def test_read_transcripts_parquet_schema_imposed(spark, tmp_path):
@@ -207,3 +214,29 @@ def test_read_transcripts_parquet_schema_imposed(spark, tmp_path):
     assert [f.dataType.simpleString() for f in got.schema.fields] == \
         ["string", "int", "string", "string", "string", "timestamp"]
     assert got.count() == 1 and "junk" not in got.columns
+
+
+def test_read_transcripts_avro(spark, tmp_path):
+    """Avro ingestion under the same imposed schema. Env-gated: when a
+    deployment lacks the spark-avro connector the branch raises a clear
+    RuntimeError naming the artifact; with it (this Spark build bundles
+    it) the corpus round-trips with exact types (avro stores timestamps
+    as micros — read back as timestamp, turn_idx stays int)."""
+    import pytest
+    from bloomfilter_spark.sources.transcripts import (generate_pandas,
+                                                       read_transcripts)
+    pdf = generate_pandas(300)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    base = spark.createDataFrame(pdf)
+    av = str(tmp_path / "t.avro")
+    try:
+        base.write.format("avro").save(av)
+    except Exception:  # connector not deployable: assert the clear error
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_transcripts(spark, str(tmp_path / "x.avro"), format="avro")
+        return
+    got = read_transcripts(spark, av, format="avro")
+    assert [f.dataType.simpleString() for f in got.schema.fields] == \
+        ["string", "int", "string", "string", "string", "timestamp"]
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, base.collect()))
