@@ -228,3 +228,54 @@ def test_oph_identical_docs_identical_signatures(t):
     h, counts = _concat_shingle_hashes(enc, lens, k, 1)
     sig = _oph_signatures(h, counts, 64)
     assert np.array_equal(sig[0], sig[1])
+
+
+# --- Scalable Bloom (Almeida et al. 2007; Scalable/Mutable.hs design) -------
+
+sched = st.tuples(st.floats(0.001, 0.1), st.integers(8, 256),
+                  st.floats(0.2, 0.9))
+
+
+@settings(max_examples=40, deadline=None)
+@given(nonempty_hashes, st.lists(st.integers(0, 50), max_size=6), sched)
+def test_scalable_bloom_zero_fn_any_chunking(xs, sizes, s):
+    """Zero false negatives regardless of how inserts are chunked across
+    growth boundaries (the reference's prop_pai at unknown capacity)."""
+    from bloomfilter_spark.sketches.scalable import ScalableBloomFilter
+    err, cap0, tight = s
+    sbf = ScalableBloomFilter(err, cap0, tight)
+    for chunk in _chunks(xs, sizes):
+        if len(chunk):
+            sbf.update(_u64(chunk))
+    assert sbf.contains(_u64(xs)).all()
+    assert sbf.count == len(xs)
+
+
+@settings(max_examples=40, deadline=None)
+@given(nonempty_hashes, sched)
+def test_scalable_bloom_serialization_roundtrip(xs, s):
+    from bloomfilter_spark.sketches.scalable import ScalableBloomFilter
+    err, cap0, tight = s
+    sbf = ScalableBloomFilter(err, cap0, tight)
+    sbf.update(_u64(xs))
+    back = ScalableBloomFilter.from_bytes(sbf.to_bytes())
+    assert back.to_bytes() == sbf.to_bytes()
+    assert back.contains(_u64(xs)).all()
+    assert back.count == sbf.count
+    assert back.compound_error_bound() == sbf.compound_error_bound()
+
+
+@settings(max_examples=30, deadline=None)
+@given(nonempty_hashes, nonempty_hashes)
+def test_scalable_bloom_merge_superset(xs, ys):
+    """Level-wise merge (same schedule): the merged filter contains every
+    element of both inputs — the only law general scalable-merge supports
+    (histories differ, so byte-equality with a single-writer build is not
+    promised, unlike the sized BloomFilter)."""
+    from bloomfilter_spark.sketches.scalable import ScalableBloomFilter
+    a = ScalableBloomFilter(0.01, 64)
+    b = ScalableBloomFilter(0.01, 64)
+    a.update(_u64(xs))
+    b.update(_u64(ys))
+    a.merge(b)
+    assert a.contains(_u64(xs)).all() and a.contains(_u64(ys)).all()
