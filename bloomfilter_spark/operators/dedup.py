@@ -247,6 +247,10 @@ def _cap_band_buckets(banded: DataFrame, max_bucket: int | None,
         return banded
     if max_bucket < 2:
         raise ValueError("max_bucket must be >= 2 (a pair needs 2 rows)")
+    # NOTE: `banded` gains one extra consumer (the count agg) on top of
+    # the pairing join's two — derive it from a persisted signatures/
+    # buckets DataFrame so the expensive kernel runs once (the high-level
+    # ops all do).
     cols = list(bucket_cols)
     hot = (banded.groupBy(*cols).agg(F.count("*").alias("__occ"))
                  .where(F.col("__occ") > max_bucket)

@@ -242,6 +242,10 @@ def _neardup_candidates(df: DataFrame, id_col: str, vec_col: str,
 
     sigs = df.select(id_col, vec_col).mapInPandas(all_buckets,
                                                   schema=sig_schema)
+    # the bucket matmul is self-joined (2 consumers) and the cap adds a
+    # third (the over-cap count agg): persist so the corpus crosses the
+    # Arrow pipe once, like minhash_lsh_dedup persists its signatures
+    sigs = sigs.persist()
     if max_bucket is not None:
         # over-cap bucket keys via map-side-combined agg + broadcast
         # anti-join — shuffles count partials, not the bucket table
