@@ -4,8 +4,10 @@ from .sketch_stream import (SketchAccumulator,
                             stateful_grouped_heavy_hitters,
                             stateful_grouped_hll,
                             stateful_grouped_mg,
-                            stateful_grouped_quantile)
+                            stateful_grouped_quantile,
+                            stateful_grouped_theta)
 
 __all__ = ["BloomDedupStream", "StreamingFileIndexer", "SketchAccumulator",
            "stateful_grouped_hll", "stateful_grouped_quantile",
-           "stateful_grouped_heavy_hitters", "stateful_grouped_mg"]
+           "stateful_grouped_heavy_hitters", "stateful_grouped_mg",
+           "stateful_grouped_theta"]

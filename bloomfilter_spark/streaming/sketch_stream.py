@@ -128,6 +128,60 @@ def stateful_grouped_hll(stream_df: DataFrame, key_col: str, value_col: str,
                                           "update", GroupStateTimeout.NoTimeout))
 
 
+def stateful_grouped_theta(stream_df: DataFrame, key_col: str,
+                           value_col: str, k: int = 4096,
+                           seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-key running theta/KMV sketch over a stream. Unlike the HLL
+    variant this emits the MERGEABLE sketch blob alongside the estimate,
+    because theta is the set-EXPRESSION sketch: downstream jobs load the
+    per-key blobs and run intersections / a-not-b across keys or epochs
+    (sketches.theta_intersect/theta_a_not_b) — the algebra HLL state
+    cannot support. Output: (key, sketch binary, approx_distinct,
+    n_updates) per updated key per batch.
+
+    State hashes JVM-side with the engine's standard salted xxhash64 and
+    NULL values are dropped before hashing (prepare_input semantics), so
+    streaming state is merge-compatible with batch builds
+    (jvm_build.theta_build_jvm / agg.build_sketch) over the same column
+    at the same k — asserted by an exact-estimate-equality test, like the
+    streaming/batch HLL pair."""
+    from ..sketches.theta import ThetaSketch
+    ThetaSketch(k)  # validate k before any task runs
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("sketch", T.BinaryType()),
+        T.StructField("approx_distinct", T.DoubleType()),
+        T.StructField("n_updates", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("sketch", T.BinaryType()),
+        T.StructField("n_updates", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        n = 0
+        if state.exists:
+            blob, n = state.get
+            sk = ThetaSketch.from_bytes(bytes(blob))
+        else:
+            sk = ThetaSketch(k)
+        for pdf in pdfs:
+            sk.update(to_u64(pdf["__h"].to_numpy()))
+            n += len(pdf)
+        blob = sk.to_bytes()
+        state.update((blob, n))
+        yield pd.DataFrame({key_col: [key[0]], "sketch": [blob],
+                            "approx_distinct": [sk.estimate()],
+                            "n_updates": [n]})
+
+    hashed = (stream_df.where(F.col(value_col).isNotNull())
+              .select(F.col(key_col).cast("string").alias(key_col),
+                      F.xxhash64(F.lit(seed), F.col(value_col)).alias("__h")))
+    return (hashed.groupBy(key_col)
+                  .applyInPandasWithState(fn, out_schema, state_schema,
+                                          "update", GroupStateTimeout.NoTimeout))
+
+
 def stateful_grouped_quantile(stream_df: DataFrame, key_col: str,
                               value_col: str,
                               factory: Callable[[], Sketch] = None,

@@ -527,3 +527,52 @@ def test_stateful_grouped_mg_stream(spark, tmp_path, events):
     for r in res2.itertuples(index=False):
         cnt = ex_map[(r.event_type, r.user_id)]
         assert r.count_lo == cnt == r.count_hi, r
+
+
+def test_stateful_grouped_theta_stream(spark, tmp_path, events):
+    """Per-key streaming theta: estimates track exact distincts, the final
+    streaming state EQUALS the batch JVM build's estimate exactly (same
+    salted hash + k), and the emitted blobs support cross-key set algebra
+    (intersection of two keys' streamed sketches vs exact overlap)."""
+    from bloomfilter_spark.jvm_build import theta_build_jvm
+    from bloomfilter_spark.sketches import ThetaSketch, theta_intersect
+    from bloomfilter_spark.streaming import stateful_grouped_theta
+
+    src = str(tmp_path / "th_src")
+    events.repartition(2).write.parquet(src)
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful_grouped_theta(stream, "event_type", "user_id", k=1024)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("theta_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    final = {r["event_type"]: r for r in spark.sql("""
+        SELECT event_type, sketch, approx_distinct FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY n_updates DESC) AS rk
+          FROM theta_stream) WHERE rk = 1""").collect()}
+    exact = {r["event_type"]: r["d"] for r in
+             events.where(F.col("user_id").isNotNull())
+                   .groupBy("event_type")
+                   .agg(F.countDistinct("user_id").alias("d")).collect()}
+    assert set(final) == set(exact)
+    for et, row in final.items():
+        # streaming == batch, exactly (merge-compatible state)
+        batch = theta_build_jvm(
+            events.where(F.col("event_type") == et), ["user_id"], k=1024)
+        assert row["approx_distinct"] == batch.estimate()
+        assert abs(row["approx_distinct"] - exact[et]) / max(exact[et], 1) < 0.2
+
+    # cross-key set algebra on the STREAMED blobs
+    ets = sorted(final)[:2]
+    a = ThetaSketch.from_bytes(bytes(final[ets[0]]["sketch"]))
+    b = ThetaSketch.from_bytes(bytes(final[ets[1]]["sketch"]))
+    inter = theta_intersect(a, b).estimate()
+    exact_i = (events.where(F.col("event_type") == ets[0])
+               .select("user_id").distinct()
+               .intersect(events.where(F.col("event_type") == ets[1])
+                          .select("user_id").distinct()).count())
+    import math
+    exact_u = (events.where(F.col("event_type").isin(ets))
+               .select("user_id").distinct().count())
+    assert abs(inter - exact_i) <= 4 * math.sqrt(max(exact_i, 1) * exact_u / 1024) + 1
