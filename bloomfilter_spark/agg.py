@@ -440,14 +440,17 @@ def _cached_sketch(bc, cls) -> Sketch:
 def with_membership(df: DataFrame, bloom, cols, out_col: str = "is_member",
                     seed: int = DEFAULT_SEED) -> DataFrame:
     """Broadcast-sketch membership column (elem equivalent, §3.2): probe
-    hashes computed JVM-side, bit tests vectorized per Arrow batch."""
-    from .sketches.bloom import BloomFilter
+    hashes computed JVM-side, bit tests vectorized per Arrow batch.
 
+    Accepts any hash-keyed sketch with a vectorized ``contains``
+    (BloomFilter, ScalableBloomFilter — the latter ORs across its levels
+    inside one probe)."""
+    cls = type(bloom)
     bc = _broadcast_sketch(df, bloom)
 
     @F.pandas_udf("boolean")
     def contains(h: pd.Series) -> pd.Series:
-        sk = _cached_sketch(bc, BloomFilter)
+        sk = _cached_sketch(bc, cls)
         return pd.Series(sk.contains(to_u64(h.to_numpy())))
 
     cs = _cols(cols)

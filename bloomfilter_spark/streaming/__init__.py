@@ -1,4 +1,4 @@
-from .dedup_stream import BloomDedupStream
+from .dedup_stream import BloomDedupStream, ScalableBloomDedupStream
 from .index_stream import StreamingFileIndexer
 from .sketch_stream import (SketchAccumulator,
                             stateful_grouped_heavy_hitters,
@@ -7,7 +7,8 @@ from .sketch_stream import (SketchAccumulator,
                             stateful_grouped_quantile,
                             stateful_grouped_theta)
 
-__all__ = ["BloomDedupStream", "StreamingFileIndexer", "SketchAccumulator",
+__all__ = ["BloomDedupStream", "ScalableBloomDedupStream",
+           "StreamingFileIndexer", "SketchAccumulator",
            "stateful_grouped_hll", "stateful_grouped_quantile",
            "stateful_grouped_heavy_hitters", "stateful_grouped_mg",
            "stateful_grouped_theta"]

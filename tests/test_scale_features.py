@@ -576,3 +576,84 @@ def test_stateful_grouped_theta_stream(spark, tmp_path, events):
     exact_u = (events.where(F.col("event_type").isin(ets))
                .select("user_id").distinct().count())
     assert abs(inter - exact_i) <= 4 * math.sqrt(max(exact_i, 1) * exact_u / 1024) + 1
+
+
+def test_scalable_bloom_dedup_stream_grows_and_dedups(spark, tmp_path,
+                                                      events):
+    """Unknown-capacity streaming dedup: with initial_capacity far below
+    the key cardinality the state must GROW across micro-batches (multiple
+    levels), still emit exactly the first-seen set (zero FN across levels;
+    no FP fired at this size), and report the honest analytic compound
+    bound."""
+    from bloomfilter_spark.streaming import ScalableBloomDedupStream
+
+    src = str(tmp_path / "sc_src")
+    keyed = events.select("event_id", "event_type").where(
+        F.col("event_id").isNotNull())
+    for _ in range(2):  # every key duplicated across batches
+        keyed.repartition(8).write.mode("append").parquet(src)
+
+    out: list = []
+    dedup = ScalableBloomDedupStream(
+        ["event_id"], err_rate=0.001, initial_capacity=256,
+        sink=lambda df, e: out.append(df.toPandas()),
+        state_dir=str(tmp_path / "sc_state"))
+    stream = (spark.readStream.schema(keyed.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream.writeStream.foreachBatch(dedup) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    import pandas as pd
+    emitted = pd.concat(out, ignore_index=True)
+    exact_ids = {r["event_id"] for r in keyed.distinct().collect()}
+    got = set(emitted["event_id"])
+    # zero FN across levels: no key emitted twice, nothing outside exact
+    assert emitted["event_id"].is_unique
+    assert got <= exact_ids
+    # FP drops are the documented trade: bounded by the honest compound
+    # bound (with slack for the small-n binomial tail)
+    misses = len(exact_ids) - len(got)
+    bound = dedup.compound_bound()
+    assert misses <= max(5, 4 * bound * len(exact_ids)), (misses, bound)
+    assert len(dedup.sbf.filters) > 1          # capacity was unknown: grew
+    assert dedup.sbf.count == len(got)
+    assert 0.0 < bound < 1.0
+
+
+def test_scalable_bloom_dedup_stream_restart_and_levels(spark, tmp_path,
+                                                        events):
+    """Restart restores the multi-level state byte-exactly: the replayed
+    epoch is a no-op, later overlapping epochs emit only genuinely new
+    keys, and levels keep growing on the restored schedule."""
+    from bloomfilter_spark.streaming import ScalableBloomDedupStream
+
+    parts = [events.where(F.col("event_id") % 2 == i)
+                   .select("event_id", "event_type") for i in range(2)]
+    state = str(tmp_path / "sc_state2")
+    out: list = []
+    sink = lambda df, e: out.append(df.toPandas())  # noqa: E731
+
+    d1 = ScalableBloomDedupStream(["event_id"], err_rate=0.001,
+                                  initial_capacity=1024, sink=sink,
+                                  state_dir=state)
+    d1(parts[0], 0)
+    levels_after_0 = len(d1.sbf.filters)
+    d2 = ScalableBloomDedupStream(["event_id"], err_rate=0.001,
+                                  initial_capacity=1024, sink=sink,
+                                  state_dir=state)
+    assert d2.last_epoch == 0
+    assert d2.sbf.to_bytes() == d1.sbf.to_bytes()  # byte-exact restore
+    d2(parts[0], 0)                                # replay -> no-op
+    assert d2.sbf.to_bytes() == d1.sbf.to_bytes()
+    d2(parts[0].unionByName(parts[1]), 1)          # half dupes, half new
+    assert len(d2.sbf.filters) >= levels_after_0
+    import pandas as pd
+    emitted = pd.concat(out, ignore_index=True)
+    exact = {r["event_id"] for r in events.where(F.col("event_id").isNotNull())
+                                          .select("event_id").distinct().collect()}
+    got = set(emitted["event_id"])
+    assert emitted["event_id"].is_unique       # no duplicate emission
+    assert got <= exact
+    misses = len(exact) - len(got)
+    assert misses <= max(5, 4 * d2.compound_bound() * len(exact))
