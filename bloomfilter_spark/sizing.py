@@ -67,3 +67,165 @@ def analytic_fpr(m: int, k: int, n: int) -> float:
     if n == 0:
         return 0.0
     return (1.0 - math.exp(-k * n / m)) ** k
+
+
+# ---------------------------------------------------------------------------
+# Family-wide sizing: the reference's suggestSizing idea (target accuracy ->
+# parameters), generalized to every mergeable family in the engine. Each
+# helper inverts the SAME bound formula the corresponding kernel reports
+# (sketches/*.py error_bound / rank_error_bound / estimate docs), so a
+# sketch built at the suggested size is exactly the one whose observed error
+# the kernel tests already validate. All return (params..., predicted_error,
+# state_bytes); predicted error never exceeds the requested target.
+#
+# Published bounds inverted:
+#   HLL   RSE ~ 1.04/sqrt(m), m = 2^p        (Flajolet et al. 2007)
+#   CMS   overcount <= (e/width)*N w.p. 1-delta, depth = ln(1/delta)
+#                                             (Cormode & Muthukrishnan 2005)
+#   KLL   normalized rank error ~ 1.7/k      (Karnin, Lang & Liberty 2016;
+#                                             kll.py rank_error_bound)
+#   theta/KMV  RSE ~ 1/sqrt(k-2)             (Beyer et al., SIGMOD 2007)
+#   MG    undercount <= n/(k+1)              (Misra & Gries 1982)
+#   t-digest   rank error at q ~ pi*sqrt(q(1-q))/delta for the k1 scale
+#              (Dunning & Ertl 2019; derived from tdigest.py's arcsine
+#              cluster assignment: dk/dq = delta/(2*pi*sqrt(q(1-q))), one
+#              cluster spans delta-k of 1, interpolation error ~ half span)
+# ---------------------------------------------------------------------------
+
+
+def _require_frac(name: str, x: float) -> None:
+    if not (0.0 < x < 1.0):
+        raise SizingError(f"invalid {name} (need 0 < {name} < 1, got {x!r})")
+
+
+def suggest_hll_precision(rel_std_error: float) -> tuple[int, float, int]:
+    """Smallest HLL precision p in [4, 18] with 1.04/sqrt(2^p) <= target.
+
+    Returns (p, predicted_rse, dense_state_bytes). Raises SizingError if the
+    target needs p > 18 (the kernel's cap — registers would exceed 256 KiB;
+    use a theta sketch for tighter RSE at that point).
+    """
+    _require_frac("rel_std_error", rel_std_error)
+    m_needed = (1.04 / rel_std_error) ** 2
+    p = max(4, math.ceil(math.log2(m_needed)))
+    if p > 18:
+        raise SizingError(
+            f"rel_std_error {rel_std_error} needs p={p} > 18; use "
+            "suggest_theta_k for sub-0.3% RSE")
+    return p, 1.04 / math.sqrt(1 << p), (1 << p)
+
+
+def suggest_cms_dims(eps: float, delta: float) -> tuple[int, int, int]:
+    """(width, depth, state_bytes) so any point query overcounts by at most
+    eps*N with probability >= 1-delta. Identical formulas to the
+    CountMinSketch constructor (width = ceil(e/eps), depth = ceil(ln 1/d)),
+    exposed so callers can budget memory before building."""
+    _require_frac("eps", eps)
+    _require_frac("delta", delta)
+    width = math.ceil(math.e / eps)
+    depth = max(1, math.ceil(math.log(1.0 / delta)))
+    return width, depth, width * depth * 8
+
+
+def suggest_kll_k(rank_error: float) -> tuple[int, float, int]:
+    """Smallest k with the kernel's reported bound 1.7/k <= target.
+
+    Returns (k, predicted_error, approx_state_bytes). State: level
+    capacities are k * (2/3)^i, so total retained items <= 3k float64s
+    (kll.py cap machinery) — the byte figure is that worst case."""
+    _require_frac("rank_error", rank_error)
+    k = max(8, math.ceil(1.7 / rank_error))
+    return k, 1.7 / k, 3 * k * 8
+
+
+def suggest_theta_k(rel_std_error: float) -> tuple[int, float, int]:
+    """Smallest power-of-two k (>= 16) with KMV RSE 1/sqrt(k-2) <= target.
+
+    Power-of-two because theta unions re-trim to min(k) across operands;
+    pow-2 sizes nest cleanly (same convention as the Bloom sizer's bit
+    rounding). Returns (k, predicted_rse, max_state_bytes)."""
+    _require_frac("rel_std_error", rel_std_error)
+    k = next_power_of_two(max(16, math.ceil(1.0 / rel_std_error**2 + 2)))
+    return k, 1.0 / math.sqrt(k - 2), k * 8
+
+
+def suggest_mg_k(eps: float) -> tuple[int, int]:
+    """Smallest counter budget k with undercount bound n/(k+1) <= eps*n,
+    i.e. k = ceil(1/eps) - 1. Returns (k, state_bytes) — the bound is
+    deterministic (no delta) and scale-free, so there is no predicted-error
+    component beyond eps itself."""
+    _require_frac("eps", eps)
+    k = max(1, math.ceil(1.0 / eps) - 1)
+    if (k + 1) * eps < 1.0:  # ceil boundary: guarantee n/(k+1) <= eps*n
+        k += 1
+    return k, 16 * k
+
+
+def suggest_tdigest_delta(mid_rank_error: float) -> tuple[int, float, int]:
+    """Smallest compression delta whose k1-scale interior rank error at the
+    median, pi/(2*delta), meets the target. Error at other quantiles is
+    SMALLER by sqrt(q(1-q))/0.5 (the arcsine scale spends resolution on the
+    tails), so the median is the honest worst case to size against.
+
+    Returns (delta, predicted_mid_error, max_state_bytes): the kernel's
+    floor(k(q)) clustering keeps at most delta/2 + 1 centroids of 16 bytes.
+    """
+    _require_frac("mid_rank_error", mid_rank_error)
+    delta = max(10, math.ceil(math.pi / (2.0 * mid_rank_error)))
+    return delta, math.pi / (2.0 * delta), 16 * (delta // 2 + 1)
+
+
+def tdigest_rank_error(delta: int, q: float) -> float:
+    """Predicted k1-scale rank error at quantile q for compression delta."""
+    if delta <= 0:
+        raise SizingError("invalid delta")
+    _require_frac("q", q)
+    return math.pi * math.sqrt(q * (1.0 - q)) / delta
+
+
+def suggest_sketch(kind: str, **targets) -> dict:
+    """One-call dispatcher: target accuracy -> constructor kwargs + budget.
+
+    Returns {"kind", "params" (constructor kwargs for the matching
+    sketches.* class), "predicted_error", "state_bytes"}. Kinds and their
+    targets:
+
+      bloom  capacity=, err_rate=          -> num_bits/num_hashes
+      hll    rel_std_error=                -> p
+      cms    eps=, delta=                  -> width/depth
+      kll    rank_error=                   -> k
+      theta  rel_std_error=                -> k
+      mg     eps=                          -> k
+      tdigest mid_rank_error=              -> delta
+    """
+    kind = kind.lower()
+    if kind == "bloom":
+        bits, k = safe_suggest_sizing(targets["capacity"], targets["err_rate"])
+        return {"kind": kind, "params": {"num_bits": bits, "num_hashes": k},
+                "predicted_error": analytic_fpr(bits, k, targets["capacity"]),
+                "state_bytes": bits // 8}
+    if kind == "hll":
+        p, err, nbytes = suggest_hll_precision(targets["rel_std_error"])
+        return {"kind": kind, "params": {"p": p},
+                "predicted_error": err, "state_bytes": nbytes}
+    if kind == "cms":
+        w, d, nbytes = suggest_cms_dims(targets["eps"], targets["delta"])
+        return {"kind": kind, "params": {"width": w, "depth": d},
+                "predicted_error": targets["eps"], "state_bytes": nbytes}
+    if kind == "kll":
+        k, err, nbytes = suggest_kll_k(targets["rank_error"])
+        return {"kind": kind, "params": {"k": k},
+                "predicted_error": err, "state_bytes": nbytes}
+    if kind == "theta":
+        k, err, nbytes = suggest_theta_k(targets["rel_std_error"])
+        return {"kind": kind, "params": {"k": k},
+                "predicted_error": err, "state_bytes": nbytes}
+    if kind == "mg":
+        k, nbytes = suggest_mg_k(targets["eps"])
+        return {"kind": kind, "params": {"k": k},
+                "predicted_error": targets["eps"], "state_bytes": nbytes}
+    if kind == "tdigest":
+        delta, err, nbytes = suggest_tdigest_delta(targets["mid_rank_error"])
+        return {"kind": kind, "params": {"delta": delta},
+                "predicted_error": err, "state_bytes": nbytes}
+    raise SizingError(f"unknown sketch kind {kind!r}")

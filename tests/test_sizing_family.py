@@ -1,0 +1,187 @@
+"""Family-wide sizing calculators (sizing.py, north-star 'suggestSizing-
+equivalent calculator' generalized): each suggested size is validated two
+ways — the formula inverts the kernel's own reported bound exactly, and a
+sketch BUILT at the suggested size meets the requested target empirically
+on synthetic data (3x margin where the bound is a standard error, exact
+where it is deterministic). Pure-kernel tests: no Spark session."""
+
+import math
+
+import numpy as np
+import pytest
+
+from bloomfilter_spark.sizing import (SizingError, analytic_fpr,
+                                      suggest_cms_dims, suggest_hll_precision,
+                                      suggest_kll_k, suggest_mg_k,
+                                      suggest_sketch, suggest_tdigest_delta,
+                                      suggest_theta_k, tdigest_rank_error)
+from bloomfilter_spark.sketches import (KLL, BloomFilter, CountMinSketch,
+                                        HyperLogLog, MisraGries, TDigest,
+                                        ThetaSketch)
+from bloomfilter_spark.util import splitmix64
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xC0FFEE)
+
+
+# --- formula inversions --------------------------------------------------
+
+def test_hll_precision_inverts_rse_formula():
+    for target in (0.2, 0.05, 0.02, 0.01, 0.005):
+        p, pred, nbytes = suggest_hll_precision(target)
+        assert pred <= target
+        assert 4 <= p <= 18 and nbytes == 1 << p
+        if p > 4:  # minimality: one precision down must miss the target
+            assert 1.04 / math.sqrt(1 << (p - 1)) > target
+    with pytest.raises(SizingError):
+        suggest_hll_precision(0.0005)  # needs p > 18
+    with pytest.raises(SizingError):
+        suggest_hll_precision(0.0)
+
+
+def test_cms_dims_match_constructor():
+    w, d, nbytes = suggest_cms_dims(1e-4, 1e-3)
+    sk = CountMinSketch(eps=1e-4, delta=1e-3)
+    assert (w, d) == (sk.width, sk.depth)
+    assert nbytes == sk.table.nbytes
+    with pytest.raises(SizingError):
+        suggest_cms_dims(0, 0.1)
+    with pytest.raises(SizingError):
+        suggest_cms_dims(0.1, 1.0)
+
+
+def test_kll_k_inverts_kernel_bound():
+    for target in (0.02, 0.01, 0.0085, 0.001):
+        k, pred, _ = suggest_kll_k(target)
+        assert pred <= target
+        assert KLL(k).rank_error_bound() <= target  # the kernel's own bound
+        assert KLL(k - 1).rank_error_bound() > target or k == 8
+
+
+def test_theta_k_pow2_and_bound():
+    for target in (0.1, 0.05, 0.02, 0.01):
+        k, pred, nbytes = suggest_theta_k(target)
+        assert k & (k - 1) == 0 and k >= 16
+        assert pred <= target and nbytes == 8 * k
+        assert 1.0 / math.sqrt(k // 2 - 2) > target  # pow-2 minimality
+
+
+def test_mg_k_guarantees_deterministic_bound():
+    for eps in (0.5, 0.1, 0.01, 1 / 3):
+        k, nbytes = suggest_mg_k(eps)
+        # the kernel's bound is dec <= n/(k+1); need n/(k+1) <= eps*n
+        assert 1.0 / (k + 1) <= eps + 1e-12
+        assert nbytes == 16 * k
+
+
+def test_tdigest_delta_and_tail_error_profile():
+    delta, pred, nbytes = suggest_tdigest_delta(0.005)
+    assert pred <= 0.005
+    assert nbytes == 16 * (delta // 2 + 1)
+    # arcsine scale: tails strictly sharper than the median
+    assert tdigest_rank_error(delta, 0.01) < tdigest_rank_error(delta, 0.5)
+    assert tdigest_rank_error(delta, 0.5) == pred
+
+
+def test_dispatcher_params_construct_real_sketches():
+    cases = {
+        "bloom": dict(capacity=10_000, err_rate=0.01),
+        "hll": dict(rel_std_error=0.02),
+        "cms": dict(eps=1e-3, delta=0.01),
+        "kll": dict(rank_error=0.01),
+        "theta": dict(rel_std_error=0.02),
+        "mg": dict(eps=0.01),
+        "tdigest": dict(mid_rank_error=0.01),
+    }
+    classes = {"bloom": BloomFilter, "hll": HyperLogLog,
+               "cms": CountMinSketch, "kll": KLL, "theta": ThetaSketch,
+               "mg": MisraGries, "tdigest": TDigest}
+    for kind, targets in cases.items():
+        out = suggest_sketch(kind, **targets)
+        sk = classes[kind](**out["params"])  # kwargs really construct
+        assert out["state_bytes"] > 0
+        assert 0 < out["predicted_error"] < 1
+        assert sk is not None
+    with pytest.raises(SizingError):
+        suggest_sketch("cuckoo", eps=0.1)
+
+
+# --- empirical: a sketch built at the suggested size meets the target ----
+
+def test_sized_hll_meets_target(rng):
+    target = 0.02
+    p, _, _ = suggest_hll_precision(target)
+    vals = rng.integers(0, 200_000, 600_000, dtype=np.int64)
+    exact = len(np.unique(vals))
+    sk = HyperLogLog(p)
+    sk.update(splitmix64(vals.view(np.uint64)))
+    assert abs(sk.estimate() - exact) / exact <= 3 * target
+
+
+def test_sized_cms_meets_target(rng):
+    eps, delta = 2e-4, 1e-3
+    w, d, _ = suggest_cms_dims(eps, delta)
+    keys = rng.zipf(1.3, 300_000).astype(np.int64) % 50_000
+    sk = CountMinSketch(width=w, depth=d)
+    h = splitmix64(keys.view(np.uint64))
+    sk.update(h)
+    uk, cnt = np.unique(keys, return_counts=True)
+    est = sk.query(splitmix64(uk.view(np.uint64)))
+    assert (est >= cnt).all()  # zero undercount
+    n = keys.size
+    # eps*N bound holds for >= 1-delta of queries; assert all within 2x
+    assert (est - cnt <= 2 * eps * n).all()
+
+
+def test_sized_kll_meets_target(rng):
+    target = 0.01
+    k, _, _ = suggest_kll_k(target)
+    x = rng.lognormal(2.0, 1.0, 400_000)
+    sk = KLL(k)
+    sk.update(x)
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        true_rank = (x <= sk.quantile(q)).mean()
+        assert abs(true_rank - q) <= 3 * target
+
+
+def test_sized_theta_meets_target(rng):
+    target = 0.02
+    k, _, _ = suggest_theta_k(target)
+    vals = rng.integers(0, 150_000, 400_000, dtype=np.int64)
+    exact = len(np.unique(vals))
+    sk = ThetaSketch(k)
+    sk.update(splitmix64(vals.view(np.uint64)))
+    assert abs(sk.estimate() - exact) / exact <= 3 * target
+
+
+def test_sized_mg_meets_target(rng):
+    eps = 0.005
+    k, _ = suggest_mg_k(eps)
+    keys = rng.zipf(1.5, 200_000).astype(np.int64) % 10_000
+    sk = MisraGries(k)
+    sk.update(splitmix64(keys.view(np.uint64)))
+    assert sk.error_bound() <= eps * keys.size  # deterministic, no margin
+
+
+def test_sized_tdigest_meets_target(rng):
+    target = 0.005
+    delta, _, _ = suggest_tdigest_delta(target)
+    x = rng.gamma(2.0, 3.0, 400_000)
+    sk = TDigest(delta)
+    sk.update(x)
+    for q in (0.1, 0.5, 0.9):
+        true_rank = (x <= sk.quantile(q)).mean()
+        assert abs(true_rank - q) <= 3 * target
+    # centroid budget claim from the sizer holds post-build
+    sk._flush()
+    assert sk.means.size <= delta // 2 + 1
+
+
+def test_bloom_dispatcher_fpr_roundtrip():
+    out = suggest_sketch("bloom", capacity=50_000, err_rate=0.01)
+    m = out["params"]["num_bits"]
+    k = out["params"]["num_hashes"]
+    assert analytic_fpr(m, k, 50_000) <= 0.01
+    assert out["state_bytes"] == m // 8
