@@ -22,6 +22,10 @@ section) the same way dedup.py's MinHash does.
 
 from __future__ import annotations
 
+import json
+import os
+import time
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -77,8 +81,50 @@ def _is_star_forest(e: DataFrame) -> bool:
              .isEmpty())
 
 
+def _cc_state_path(checkpoint_dir: str, rnd: int) -> str:
+    return os.path.join(checkpoint_dir, f"round_{rnd:04d}")
+
+
+def _cc_checkpoint(e: DataFrame, checkpoint_dir: str, rnd: int,
+                   input_edges: int) -> None:
+    """Persist the post-round edge state + a lineage record. The lineage
+    line is appended only after the parquet write succeeds, so a crash
+    between the two loses at most one round (the state dir is rewritten
+    with mode=overwrite on the retried round)."""
+    path = _cc_state_path(checkpoint_dir, rnd)
+    e.write.mode("overwrite").parquet(path)
+    n = e.count()
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    with open(os.path.join(checkpoint_dir, "lineage.jsonl"), "a") as fh:
+        fh.write(json.dumps({"round": rnd, "edges": n,
+                             "input_edges": input_edges,
+                             "ts": time.time()}) + "\n")
+
+
+def _cc_resume(spark, checkpoint_dir: str, input_edges: int):
+    """(next_round, state DataFrame) from the newest complete checkpoint,
+    or None when the directory holds nothing usable."""
+    lineage_path = os.path.join(checkpoint_dir, "lineage.jsonl")
+    if not os.path.exists(lineage_path):
+        return None
+    with open(lineage_path) as fh:
+        entries = [json.loads(line) for line in fh if line.strip()]
+    for ent in reversed(entries):
+        path = _cc_state_path(checkpoint_dir, ent["round"])
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            if ent["input_edges"] != input_edges:
+                raise ValueError(
+                    f"checkpoint at {checkpoint_dir} was built from "
+                    f"{ent['input_edges']} canonical edges; this input has "
+                    f"{input_edges} — refusing to resume a different graph")
+            return ent["round"] + 1, spark.read.parquet(path)
+    return None
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", *, max_iter: int = 50,
+                         checkpoint_dir: str | None = None,
+                         checkpoint_every: int = 1,
                          _probe=None) -> DataFrame:
     """Connected components of the undirected graph given as an edge list.
 
@@ -103,17 +149,40 @@ def connected_components(edges: DataFrame, src: str = "src",
     late rounds' tiny shuffles, so a manual per-round conf override adds
     session-global mutation for no measured gain.
 
+    ``checkpoint_dir``: opt-in resumability (north rule: resume from
+    checkpoint without re-scanning completed work, same contract as
+    `checkpoint.checkpointed_build`). Every ``checkpoint_every`` rounds the
+    post-round edge state is written to ``<dir>/round_NNNN`` parquet and a
+    lineage record (round, edge count, input fingerprint, timestamp) is
+    appended to ``<dir>/lineage.jsonl`` — the same driver-visible-path
+    convention as checkpoint.py. A re-run with the same dir restarts from
+    the newest complete round (a run that had converged restores the star
+    forest and executes ZERO further rounds); an input whose canonical edge
+    count differs raises rather than silently mixing graphs. Cost when
+    enabled: one parquet write + one count per checkpointed round.
+
     ``_probe``: test hook, called with the round number each iteration.
     """
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     e = _canonical(edges.select(F.col(src).alias("u"),
                                 F.col(dst).alias("v")))
+    start_round = 0
+    input_edges = None
+    if checkpoint_dir is not None:
+        input_edges = e.count()
+        resumed = _cc_resume(edges.sparkSession, checkpoint_dir, input_edges)
+        if resumed is not None:
+            start_round, e = resumed
     e = e.localCheckpoint(eager=True)
     if not _is_star_forest(e):  # already-forest input: zero rounds
-        for it in range(max_iter):
+        for it in range(start_round, max_iter):
             if _probe is not None:
                 _probe(it)
             e = _canonical(_small_star(_large_star(e))).localCheckpoint(
                 eager=True)
+            if checkpoint_dir is not None and (it + 1) % checkpoint_every == 0:
+                _cc_checkpoint(e, checkpoint_dir, it, input_edges)
             if _is_star_forest(e):
                 break
         else:
@@ -139,7 +208,8 @@ def connected_components(edges: DataFrame, src: str = "src",
 
 def dedup_near_duplicates(df: DataFrame, pairs: DataFrame, id_col: str,
                           src: str = "id_a", dst: str = "id_b",
-                          *, max_iter: int = 50) -> DataFrame:
+                          *, max_iter: int = 50,
+                          checkpoint_dir: str | None = None) -> DataFrame:
     """Keep one canonical document per near-duplicate cluster.
 
     ``pairs`` is any candidate/verified pair list (e.g.
@@ -148,8 +218,11 @@ def dedup_near_duplicates(df: DataFrame, pairs: DataFrame, id_col: str,
     minimum ``id_col`` in each cluster. Documents in no pair are untouched.
     The drop list is one row per non-canonical clustered doc — tiny
     relative to the corpus — so the anti-join broadcasts under AQE.
+    ``checkpoint_dir`` flows to `connected_components` — a restarted dedup
+    job resumes the CC rounds instead of re-running them.
     """
-    cc = connected_components(pairs, src, dst, max_iter=max_iter)
+    cc = connected_components(pairs, src, dst, max_iter=max_iter,
+                              checkpoint_dir=checkpoint_dir)
     drop = (cc.where(F.col("node") != F.col("component"))
               .select(F.col("node").alias(id_col)))
     return df.join(drop, id_col, "left_anti")

@@ -145,3 +145,77 @@ def test_dedup_with_minhash_pairs_end_to_end(spark, documents):
     # its original (identical text -> identical signature)
     assert all(labels.get(i + 10000) == labels.get(i, i)
                and (i + 10000) in labels for i in range(20))
+
+
+# --- checkpoint / resume (north-rule resumability on the iterative op) ----
+
+def test_cc_checkpoint_then_resume_zero_rounds(spark, tmp_path):
+    """A completed run leaves a converged star forest in the checkpoint;
+    a re-run with the same dir restores it and executes ZERO rounds."""
+    edges = [(i, i + 1) for i in range(255)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = _labels(connected_components(df))
+    ck = str(tmp_path / "cc")
+    r1 = []
+    got1 = _labels(connected_components(df, checkpoint_dir=ck,
+                                        _probe=r1.append))
+    assert got1 == base and len(r1) >= 2
+    r2 = []
+    got2 = _labels(connected_components(df, checkpoint_dir=ck,
+                                        _probe=r2.append))
+    assert got2 == base
+    assert r2 == []  # restored state is the fixpoint: loop never entered
+
+
+def test_cc_resume_after_mid_run_crash(spark, tmp_path):
+    """Kill the loop after two completed rounds; the resumed run starts at
+    round 2 (not 0) and still produces the exact union-find labels."""
+    edges = [(i, i + 1) for i in range(511)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ck = str(tmp_path / "cc")
+
+    class Boom(Exception):
+        pass
+
+    def bomb(it):
+        if it == 2:
+            raise Boom()
+
+    with pytest.raises(Boom):
+        connected_components(df, checkpoint_dir=ck, _probe=bomb)
+    rounds = []
+    got = _labels(connected_components(df, checkpoint_dir=ck,
+                                       _probe=rounds.append))
+    assert got == _union_find_labels(edges)
+    assert rounds[0] == 2  # rounds 0 and 1 were not re-executed
+
+
+def test_cc_checkpoint_rejects_different_input(spark, tmp_path):
+    ck = str(tmp_path / "cc")
+    df1 = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                                "src long, dst long")
+    connected_components(df1, checkpoint_dir=ck)
+    df2 = spark.createDataFrame([(i, i + 1) for i in range(100)],
+                                "src long, dst long")
+    with pytest.raises(ValueError, match="refusing to resume"):
+        connected_components(df2, checkpoint_dir=ck)
+
+
+def test_cc_checkpoint_lineage_and_every(spark, tmp_path):
+    """checkpoint_every=2 halves the writes; lineage records are ordered,
+    input-stamped, and readable with checkpoint.read_lineage."""
+    from bloomfilter_spark.checkpoint import read_lineage
+    edges = [(i, i + 1) for i in range(255)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ck = str(tmp_path / "cc")
+    rounds = []
+    connected_components(df, checkpoint_dir=ck, checkpoint_every=2,
+                         _probe=rounds.append)
+    lin = read_lineage(ck)
+    assert lin  # at least one checkpoint landed
+    assert [e["round"] for e in lin] == sorted(e["round"] for e in lin)
+    assert all(e["round"] % 2 == 1 for e in lin)  # rounds 1, 3, ...
+    n0 = len({tuple(sorted(p)) for p in edges})
+    assert all(e["input_edges"] == n0 for e in lin)
+    with pytest.raises(ValueError):
+        connected_components(df, checkpoint_dir=ck, checkpoint_every=0)
