@@ -196,6 +196,16 @@ def merge_shard_tables(tables, mode: str = "union") -> DataFrame:
                            for t in tables])
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        # routing guard: shard id s means a DIFFERENT top-bits hash range
+        # under a different shard count, and per-shard (m, k) can coincide
+        # across counts (capacity and shards both halved), so the byte-level
+        # geometry check below cannot catch this — fail loudly instead of
+        # silently breaking zero-false-negatives on the merged table
+        if pdf["n_shards"].nunique() > 1:
+            raise ValueError(
+                "merge_shard_tables: inputs were built with different "
+                f"n_shards ({sorted(pdf['n_shards'].unique().tolist())}); "
+                "shard ids are not comparable across shard counts")
         if mode == "intersect" and len(pdf) < n_tables:
             return pd.DataFrame({"shard": pd.Series([], dtype="int32"),
                                  "sketch": pd.Series([], dtype=object),

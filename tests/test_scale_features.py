@@ -92,6 +92,26 @@ def test_merge_shard_tables_intersect(spark, lineitem):
     both.unpersist()
 
 
+def test_merge_shard_tables_rejects_mismatched_shard_counts(spark, lineitem):
+    """Tables built with different n_shards must fail LOUDLY: shard id s
+    covers a different top-bits hash range under each count, and per-shard
+    (m, k) can coincide across counts (capacity and shards both halved
+    give the same shard geometry), so the byte-level geometry check can't
+    catch it — silent acceptance would break zero-false-negatives on the
+    merged table."""
+    import pytest
+    from bloomfilter_spark.operators.sharded import merge_shard_tables
+    n = lineitem.count()
+    t1 = build_sharded_bloom(lineitem, ["l_orderkey"], capacity=n,
+                             fpr=0.01, n_shards=8)
+    # half the capacity over half the shards -> identical per-shard (m, k)
+    t2 = build_sharded_bloom(lineitem, ["l_orderkey"], capacity=n // 2,
+                             fpr=0.01, n_shards=4)
+    merged = merge_shard_tables([t1, t2], mode="union")
+    with pytest.raises(Exception, match="different[\\s\\S]*n_shards"):
+        merged.collect()
+
+
 def test_shard_table_parquet_roundtrip(spark, tmp_path, lineitem):
     """The distributed filter persists as a plain parquet table (shard,
     sketch, n_shards) and reloads with routing intact — the resume story
