@@ -10,12 +10,14 @@ Two patterns (SURVEY.md §2.6 streaming row):
 
 2. ``stateful_grouped_*`` — applyInPandasWithState: one serialized sketch
    per key held in Spark's state store, updated vectorized per
-   batch-group, emitted in update mode. Three instances over the north
-   rule's query classes: ``_hll`` (distinct counts), ``_quantile``
-   (KLL/t-digest latency quantiles), ``_heavy_hitters`` (CMS + bounded
-   candidate list — the streaming form of `topk.cms_heavy_hitters`).
-   Watermark-compatible: pass an event-time watermarked stream for
-   bounded state.
+   batch-group, emitted in update mode. Instances over the north rule's
+   query classes: ``_hll`` (distinct counts), ``_quantile`` (KLL/t-digest
+   latency quantiles), ``_heavy_hitters`` (CMS + bounded candidate list —
+   the streaming form of `topk.cms_heavy_hitters`), ``_mg`` (deterministic
+   two-sided-bound heavy hitters), and the blob-emitting ``_theta`` (set
+   algebra) and ``_cms`` (point frequencies / join-size inner products) —
+   both merge-compatible with their batch builds. Watermark-compatible:
+   pass an event-time watermarked stream for bounded state.
 """
 
 from __future__ import annotations
@@ -316,6 +318,72 @@ def stateful_grouped_heavy_hitters(stream_df: DataFrame, key_col: str,
     hashed = (stream_df.where(F.col(item_col).isNotNull())
               .select(F.col(key_col).cast("string").alias(key_col),
                       F.col(item_col).cast("string").alias("__item"),
+                      F.xxhash64(F.lit(seed), F.col(item_col)).alias("__h")))
+    return (hashed.groupBy(key_col)
+                  .applyInPandasWithState(fn, out_schema, state_schema,
+                                          "update", GroupStateTimeout.NoTimeout))
+
+
+def stateful_grouped_cms(stream_df: DataFrame, key_col: str, item_col: str,
+                         width: int | None = None, depth: int | None = None,
+                         eps: float | None = None, delta: float | None = None,
+                         seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-key running Count-Min sketch over a stream, emitting the
+    MERGEABLE blob (like `stateful_grouped_theta`, unlike the estimate-only
+    `_hll`): downstream jobs load the per-key blobs for point-frequency
+    queries (never undercounts; overcount <= eps*N_key), merge them across
+    keys/epochs, or estimate JOIN SIZES between two streams via
+    `CountMinSketch.inner_product` — the streaming form of the pre-flight
+    join-size estimation in `plans/planning.py`. Output per updated key per
+    batch: (key, sketch binary, n_updates, error_bound = eps*N_key).
+
+    State folds each batch-group as (unique item, count) weighted updates —
+    per DISTINCT item, not per row — into a PLAIN (non-conservative) CMS:
+    plain updates are elementwise-additive on uint64 counters, so the final
+    streaming state is byte-identical to a batch `cms_build_jvm` /
+    `build_sketch` over the same rows at the same geometry and seed
+    (asserted by a to_bytes-equality test). Conservative update is
+    deliberately not offered here: its scatter-max is order-sensitive, which
+    would break the batch-equivalence and merge identities.
+
+    Hashing is JVM-side salted xxhash64 with NULL items dropped before
+    hashing, matching the batch builders' prepare_input semantics.
+    Watermark-compatible: pass an event-time watermarked stream for bounded
+    state."""
+    import numpy as np
+
+    from ..sketches.cms import CountMinSketch
+
+    proto = CountMinSketch(width=width, depth=depth, eps=eps, delta=delta)
+    w_, d_ = proto.width, proto.depth  # validate geometry before tasks run
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("sketch", T.BinaryType()),
+        T.StructField("n_updates", T.LongType()),
+        T.StructField("error_bound", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("cms", T.BinaryType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            sk = CountMinSketch.from_bytes(bytes(blob))
+        else:
+            sk = CountMinSketch(width=w_, depth=d_)
+        for pdf in pdfs:
+            h = pdf["__h"].to_numpy(dtype=np.int64)
+            uniq, inv = np.unique(h, return_inverse=True)
+            sk.update(to_u64(uniq), np.bincount(inv).astype(np.float64))
+        blob = sk.to_bytes()
+        state.update((blob,))
+        yield pd.DataFrame({key_col: [key[0]], "sketch": [blob],
+                            "n_updates": [sk.total],
+                            "error_bound": [sk.error_bound()]})
+
+    hashed = (stream_df.where(F.col(item_col).isNotNull())
+              .select(F.col(key_col).cast("string").alias(key_col),
                       F.xxhash64(F.lit(seed), F.col(item_col)).alias("__h")))
     return (hashed.groupBy(key_col)
                   .applyInPandasWithState(fn, out_schema, state_schema,

@@ -598,6 +598,74 @@ def test_stateful_grouped_theta_stream(spark, tmp_path, events):
     assert abs(inter - exact_i) <= 4 * math.sqrt(max(exact_i, 1) * exact_u / 1024) + 1
 
 
+def test_stateful_grouped_cms_stream(spark, tmp_path, events):
+    """Per-key streaming CMS blobs: the final streamed state is
+    BYTE-IDENTICAL to the batch JVM build over the same slice (plain CMS is
+    chunking/order insensitive — the streaming analog of the batch
+    chunking-invariance property), point queries respect the one-sided
+    never-undercount guarantee plus the eps*N overcount bound, and the
+    emitted blobs estimate cross-key join sizes via inner_product."""
+    import numpy as np
+
+    from bloomfilter_spark.config import DEFAULT_SEED
+    from bloomfilter_spark.jvm_build import cms_build_jvm
+    from bloomfilter_spark.sketches.cms import CountMinSketch
+    from bloomfilter_spark.streaming import stateful_grouped_cms
+    from bloomfilter_spark.util import to_u64
+
+    src = str(tmp_path / "cms_src")
+    events.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful_grouped_cms(stream, "event_type", "user_id",
+                               eps=1e-3, delta=1e-3)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("cms_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    final = {r["event_type"]: r for r in spark.sql("""
+        SELECT event_type, sketch, n_updates, error_bound FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY n_updates DESC) AS rk
+          FROM cms_stream) WHERE rk = 1""").collect()}
+
+    nn = events.where(F.col("user_id").isNotNull())
+    exact = (nn.select("event_type", "user_id",
+                       F.xxhash64(F.lit(DEFAULT_SEED), "user_id").alias("h"))
+               .groupBy("event_type", "user_id", "h")
+               .agg(F.count("*").alias("cnt")).toPandas())
+    totals = exact.groupby("event_type")["cnt"].sum().to_dict()
+    assert set(final) == set(totals)
+
+    sks = {}
+    for et, row in final.items():
+        # streaming state == batch JVM build, byte for byte
+        batch = cms_build_jvm(events.where(F.col("event_type") == et),
+                              ["user_id"], eps=1e-3, delta=1e-3)
+        assert bytes(row["sketch"]) == batch.to_bytes()
+        assert row["n_updates"] == totals[et]
+        sk = CountMinSketch.from_bytes(bytes(row["sketch"]))
+        assert row["error_bound"] == sk.error_bound()
+        sks[et] = sk
+        # point queries over EVERY user of this key: never undercounts
+        # (deterministic); overcount beyond eps*N only with prob ~delta
+        sub = exact[exact.event_type == et]
+        est = sk.query(to_u64(sub["h"].to_numpy(dtype=np.int64)))
+        cnt = sub["cnt"].to_numpy()
+        assert (est >= cnt).all()
+        over = (est > cnt + sk.error_bound()).sum()
+        assert over <= max(1, int(0.01 * len(sub)))
+
+    # cross-key join-size estimation on the STREAMED blobs
+    ets = sorted(sks)[:2]
+    a, b = sks[ets[0]], sks[ets[1]]
+    fa = exact[exact.event_type == ets[0]].set_index("user_id")["cnt"]
+    fb = exact[exact.event_type == ets[1]].set_index("user_id")["cnt"]
+    exact_dot = int((fa * fb).dropna().sum())
+    est_dot = a.inner_product(b)
+    assert est_dot >= exact_dot
+    assert est_dot <= exact_dot + a.inner_product_bound(b)
+
+
 def test_scalable_bloom_dedup_stream_grows_and_dedups(spark, tmp_path,
                                                       events):
     """Unknown-capacity streaming dedup: with initial_capacity far below
