@@ -665,6 +665,23 @@ def test_stateful_grouped_cms_stream(spark, tmp_path, events):
     assert est_dot >= exact_dot
     assert est_dot <= exact_dot + a.inner_product_bound(b)
 
+    # streamed blobs are first-class in the SQL surface: GROUP BY
+    # re-aggregation (sketch_merge) + point query (cms_count) on the merged
+    from bloomfilter_spark.sql import register_sketch_sql
+    register_sketch_sql(spark)
+    spark.createDataFrame(
+        [(et, bytes(final[et]["sketch"])) for et in final],
+        "event_type string, sketch binary").createOrReplaceTempView(
+        "streamed_cms")
+    u = int(exact["user_id"].iloc[0])  # BIGINT column: hash the native type
+    got = spark.sql(f"""
+        SELECT cms_count(sketch_merge(sketch),
+                         xxhash64(sketch_seed(), {u}L)) AS est
+        FROM streamed_cms""").collect()[0]["est"]
+    true_all = int(exact[exact.user_id == u]["cnt"].sum())
+    assert got >= true_all
+    assert got <= true_all + sum(sk.error_bound() for sk in sks.values())
+
 
 def test_scalable_bloom_dedup_stream_grows_and_dedups(spark, tmp_path,
                                                       events):
