@@ -132,6 +132,53 @@ def test_mg_table_roundtrip_and_merge(spark, events, tmp_path):
             assert lo <= cnt <= lo + sk.dec
 
 
+def test_streamed_blobs_warehouse_roundtrip(spark, events, tmp_path):
+    """Streaming-built per-key blobs persist through the warehouse like any
+    batch-built sketch table (the snapshot-for-downstream-jobs path): save
+    with compatibility metadata, load under expected_factory/seed guards,
+    and merging the loaded per-key blobs with the metadata-reconstructed
+    factory equals the batch whole-table build byte for byte."""
+    from bloomfilter_spark.jvm_build import cms_build_jvm
+    from bloomfilter_spark.sketches.cms import CountMinSketch
+    from bloomfilter_spark.streaming import stateful_grouped_cms
+
+    src = str(tmp_path / "src")
+    nn = events.where(F.col("user_id").isNotNull())
+    nn.repartition(2).write.parquet(src)
+    stream = (spark.readStream.schema(nn.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful_grouped_cms(stream, "event_type", "user_id",
+                               eps=1e-3, delta=1e-3)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("cms_wh_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    final = spark.sql("""
+        SELECT event_type, sketch FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY n_updates DESC) AS rk
+          FROM cms_wh_stream) WHERE rk = 1""")
+
+    path = str(tmp_path / "wt_stream")
+
+    def factory():
+        return CountMinSketch(eps=1e-3, delta=1e-3)
+
+    save_sketch_table(final, path, keys=["event_type"], factory=factory)
+    back, meta = load_sketch_table(spark, path, expected_factory=factory)
+    with pytest.raises(ValueError, match="refusing"):
+        load_sketch_table(
+            spark, path,
+            expected_factory=lambda: CountMinSketch(eps=1e-4, delta=1e-3))
+
+    # per-key blobs merged with the metadata-reconstructed factory ==
+    # one batch build over the whole table (keys partition the rows)
+    merged = sketch_factory_from_meta(meta)()
+    for r in back.collect():
+        merged.merge(CountMinSketch.from_bytes(bytes(r["sketch"])))
+    whole = cms_build_jvm(nn, ["user_id"], eps=1e-3, delta=1e-3)
+    assert merged.to_bytes() == whole.to_bytes()
+
+
 def test_ivf_centroids_roundtrip(spark, tmp_path):
     """The trained IVF quantizer persists bit-exact (float32 bytes), and
     assignment from the LOADED centroids equals assignment from the
