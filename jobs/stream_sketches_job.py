@@ -28,7 +28,15 @@ and exits — a cron-style incremental runner. Two queries, both resumable:
 Driver traffic per epoch is O(#tools) + O(sketch state), never O(rows) —
 the same bounded-collect discipline as the batch builds. On a cluster,
 pass --master/--deploy-mode to spark-submit as usual; nothing here
-assumes local mode."""
+assumes local mode.
+
+Failure window, stated honestly: the warehouse snapshot write is not
+atomic with the state-store commit. If the job dies between them, the
+state store is the source of truth (keys are never lost from it) but a
+key untouched by later epochs could be missing from the snapshot table.
+Recovery: rerun with a fresh --checkpoint-dir over the retained input
+files (AvailableNow replays everything), or treat the snapshot as a
+cache and the state store as canonical."""
 
 from __future__ import annotations
 
