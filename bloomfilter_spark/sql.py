@@ -174,6 +174,47 @@ def theta_jaccard_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([jac(x, y) for x, y in zip(a, b)], dtype="object")
 
 
+def cms_inner_product(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Join-size estimate between two CMS blobs: min over rows of the
+    row-wise counter dot products (Cormode & Muthukrishnan 2005, Thm 3).
+    Never undercounts the true join cardinality sum_k f_a(k)*f_b(k);
+    overcount <= cms_inner_product_bound(a, b) with probability
+    >= 1 - exp(-depth). Requires same-geometry, same-seed blobs — the
+    compatibility metadata the builders/warehouse guarantee per table.
+    This is the SQL form of the pre-flight join-size estimation in
+    plans/planning.py, usable directly over warehoused or streamed
+    sketch rows without touching raw data."""
+    from .sketches.cms import CountMinSketch
+
+    def ip(x, y):
+        if x is None or y is None:
+            return None
+        sa, sb = _parse(bytes(x)), _parse(bytes(y))
+        for s in (sa, sb):
+            if not isinstance(s, CountMinSketch):
+                raise TypeError(f"cms_inner_product needs CMS blobs, got "
+                                f"{type(s).__name__}")
+        return int(sa.inner_product(sb))
+    return pd.Series([ip(x, y) for x, y in zip(a, b)], dtype="object")
+
+
+def cms_inner_product_bound(a: pd.Series, b: pd.Series) -> pd.Series:
+    """(e/width)*N_a*N_b — the additive overcount bound paired with
+    cms_inner_product (holds with probability >= 1 - exp(-depth))."""
+    from .sketches.cms import CountMinSketch
+
+    def bound(x, y):
+        if x is None or y is None:
+            return None
+        sa, sb = _parse(bytes(x)), _parse(bytes(y))
+        for s in (sa, sb):
+            if not isinstance(s, CountMinSketch):
+                raise TypeError(f"cms_inner_product_bound needs CMS blobs, "
+                                f"got {type(s).__name__}")
+        return float(sa.inner_product_bound(sb))
+    return pd.Series([bound(x, y) for x, y in zip(a, b)], dtype="object")
+
+
 def sketch_merge_pair(a: pd.Series, b: pd.Series) -> pd.Series:
     def m(x, y):
         if x is None:
@@ -239,6 +280,8 @@ SQL_FUNCTIONS = {
     "theta_jaccard_estimate": (theta_jaccard_estimate, "double"),
     "mg_count_lo": (mg_count_lo, "long"),
     "mg_error_bound": (mg_error_bound, "long"),
+    "cms_inner_product": (cms_inner_product, "long"),
+    "cms_inner_product_bound": (cms_inner_product_bound, "double"),
     "sketch_merge_pair": (sketch_merge_pair, "binary"),
     "sketch_merge": (sketch_merge, "binary"),
 }

@@ -289,3 +289,34 @@ def test_sketch_merge_window_calendar_on_gapped_days(spark):
     assert round(est[datetime.date(2024, 1, 13)]) == 5   # gap excluded
     # day 8 (present in spine only): frame covers days 2..8 -> 10 users
     assert round(est[datetime.date(2024, 1, 8)]) == 10
+
+
+def test_sql_cms_inner_product_join_size(spark, events):
+    """Pre-flight join-size estimation in PURE spark.sql over a per-key
+    CMS table: cms_inner_product never undercounts the exact join
+    cardinality sum_u f_a(u)*f_b(u), stays within the paired bound, and
+    agrees exactly with the kernel's inner_product on the same blobs."""
+    ev = events.where(F.col("user_id").isNotNull())
+    tbl = grouped_sketch_table(ev, ["event_type"], ["user_id"],
+                               lambda: CountMinSketch(width=2719, depth=7))
+    tbl.createOrReplaceTempView("cms_by_type")
+    rows = spark.sql("""
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               cms_inner_product(a.sketch, b.sketch) AS est,
+               cms_inner_product_bound(a.sketch, b.sketch) AS bound
+        FROM cms_by_type a JOIN cms_by_type b
+          ON a.event_type < b.event_type""").collect()
+    assert rows
+
+    import pandas as pd
+    counts = (ev.groupBy("event_type", "user_id")
+                .agg(F.count("*").alias("cnt")).toPandas())
+    kern = {r["event_type"]: CountMinSketch.from_bytes(bytes(r["sketch"]))
+            for r in tbl.collect()}
+    for r in rows:
+        fa = counts[counts.event_type == r["ta"]].set_index("user_id")["cnt"]
+        fb = counts[counts.event_type == r["tb"]].set_index("user_id")["cnt"]
+        exact = int((fa * fb).dropna().sum())
+        assert r["est"] == kern[r["ta"]].inner_product(kern[r["tb"]])
+        assert r["est"] >= exact
+        assert r["est"] <= exact + r["bound"]
