@@ -17,6 +17,8 @@ once per row):
 
   sketch_estimate(sketch) -> double        HLL / Theta distinct estimate
   sketch_quantile(sketch, q) -> double     KLL / t-digest quantile
+  sketch_rank(sketch, x) -> double         estimated CDF at x (rank dual)
+  kll_ks_distance(a, b) -> double          two-sample KS drift statistic
   cms_count(sketch, key_hash) -> long      Count-Min point estimate
   bloom_contains(sketch, key_hash) -> bool Bloom membership
   theta_intersect_estimate(a, b) -> double |A ∩ B| estimate
@@ -174,6 +176,46 @@ def theta_jaccard_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([jac(x, y) for x, y in zip(a, b)], dtype="object")
 
 
+def sketch_rank(sketch: pd.Series, x: pd.Series) -> pd.Series:
+    """Estimated CDF at x — the fraction of the sketched stream <= x —
+    the dual of sketch_quantile. KLL blobs answer via ``rank`` (normalized
+    rank error ~1.7/k); t-digest blobs via ``cdf`` (interpolated centroid
+    CDF). Typical use: evaluate a fixed SLO threshold against warehoused
+    per-epoch latency sketches ("what fraction of turns finished under
+    200 ms this week vs last") without touching raw data."""
+    def rk(b, xx):
+        if b is None or pd.isna(xx):
+            return None
+        sk = _parse(bytes(b))
+        if hasattr(sk, "rank"):
+            return float(sk.rank(float(xx)))
+        if hasattr(sk, "cdf"):
+            return float(sk.cdf(float(xx)))
+        raise TypeError(f"sketch_rank needs a value sketch (KLL/TDigest), "
+                        f"got {type(sk).__name__}")
+    return pd.Series([rk(b, xx) for b, xx in zip(sketch, x)], dtype="object")
+
+
+def kll_ks_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Two-sample Kolmogorov–Smirnov statistic between two KLL blobs
+    (sup_x |F_a(x) - F_b(x)|, evaluated exactly over the sketch CDFs —
+    see sketches.kll.KLL.ks_distance). The distribution-drift signal in
+    pure SQL over warehoused/streamed quantile sketches; error vs the
+    true-sample KS <= the sum of the two sketches' rank error bounds."""
+    from .sketches.kll import KLL
+
+    def ks(x, y):
+        if x is None or y is None:
+            return None
+        sa, sb = _parse(bytes(x)), _parse(bytes(y))
+        for s in (sa, sb):
+            if not isinstance(s, KLL):
+                raise TypeError(f"kll_ks_distance needs KLL blobs, got "
+                                f"{type(s).__name__}")
+        return float(sa.ks_distance(sb))
+    return pd.Series([ks(x, y) for x, y in zip(a, b)], dtype="object")
+
+
 def cms_inner_product(a: pd.Series, b: pd.Series) -> pd.Series:
     """Join-size estimate between two CMS blobs: min over rows of the
     row-wise counter dot products (Cormode & Muthukrishnan 2005, Thm 3).
@@ -280,6 +322,8 @@ SQL_FUNCTIONS = {
     "theta_jaccard_estimate": (theta_jaccard_estimate, "double"),
     "mg_count_lo": (mg_count_lo, "long"),
     "mg_error_bound": (mg_error_bound, "long"),
+    "sketch_rank": (sketch_rank, "double"),
+    "kll_ks_distance": (kll_ks_distance, "double"),
     "cms_inner_product": (cms_inner_product, "long"),
     "cms_inner_product_bound": (cms_inner_product_bound, "double"),
     "sketch_merge_pair": (sketch_merge_pair, "binary"),

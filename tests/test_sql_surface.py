@@ -320,3 +320,61 @@ def test_sql_cms_inner_product_join_size(spark, events):
         assert r["est"] == kern[r["ta"]].inner_product(kern[r["tb"]])
         assert r["est"] >= exact
         assert r["est"] <= exact + r["bound"]
+
+
+def test_sql_sketch_rank_kernel_equal_and_empirical_bound(spark, lineitem):
+    """sketch_rank is the CDF dual of sketch_quantile: SQL answers equal
+    the kernel's exactly for BOTH value-sketch families, and the KLL rank
+    stays within the published normalized rank error of the exact
+    empirical CDF."""
+    from bloomfilter_spark.sketches import TDigest
+
+    vals = lineitem.select(F.col("l_quantity").alias("v"))
+    kll = build_sketch(vals, ["v"], lambda: KLL(200))
+    td = build_sketch(vals, ["v"], lambda: TDigest(200.0))
+    spark.createDataFrame([(kll.to_bytes(), td.to_bytes())],
+                          "kll binary, td binary") \
+         .createOrReplaceTempView("rank_t")
+    rows = spark.sql("""SELECT x, sketch_rank(kll, x) AS rk,
+                               sketch_rank(td, x) AS rt
+                        FROM rank_t
+                        CROSS JOIN (SELECT explode(array(1.0, 10.0, 25.0,
+                                                         49.0)) x)""").collect()
+    n = vals.count()
+    for r in rows:
+        assert r["rk"] == float(kll.rank(r["x"]))
+        assert r["rt"] == float(td.cdf(r["x"]))
+        exact = vals.where(F.col("v") <= r["x"]).count() / n
+        assert abs(r["rk"] - exact) <= kll.rank_error_bound() + 1e-12
+
+
+def test_sql_sketch_rank_rejects_non_value_sketch(spark, events):
+    hll = build_sketch(events.where(F.col("user_id").isNotNull()),
+                       ["user_id"], lambda: HyperLogLog(12))
+    spark.createDataFrame([(hll.to_bytes(),)], "sketch binary") \
+         .createOrReplaceTempView("hll_rank_t")
+    with pytest.raises(Exception, match="value sketch"):
+        spark.sql("SELECT sketch_rank(sketch, 1.0) FROM hll_rank_t").collect()
+
+
+def test_sql_kll_ks_distance_drift_signal(spark, lineitem):
+    """kll_ks_distance in pure SQL equals the kernel and behaves as a
+    drift statistic: two disjoint halves of the SAME distribution score
+    near zero; a genuinely different column scores high."""
+    qty = lineitem.select(F.col("l_quantity").alias("v"))
+    half_a = qty.where(F.col("v") % 2 == 0)   # evens / odds: same dist
+    half_b = qty.where(F.col("v") % 2 == 1)
+    price = lineitem.select(F.col("l_extendedprice").alias("v"))
+    blobs = [build_sketch(df, ["v"], lambda: KLL(200)) for df in
+             (half_a, half_b, price)]
+    spark.createDataFrame([tuple(b.to_bytes() for b in blobs)],
+                          "a binary, b binary, p binary") \
+         .createOrReplaceTempView("ks_t")
+    r = spark.sql("""SELECT kll_ks_distance(a, b) AS same,
+                            kll_ks_distance(a, p) AS drift
+                     FROM ks_t""").first()
+    assert r["same"] == blobs[0].ks_distance(blobs[1])
+    assert r["drift"] == blobs[0].ks_distance(blobs[2])
+    # halves of one distribution: only discretization + sketch error
+    assert r["same"] <= 2 * blobs[0].rank_error_bound() + 0.05
+    assert r["drift"] > 0.9  # price lives on a disjoint scale
