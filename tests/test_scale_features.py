@@ -762,3 +762,41 @@ def test_scalable_bloom_dedup_stream_restart_and_levels(spark, tmp_path,
     assert got <= exact
     misses = len(exact) - len(got)
     assert misses <= max(5, 4 * d2.compound_bound() * len(exact))
+
+
+def test_stateful_grouped_quantile_tdigest_factory(spark, tmp_path, events):
+    """The factory parameter genuinely swaps the state kernel: a t-digest
+    folded over the stream gives per-key quantiles whose empirical rank is
+    close to the requested q (t-digest has no distribution-free worst-case
+    bound like KLL, so the check is a loose rank tolerance)."""
+    from bloomfilter_spark.sketches import TDigest
+    from bloomfilter_spark.streaming import stateful_grouped_quantile
+
+    src = str(tmp_path / "td_src")
+    ev = events.where(F.col("value").isNotNull())
+    ev.repartition(2).write.parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful_grouped_quantile(stream, "event_type", "value",
+                                    factory=lambda: TDigest(200.0),
+                                    quantiles=(0.5, 0.9))
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("td_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = spark.sql("""
+        SELECT event_type, q, est, n_updates FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type, q
+                                       ORDER BY n_updates DESC) AS rn
+          FROM td_stream) WHERE rn = 1""").collect()
+    assert res
+    exact_n = {r["event_type"]: r["n"] for r in
+               ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert {r["event_type"] for r in res} == set(exact_n)
+    for r in res:
+        assert r["n_updates"] == exact_n[r["event_type"]]
+        vals = [x["value"] for x in
+                ev.where(F.col("event_type") == r["event_type"])
+                  .select(F.col("value").cast("double").alias("value"))
+                  .collect()]
+        rank = sum(v <= r["est"] for v in vals) / len(vals)
+        assert abs(rank - r["q"]) <= 0.05, (r["event_type"], r["q"], rank)
