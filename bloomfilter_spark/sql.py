@@ -18,6 +18,8 @@ once per row):
   sketch_estimate(sketch) -> double        HLL / Theta distinct estimate
   sketch_quantile(sketch, q) -> double     KLL / t-digest quantile
   sketch_rank(sketch, x) -> double         estimated CDF at x (rank dual)
+  sketch_histogram(s, lo, hi, n) -> array<double>  equi-width bucket masses
+  sketch_describe(sketch) -> string        JSON introspection of any blob
   kll_ks_distance(a, b) -> double          two-sample KS drift statistic
   cms_count(sketch, key_hash) -> long      Count-Min point estimate
   bloom_contains(sketch, key_hash) -> bool Bloom membership
@@ -216,6 +218,72 @@ def kll_ks_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([ks(x, y) for x, y in zip(a, b)], dtype="object")
 
 
+def sketch_histogram(sketch: pd.Series, lo: pd.Series, hi: pd.Series,
+                     n_buckets: pd.Series) -> pd.Series:
+    """Equi-width histogram over [lo, hi) from a value-sketch blob:
+    element i is the estimated fraction of the sketched stream in
+    [lo + i*w, lo + (i+1)*w), w = (hi-lo)/n_buckets — computed as CDF
+    differences (KLL.rank / TDigest.cdf, one vectorized call over the
+    n+1 edges), so each bucket mass carries the family's published rank
+    error and the array sums exactly to rank(hi) - rank(lo). The
+    dashboard dual of sketch_quantile/sketch_rank: distribution SHAPE
+    from warehoused/streamed sketch rows without touching raw data.
+    Mass outside [lo, hi) is deliberately excluded (inspect via
+    sketch_rank(s, lo) and 1 - sketch_rank(s, hi))."""
+    def hist(b, l, h, n):
+        if b is None or pd.isna(l) or pd.isna(h) or pd.isna(n):
+            return None
+        l, h, n = float(l), float(h), int(n)
+        if n < 1:
+            raise ValueError(f"sketch_histogram: n_buckets must be >= 1, got {n}")
+        if not h > l:
+            raise ValueError(f"sketch_histogram: need hi > lo, got [{l}, {h})")
+        sk = _parse(bytes(b))
+        cdf = getattr(sk, "rank", None) or getattr(sk, "cdf", None)
+        if cdf is None:
+            raise TypeError(f"sketch_histogram needs a value sketch "
+                            f"(KLL/TDigest), got {type(sk).__name__}")
+        edges = np.linspace(l, h, n + 1)
+        return np.diff(np.asarray(cdf(edges), dtype=np.float64))
+    return pd.Series([hist(b, l, h, n) for b, l, h, n in
+                      zip(sketch, lo, hi, n_buckets)], dtype="object")
+
+
+def sketch_describe(sketch: pd.Series) -> pd.Series:
+    """One JSON string per blob: family, in-memory state bytes, and every
+    scalar public parameter/counter the sketch carries (k/n/width/depth/
+    p/theta/...; array fields reported as <name>_len). Warehouse
+    introspection — audit WHAT is stored in a sketch column (mixed
+    params, unexpected growth, family drift) from plain SQL, before
+    pointing estimator functions at it. Key set varies by family; keys
+    are sorted so equal states compare equal as strings."""
+    import json
+    import math
+
+    def desc(b):
+        if b is None:
+            return None
+        sk = _parse(bytes(b))
+        d: dict = {"family": type(sk).__name__,
+                   "state_bytes": int(sk.state_nbytes)}
+        for name, val in vars(sk).items():
+            if name.startswith("_"):
+                continue
+            if isinstance(val, (bool, np.bool_)):
+                d[name] = bool(val)
+            elif isinstance(val, (int, np.integer)):
+                d[name] = int(val)
+            elif isinstance(val, (float, np.floating)):
+                v = float(val)
+                d[name] = v if math.isfinite(v) else None
+            elif isinstance(val, str):
+                d[name] = val
+            elif isinstance(val, np.ndarray):
+                d[name + "_len"] = int(val.size)
+        return json.dumps(d, sort_keys=True)
+    return sketch.map(desc)
+
+
 def cms_inner_product(a: pd.Series, b: pd.Series) -> pd.Series:
     """Join-size estimate between two CMS blobs: min over rows of the
     row-wise counter dot products (Cormode & Muthukrishnan 2005, Thm 3).
@@ -323,6 +391,8 @@ SQL_FUNCTIONS = {
     "mg_count_lo": (mg_count_lo, "long"),
     "mg_error_bound": (mg_error_bound, "long"),
     "sketch_rank": (sketch_rank, "double"),
+    "sketch_histogram": (sketch_histogram, "array<double>"),
+    "sketch_describe": (sketch_describe, "string"),
     "kll_ks_distance": (kll_ks_distance, "double"),
     "cms_inner_product": (cms_inner_product, "long"),
     "cms_inner_product_bound": (cms_inner_product_bound, "double"),

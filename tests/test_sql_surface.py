@@ -378,3 +378,99 @@ def test_sql_kll_ks_distance_drift_signal(spark, lineitem):
     # halves of one distribution: only discretization + sketch error
     assert r["same"] <= 2 * blobs[0].rank_error_bound() + 0.05
     assert r["drift"] > 0.9  # price lives on a disjoint scale
+
+
+def test_sql_sketch_histogram_kernel_equal_and_empirical(spark, lineitem):
+    """sketch_histogram bucket masses equal CDF differences computed on
+    the kernel directly for BOTH value-sketch families, sum exactly to
+    rank(hi) - rank(lo), and each KLL bucket stays within 2x the
+    published rank error of the exact empirical bucket mass."""
+    from bloomfilter_spark.sketches import TDigest
+
+    vals = lineitem.select(F.col("l_quantity").alias("v"))
+    kll = build_sketch(vals, ["v"], lambda: KLL(200))
+    td = build_sketch(vals, ["v"], lambda: TDigest(200.0))
+    spark.createDataFrame([(kll.to_bytes(), td.to_bytes())],
+                          "kll binary, td binary") \
+         .createOrReplaceTempView("hist_t")
+    r = spark.sql("""SELECT sketch_histogram(kll, 0.0, 50.0, 10) AS hk,
+                            sketch_histogram(td, 0.0, 50.0, 10) AS ht
+                     FROM hist_t""").first()
+    edges = np.linspace(0.0, 50.0, 11)
+    kern_k = np.diff(np.asarray(kll.rank(edges), dtype=np.float64))
+    kern_t = np.diff(np.asarray(td.cdf(edges), dtype=np.float64))
+    assert np.array_equal(np.asarray(r["hk"]), kern_k)
+    assert np.array_equal(np.asarray(r["ht"]), kern_t)
+    assert abs(sum(r["hk"]) - (kll.rank(50.0) - kll.rank(0.0))) < 1e-12
+    n = vals.count()
+    for i in range(10):
+        exact = (vals.where((F.col("v") > edges[i] if i else
+                             F.col("v") >= edges[i])
+                            & (F.col("v") <= edges[i + 1])).count() / n)
+        # CDF-difference vs half-open empirical binning differ only at
+        # edge-coincident values; 2x rank error covers both endpoints
+        assert abs(r["hk"][i] - exact) <= 2 * kll.rank_error_bound() + 0.02
+
+
+def test_sql_sketch_histogram_validation(spark, events):
+    hll = build_sketch(events.where(F.col("user_id").isNotNull()),
+                       ["user_id"], lambda: HyperLogLog(12))
+    kll = build_sketch(events.where(F.col("value").isNotNull()),
+                       ["value"], lambda: KLL(200))
+    spark.createDataFrame([(hll.to_bytes(), kll.to_bytes())],
+                          "h binary, k binary") \
+         .createOrReplaceTempView("hist_bad_t")
+    with pytest.raises(Exception, match="value sketch"):
+        spark.sql("SELECT sketch_histogram(h, 0.0, 1.0, 4) "
+                  "FROM hist_bad_t").collect()
+    with pytest.raises(Exception, match="n_buckets"):
+        spark.sql("SELECT sketch_histogram(k, 0.0, 1.0, 0) "
+                  "FROM hist_bad_t").collect()
+    with pytest.raises(Exception, match="hi > lo"):
+        spark.sql("SELECT sketch_histogram(k, 1.0, 1.0, 4) "
+                  "FROM hist_bad_t").collect()
+
+
+def test_sql_sketch_describe_all_families(spark, lineitem, events):
+    """sketch_describe returns parseable JSON for every family with the
+    family name, state size, and the family's defining parameters."""
+    import json
+
+    from bloomfilter_spark.sketches import MisraGries, TDigest
+
+    ev = events.where(F.col("user_id").isNotNull())
+    vals = lineitem.select(F.col("l_quantity").alias("v"))
+    blobs = {
+        "HyperLogLog": build_sketch(ev, ["user_id"], lambda: HyperLogLog(12)),
+        "CountMinSketch": build_sketch(ev, ["event_type"],
+                                       lambda: CountMinSketch(width=1024,
+                                                              depth=5)),
+        "KLL": build_sketch(vals, ["v"], lambda: KLL(200)),
+        "TDigest": build_sketch(vals, ["v"], lambda: TDigest(100.0)),
+        "ThetaSketch": build_sketch(ev, ["user_id"], lambda: ThetaSketch(256)),
+        "MisraGries": build_sketch(ev, ["event_type"], lambda: MisraGries(8)),
+        "BloomFilter": build_sketch(ev, ["user_id"],
+                                    lambda: BloomFilter.for_capacity(
+                                        10_000, 0.01)),
+    }
+    spark.createDataFrame([(fam, b.to_bytes()) for fam, b in blobs.items()],
+                          "fam string, sketch binary") \
+         .createOrReplaceTempView("describe_t")
+    rows = spark.sql("SELECT fam, sketch_describe(sketch) AS d "
+                     "FROM describe_t").collect()
+    got = {r["fam"]: json.loads(r["d"]) for r in rows}
+    assert set(got) == set(blobs)
+    for fam, d in got.items():
+        assert d["family"] == fam
+        assert d["state_bytes"] == blobs[fam].state_nbytes
+    assert got["KLL"]["k"] == 200 and got["KLL"]["n"] == vals.count()
+    assert got["CountMinSketch"]["width"] == 1024
+    assert got["CountMinSketch"]["depth"] == 5
+    assert got["HyperLogLog"]["p"] == 12
+    assert got["ThetaSketch"]["k"] == 256
+    assert got["MisraGries"]["k"] == 8
+    assert got["BloomFilter"]["num_bits"] == BloomFilter.for_capacity(
+        10_000, 0.01).num_bits
+    # NULL blob -> NULL description (not an error)
+    assert spark.sql("SELECT sketch_describe(CAST(NULL AS binary)) AS d"
+                     ).first()["d"] is None
