@@ -14,14 +14,17 @@ Two patterns (SURVEY.md §2.6 streaming row):
    query classes: ``_hll`` (distinct counts), ``_quantile`` (KLL/t-digest
    latency quantiles), ``_heavy_hitters`` (CMS + bounded candidate list —
    the streaming form of `topk.cms_heavy_hitters`), ``_mg`` (deterministic
-   two-sided-bound heavy hitters), and the blob-emitting ``_theta`` (set
+   two-sided-bound heavy hitters), the blob-emitting ``_theta`` (set
    algebra) and ``_cms`` (point frequencies / join-size inner products) —
-   both merge-compatible with their batch builds. Watermark-compatible:
-   pass an event-time watermarked stream for bounded state.
+   both merge-compatible with their batch builds — and
+   ``stateful_decayed_heavy_hitters`` (exponentially time-decayed "hot
+   now" ranking over a float CMS). Watermark-compatible: pass an
+   event-time watermarked stream for bounded state.
 """
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Callable
 
@@ -461,6 +464,139 @@ def stateful_grouped_mg(stream_df: DataFrame, key_col: str, item_col: str,
     hashed = (stream_df.where(F.col(item_col).isNotNull())
               .select(F.col(key_col).cast("string").alias(key_col),
                       F.col(item_col).cast("string").alias("__item"),
+                      F.xxhash64(F.lit(seed), F.col(item_col)).alias("__h")))
+    return (hashed.groupBy(key_col)
+                  .applyInPandasWithState(fn, out_schema, state_schema,
+                                          "update", GroupStateTimeout.NoTimeout))
+
+
+def stateful_decayed_heavy_hitters(stream_df: DataFrame, key_col: str,
+                                   item_col: str, ts_col: str,
+                                   half_life_s: float, k: int = 10,
+                                   n_candidates: int = 256,
+                                   eps: float = 1e-4, delta: float = 1e-3,
+                                   seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-key exponentially TIME-DECAYED heavy hitters — "what is hot
+    NOW", the monitoring query `stateful_grouped_heavy_hitters`' all-time
+    counts cannot answer (a cold item with a big history outranks a
+    currently-spiking one forever).
+
+    Decayed count at reference time T (the max event time the key has
+    seen): C_i(T) = sum over i's occurrences of exp(-lambda*(T - t_j)),
+    lambda = ln2 / half_life_s — each occurrence's vote halves every
+    half-life. Maintained in a FLOAT Count-Min table (same
+    Kirsch-Mitzenmacher row derivation as the integer kernel) because
+    decayed counts are fractional: per batch the stored table is scaled
+    once by exp(-lambda*(T' - T)) and batch rows enter at weight
+    exp(-lambda*(T' - t_j)), so the state always equals the one-shot
+    computation at T'. Since T' = max(T, batch max) dominates every row
+    ever folded, exponents never exceed 0 (no overflow) and the fold is
+    CHUNKING- AND ORDER-INVARIANT up to float associativity — late data
+    within the decay horizon lands with exactly the right discount, no
+    watermark coupling (Cormode, Shkapenyuk, Srivastava & Xu 2009's decay
+    models, implemented in the backward/landmark form; the candidate-list
+    topology mirrors `stateful_grouped_heavy_hitters`).
+
+    Emits per batch-group the current top-``k``: (key, item, est_decayed,
+    err_bound, t_ref, n_updates). est_decayed never undercounts C_i(T)
+    and overcounts by <= err_bound = (e/width) * W(T) with probability
+    >= 1 - delta, where W(T) is the key's total decayed weight — the
+    decayed analog of eps*N (collision mass decays with everything else).
+    State per key is O(depth*width + n_candidates), independent of stream
+    length AND of horizon: old mass fades, it is never evicted.
+
+    NULL items and NULL timestamps are dropped (a decayed count needs a
+    time). ``ts_col`` may be a timestamp or a numeric epoch-seconds
+    column.
+    """
+    import numpy as np
+
+    from ..sketches.cms import CountMinSketch
+
+    if half_life_s <= 0:
+        raise ValueError(f"half_life_s must be > 0, got {half_life_s}")
+    lam = math.log(2.0) / float(half_life_s)
+    shell = CountMinSketch(eps=eps, delta=delta)  # geometry + row hashing
+    depth, width = shell.depth, shell.width
+
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField(item_col, T.StringType()),
+        T.StructField("est_decayed", T.DoubleType()),
+        T.StructField("err_bound", T.DoubleType()),
+        T.StructField("t_ref", T.DoubleType()),
+        T.StructField("n_updates", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("table", T.BinaryType()),
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("hashes", T.ArrayType(T.LongType())),
+        T.StructField("t_ref", T.DoubleType()),
+        T.StructField("w_total", T.DoubleType()),
+        T.StructField("n_updates", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            blob, items, hashes, t_ref, w_total, n = state.get
+            table = np.frombuffer(bytes(blob), dtype=np.float64) \
+                      .reshape(depth, width).copy()
+            cand = pd.DataFrame({"item": list(items),
+                                 "h": np.asarray(hashes, dtype=np.int64)})
+        else:
+            table = np.zeros((depth, width), dtype=np.float64)
+            cand = pd.DataFrame({"item": pd.Series([], dtype=object),
+                                 "h": pd.Series([], dtype=np.int64)})
+            t_ref, w_total, n = -np.inf, 0.0, 0
+        batches = []
+        for pdf in pdfs:
+            ts = pdf["__ts"].to_numpy(dtype=np.float64)
+            new_ref = max(t_ref, float(ts.max()))
+            if np.isfinite(t_ref) and new_ref > t_ref:
+                decay = math.exp(-lam * (new_ref - t_ref))
+                table *= decay
+                w_total *= decay
+            t_ref = new_ref
+            w = np.exp(-lam * (t_ref - ts))
+            h = pdf["__h"].to_numpy(dtype=np.int64)
+            uniq, inv = np.unique(h, return_inverse=True)
+            per_key = np.bincount(inv, weights=w)
+            idx = shell._row_indices(to_u64(uniq))
+            for j in range(depth):
+                table[j] += np.bincount(idx[j], weights=per_key,
+                                        minlength=width)
+            w_total += float(w.sum())
+            n += len(pdf)
+            batches.append(pdf[["__item", "__h"]]
+                           .rename(columns={"__item": "item", "__h": "h"}))
+        cand = (pd.concat([cand] + batches, ignore_index=True)
+                  .drop_duplicates("item"))
+        idx = shell._row_indices(to_u64(cand["h"].to_numpy(dtype=np.int64)))
+        est = table[np.arange(depth)[:, None], idx].min(axis=0)
+        cand = cand.assign(est=est).sort_values(
+            ["est", "item"], ascending=[False, True], kind="mergesort")
+        kept = cand.head(n_candidates)
+        state.update((table.tobytes(), kept["item"].tolist(),
+                      kept["h"].tolist(), float(t_ref), float(w_total), n))
+        top = kept.head(k)
+        bound = math.e / width * w_total
+        yield pd.DataFrame({key_col: [key[0]] * len(top),
+                            item_col: top["item"].to_numpy(),
+                            "est_decayed": top["est"].to_numpy(),
+                            "err_bound": [bound] * len(top),
+                            "t_ref": [float(t_ref)] * len(top),
+                            "n_updates": [n] * len(top)})
+
+    ts_expr = F.col(ts_col)
+    if not isinstance(stream_df.schema[ts_col].dataType,
+                      (T.DoubleType, T.FloatType, T.LongType, T.IntegerType,
+                       T.DecimalType)):
+        ts_expr = ts_expr.cast("timestamp")
+    hashed = (stream_df
+              .where(F.col(item_col).isNotNull() & F.col(ts_col).isNotNull())
+              .select(F.col(key_col).cast("string").alias(key_col),
+                      F.col(item_col).cast("string").alias("__item"),
+                      ts_expr.cast("double").alias("__ts"),
                       F.xxhash64(F.lit(seed), F.col(item_col)).alias("__h")))
     return (hashed.groupBy(key_col)
                   .applyInPandasWithState(fn, out_schema, state_schema,

@@ -800,3 +800,99 @@ def test_stateful_grouped_quantile_tdigest_factory(spark, tmp_path, events):
                   .collect()]
         rank = sum(v <= r["est"] for v in vals) / len(vals)
         assert abs(rank - r["q"]) <= 0.05, (r["event_type"], r["q"], rank)
+
+
+def test_stateful_decayed_heavy_hitters_stream(spark, tmp_path, events):
+    """Streaming time-decayed heavy hitters over real event timestamps:
+    the final emission's est_decayed equals (to fp, at eps=1e-4 over
+    ~1e3 rows/key) the exact per-key decayed counts at the key's own
+    max event time, and the top-k order matches the exact order."""
+    from bloomfilter_spark.streaming import stateful_decayed_heavy_hitters
+
+    half_life = 7 * 86400.0
+    src = str(tmp_path / "dhh_src")
+    ev = (events.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+                .select("event_type",
+                        F.col("user_id").cast("string").alias("user_id"),
+                        "ts"))
+    ev.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful_decayed_heavy_hitters(stream, "event_type", "user_id",
+                                         "ts", half_life, k=5,
+                                         n_candidates=64)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("dhh_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = spark.sql("""
+        SELECT * FROM (
+          SELECT *, dense_rank() OVER (PARTITION BY event_type
+                                       ORDER BY n_updates DESC) AS rk
+          FROM dhh_stream) WHERE rk = 1""").toPandas()
+    assert len(res)
+
+    import math
+    exact_rows = (ev.select("event_type", "user_id",
+                            F.col("ts").cast("timestamp").cast("double")
+                             .alias("sec")).toPandas())
+    lam = math.log(2.0) / half_life
+    t_ref = exact_rows.groupby("event_type")["sec"].max()
+    exact_rows["w"] = np.exp(-lam * (exact_rows["event_type"].map(t_ref)
+                                     - exact_rows["sec"]))
+    exact = (exact_rows.groupby(["event_type", "user_id"])["w"].sum()
+             .reset_index())
+    n_exact = exact_rows.groupby("event_type").size().to_dict()
+    for etype, grp in res.groupby("event_type"):
+        assert (grp["n_updates"] == n_exact[etype]).all()
+        assert np.allclose(grp["t_ref"], t_ref[etype])
+        ex = (exact[exact["event_type"] == etype]
+              .sort_values(["w", "user_id"], ascending=[False, True]))
+        top = grp.sort_values(["est_decayed", "user_id"],
+                              ascending=[False, True])
+        assert len(top) == min(5, len(ex))
+        # eps=1e-4 at ~1e3 distinct/key: collision mass is zero here,
+        # so estimates are exact decayed counts up to float association
+        assert list(top["user_id"]) == list(ex.head(len(top))["user_id"])
+        assert np.allclose(top["est_decayed"],
+                           ex.head(len(top))["w"], rtol=1e-9)
+        assert (top["est_decayed"] <= top["err_bound"]
+                + ex.head(len(top))["w"].to_numpy() + 1e-9).all()
+
+
+def test_stateful_decayed_hh_recency_beats_history_and_chunking(spark,
+                                                                tmp_path):
+    """Decay semantics: an item with 10x the historical count loses the
+    top spot to a currently-spiking one after six half-lives — the exact
+    query the undecayed operator cannot answer — and the fold is
+    chunking-invariant: 1-file and 3-file replays of the same rows give
+    identical est_decayed (up to float association)."""
+    from bloomfilter_spark.streaming import stateful_decayed_heavy_hitters
+
+    rows = ([("k", "old", 0.0)] * 100 + [("k", "new", 3600.0)] * 10)
+    df = spark.createDataFrame(rows, "key string, item string, sec double")
+
+    def run(n_files: int, name: str):
+        src = str(tmp_path / f"src_{name}")
+        df.repartition(n_files).write.parquet(src)
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = stateful_decayed_heavy_hitters(stream, "key", "item", "sec",
+                                             half_life_s=600.0, k=2)
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return (spark.sql(f"SELECT * FROM {name} WHERE n_updates = 110")
+                .toPandas().sort_values("item").reset_index(drop=True))
+
+    one, three = run(1, "dhh_one"), run(3, "dhh_three")
+    assert list(one["item"]) == list(three["item"]) == ["new", "old"]
+    assert np.allclose(one["est_decayed"], three["est_decayed"], rtol=1e-12)
+    got = one.set_index("item")["est_decayed"]
+    # exact decayed counts at t_ref=3600: new = 10, old = 100 * 2^-6
+    assert np.isclose(got["new"], 10.0, rtol=1e-9)
+    assert np.isclose(got["old"], 100.0 * 2 ** -6, rtol=1e-9)
+    assert got["new"] > got["old"]  # recency wins despite 10x history
+    assert np.allclose(one["t_ref"], 3600.0)
+
+    with pytest.raises(ValueError, match="half_life_s"):
+        stateful_decayed_heavy_hitters(df, "key", "item", "sec", 0.0)
