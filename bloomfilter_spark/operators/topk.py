@@ -12,7 +12,7 @@ from __future__ import annotations
 from typing import Iterable
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T_
 
 from ..agg import build_sketch, with_cms_count
 from ..config import DEFAULT_SEED
@@ -161,3 +161,58 @@ def token_vocabulary(df: DataFrame, text_col: str, k: int,
         return out.select(F.col("key").alias("token"),
                           F.col("est_cnt").alias("cnt"))
     raise ValueError(f"unknown method {method!r} (expected 'exact' or 'cms')")
+
+
+def decayed_top_items(df: DataFrame, group_cols, item_col: str, ts_col: str,
+                      half_life_s: float, k: int,
+                      t_ref: str = "group") -> DataFrame:
+    """Per-group top-k items by exponentially TIME-DECAYED count — the
+    batch dual of ``streaming.stateful_decayed_heavy_hitters``, exact and
+    entirely Catalyst-side (one shuffle on (group, item), then a
+    rank-limited window that plans as WindowGroupLimit).
+
+    Decayed count at reference time T: C_i(T) = sum over occurrences of
+    exp(-lambda*(T - t_j)), lambda = ln2/half_life_s. ``t_ref`` picks T:
+    ``"group"`` (default) uses each group's own max event time — what the
+    streaming operator's per-key landmark converges to, so results are
+    directly comparable — while ``"global"`` uses the whole input's max,
+    ranking every group on one clock. NULL items/timestamps are dropped,
+    matching the streaming form.
+
+    Returns (group_cols..., item_col, decayed_count double, t_ref double,
+    rank int). At 100 TB: the exp() weight is one codegen expression per
+    row, the per-(group,item) sum partial-aggregates map-side, and only
+    k rows per group survive the window — no driver traffic.
+    """
+    if half_life_s <= 0:
+        raise ValueError(f"half_life_s must be > 0, got {half_life_s}")
+    if t_ref not in ("group", "global"):
+        raise ValueError(f"t_ref must be 'group' or 'global', got {t_ref!r}")
+    import math
+    lam = math.log(2.0) / float(half_life_s)
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    ts = F.col(ts_col)
+    if not isinstance(df.schema[ts_col].dataType,
+                      (T_.DoubleType, T_.FloatType, T_.LongType,
+                       T_.IntegerType, T_.DecimalType)):
+        ts = ts.cast("timestamp")
+    rows = (df.where(F.col(item_col).isNotNull() & F.col(ts_col).isNotNull())
+              .select(*groups, item_col, ts.cast("double").alias("__sec")))
+    if t_ref == "global":
+        # one scalar to the driver: the clock, not data
+        t = rows.agg(F.max("__sec")).first()[0]
+        rows = rows.withColumn("__tref", F.lit(float(t) if t is not None
+                                               else None))
+    else:
+        w_all = Window.partitionBy(*groups)
+        rows = rows.withColumn("__tref", F.max("__sec").over(w_all))
+    per_item = (rows.groupBy(*groups, item_col)
+                .agg(F.sum(F.exp(-F.lit(lam) * (F.col("__tref")
+                                                - F.col("__sec"))))
+                      .alias("decayed_count"),
+                     F.max("__tref").alias("t_ref")))
+    w = Window.partitionBy(*groups).orderBy(F.desc("decayed_count"),
+                                            F.asc(item_col))
+    return (per_item.withColumn("rank", F.row_number().over(w))
+                    .where(F.col("rank") <= k))

@@ -881,3 +881,51 @@ def test_tfidf_top_terms_reference(spark):
     for (i, _t) in got:
         counts[i] = counts.get(i, 0) + 1
     assert all(v <= 2 for v in counts.values())
+
+
+def test_decayed_top_items_exact_and_streaming_parity(spark, events):
+    """Batch decayed top-k equals an exact pandas computation of
+    sum(exp(-lambda*(T_group - t))) per (group, item) under both t_ref
+    modes, and its plan is pure Catalyst (no Python UDFs)."""
+    import math
+
+    from bloomfilter_spark.operators.topk import decayed_top_items
+
+    half_life = 7 * 86400.0
+    lam = math.log(2.0) / half_life
+    ev = events.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    got = decayed_top_items(ev, "event_type", "user_id", "ts",
+                            half_life, k=5).toPandas()
+
+    rows = (ev.select("event_type", "user_id",
+                      F.col("ts").cast("timestamp").cast("double")
+                       .alias("sec")).toPandas())
+    t_ref = rows.groupby("event_type")["sec"].max()
+    rows["w"] = np.exp(-lam * (rows["event_type"].map(t_ref) - rows["sec"]))
+    exact = (rows.groupby(["event_type", "user_id"])["w"].sum()
+             .reset_index())
+    for etype, grp in got.groupby("event_type"):
+        ex = (exact[exact["event_type"] == etype]
+              .sort_values(["w", "user_id"], ascending=[False, True])
+              .head(5))
+        grp = grp.sort_values("rank")
+        assert [str(u) for u in grp["user_id"]] == \
+            [str(u) for u in ex["user_id"]]
+        assert np.allclose(grp["decayed_count"], ex["w"], rtol=1e-9)
+        assert np.allclose(grp["t_ref"], t_ref[etype])
+
+    # global-clock mode: every group discounted against ONE reference
+    g = decayed_top_items(ev, "event_type", "user_id", "ts",
+                          half_life, k=1, t_ref="global").toPandas()
+    assert np.allclose(g["t_ref"], rows["sec"].max())
+
+    plan = decayed_top_items(ev, "event_type", "user_id", "ts",
+                             half_life, k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan
+
+    with pytest.raises(ValueError, match="half_life_s"):
+        decayed_top_items(ev, "event_type", "user_id", "ts", 0.0, k=5)
+    with pytest.raises(ValueError, match="t_ref"):
+        decayed_top_items(ev, "event_type", "user_id", "ts", 1.0, k=5,
+                          t_ref="epoch")
