@@ -2,6 +2,7 @@ from .dedup_stream import BloomDedupStream, ScalableBloomDedupStream
 from .index_stream import StreamingFileIndexer
 from .sketch_stream import (SketchAccumulator,
                             stateful_decayed_heavy_hitters,
+                            stateful_decayed_quantile,
                             stateful_grouped_cms,
                             stateful_grouped_heavy_hitters,
                             stateful_grouped_hll,
@@ -14,4 +15,4 @@ __all__ = ["BloomDedupStream", "ScalableBloomDedupStream",
            "stateful_grouped_cms", "stateful_grouped_hll",
            "stateful_grouped_quantile", "stateful_grouped_heavy_hitters",
            "stateful_grouped_mg", "stateful_grouped_theta",
-           "stateful_decayed_heavy_hitters"]
+           "stateful_decayed_heavy_hitters", "stateful_decayed_quantile"]

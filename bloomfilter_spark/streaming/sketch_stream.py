@@ -17,8 +17,9 @@ Two patterns (SURVEY.md §2.6 streaming row):
    two-sided-bound heavy hitters), the blob-emitting ``_theta`` (set
    algebra) and ``_cms`` (point frequencies / join-size inner products) —
    both merge-compatible with their batch builds — and
-   ``stateful_decayed_heavy_hitters`` (exponentially time-decayed "hot
-   now" ranking over a float CMS). Watermark-compatible: pass an
+   ``stateful_decayed_heavy_hitters`` / ``stateful_decayed_quantile``
+   (exponentially time-decayed "hot now" ranking / "current p99" over a
+   float CMS / weighted t-digest). Watermark-compatible: pass an
    event-time watermarked stream for bounded state.
 """
 
@@ -601,3 +602,97 @@ def stateful_decayed_heavy_hitters(stream_df: DataFrame, key_col: str,
     return (hashed.groupBy(key_col)
                   .applyInPandasWithState(fn, out_schema, state_schema,
                                           "update", GroupStateTimeout.NoTimeout))
+
+
+def stateful_decayed_quantile(stream_df: DataFrame, key_col: str,
+                              value_col: str, ts_col: str,
+                              half_life_s: float,
+                              quantiles=(0.5, 0.9, 0.99),
+                              delta: float = 200.0) -> DataFrame:
+    """Per-key exponentially TIME-DECAYED quantiles — "what does the
+    latency distribution look like NOW" — the decayed sibling of
+    `stateful_grouped_quantile`, whose all-time state lets a week-old
+    regression mask a current one.
+
+    Each observation carries weight exp(-lambda*(T - t_j)) at reference
+    time T (the key's max event time), lambda = ln2/half_life_s, and the
+    emitted quantiles are those of that weighted empirical distribution.
+    State is one weighted t-digest per key: per batch the stored
+    centroid weights are scaled once by exp(-lambda*(T' - T)) —
+    a uniform rescale, which leaves quantiles invariant, exactly as decay
+    should: the estimate moves only because NEW data enters at full
+    weight against faded old mass — and batch rows enter via
+    ``update_weighted`` at their individual discounts. Exponents never
+    exceed 0 (T' dominates every folded row), so no overflow; late rows
+    inside the decay horizon land at the correct discount with no
+    watermark coupling. t-digest (not KLL) because decay needs fractional,
+    rescalable centroid weights; KLL's power-of-two level weights cannot
+    be scaled.
+
+    Emits (key, q, est, t_ref, w_total, n_updates) per requested
+    quantile in update mode; ``w_total`` is the key's surviving decayed
+    mass (the effective sample size ~ arrival_rate * half_life / ln2).
+    State per key is O(delta) centroids, independent of stream length
+    and horizon. NULL/NaN values and NULL timestamps are dropped.
+    """
+    import numpy as np
+
+    from ..sketches.tdigest import TDigest
+
+    if half_life_s <= 0:
+        raise ValueError(f"half_life_s must be > 0, got {half_life_s}")
+    lam = math.log(2.0) / float(half_life_s)
+    qs = [float(q) for q in quantiles]
+
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("q", T.DoubleType()),
+        T.StructField("est", T.DoubleType()),
+        T.StructField("t_ref", T.DoubleType()),
+        T.StructField("w_total", T.DoubleType()),
+        T.StructField("n_updates", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("sketch", T.BinaryType()),
+        T.StructField("t_ref", T.DoubleType()),
+        T.StructField("n_updates", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            blob, t_ref, n = state.get
+            sk = TDigest.from_bytes(bytes(blob))
+        else:
+            sk, t_ref, n = TDigest(delta), -np.inf, 0
+        for pdf in pdfs:
+            ts = pdf["__ts"].to_numpy(dtype=np.float64)
+            new_ref = max(t_ref, float(ts.max()))
+            if np.isfinite(t_ref) and new_ref > t_ref:
+                sk._flush()
+                sk.weights = sk.weights * math.exp(-lam * (new_ref - t_ref))
+            t_ref = new_ref
+            sk.update_weighted(pdf["__v"].to_numpy(dtype=np.float64),
+                               np.exp(-lam * (t_ref - ts)))
+            n += len(pdf)
+        state.update((sk.to_bytes(), float(t_ref), n))
+        w_total = sk.total_weight
+        yield pd.DataFrame({key_col: [key[0]] * len(qs), "q": qs,
+                            "est": [float(sk.quantile(q)) for q in qs],
+                            "t_ref": [float(t_ref)] * len(qs),
+                            "w_total": [w_total] * len(qs),
+                            "n_updates": [n] * len(qs)})
+
+    ts_expr = F.col(ts_col)
+    if not isinstance(stream_df.schema[ts_col].dataType,
+                      (T.DoubleType, T.FloatType, T.LongType, T.IntegerType,
+                       T.DecimalType)):
+        ts_expr = ts_expr.cast("timestamp")
+    v = F.col(value_col).cast("double")
+    vals = (stream_df.where(v.isNotNull() & ~F.isnan(v)
+                            & F.col(ts_col).isNotNull())
+            .select(F.col(key_col).cast("string").alias(key_col),
+                    v.alias("__v"),
+                    ts_expr.cast("double").alias("__ts")))
+    return (vals.groupBy(key_col)
+                .applyInPandasWithState(fn, out_schema, state_schema,
+                                        "update", GroupStateTimeout.NoTimeout))

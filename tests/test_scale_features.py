@@ -896,3 +896,62 @@ def test_stateful_decayed_hh_recency_beats_history_and_chunking(spark,
 
     with pytest.raises(ValueError, match="half_life_s"):
         stateful_decayed_heavy_hitters(df, "key", "item", "sec", 0.0)
+
+
+def test_stateful_decayed_quantile_tracks_current_distribution(spark,
+                                                               tmp_path):
+    """Decayed quantiles follow the CURRENT distribution: after ten
+    half-lives, p50 sits in the new regime's range even though the old
+    regime has 2x the row count (the undecayed operator's p50 stays in
+    the old range); estimates are rank-accurate against the exact
+    decayed-weighted empirical distribution; w_total equals the exact
+    surviving decayed mass."""
+    import math
+
+    from bloomfilter_spark.streaming import (stateful_decayed_quantile,
+                                             stateful_grouped_quantile)
+
+    half_life = 60.0
+    old = [("k", float(v), 0.0) for v in range(100, 300)]      # 200 rows
+    new = [("k", float(v), 600.0) for v in range(0, 100)]      # 100 rows
+    df = spark.createDataFrame(old + new,
+                               "key string, v double, sec double")
+    src = str(tmp_path / "dq_src")
+    df.repartition(3).write.parquet(src)
+
+    def start(qname, op, **kw):
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = op(stream, "key", "v", **kw)
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName(qname).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT * FROM {qname} WHERE n_updates = 300") \
+                    .toPandas()
+
+    dec = start("dq_dec", stateful_decayed_quantile, ts_col="sec",
+                half_life_s=half_life, quantiles=(0.5, 0.9))
+    und = start("dq_und", stateful_grouped_quantile,
+                quantiles=(0.5,))
+
+    lam = math.log(2.0) / half_life
+    rows = np.array([(v, s) for _, v, s in old + new])
+    w = np.exp(-lam * (600.0 - rows[:, 1]))
+    order = np.argsort(rows[:, 0], kind="stable")
+    vals, ws = rows[order, 0], w[order]
+    cdf = np.cumsum(ws) / ws.sum()
+
+    got = dec.set_index("q")["est"]
+    # old mass: 200 * 2^-10 ~ 0.2 vs 100 new -> p50 must be in [0, 100)
+    assert got[0.5] < 100.0
+    und_p50 = und["est"].iloc[0]
+    assert und_p50 >= 100.0  # the all-time operator stays in the old range
+    for q in (0.5, 0.9):
+        # exact weighted CDF at the estimate must be near q
+        at = np.interp(got[q], vals, cdf)
+        assert abs(at - q) <= 0.05
+    assert np.allclose(dec["w_total"], ws.sum(), rtol=1e-9)
+    assert np.allclose(dec["t_ref"], 600.0)
+
+    with pytest.raises(ValueError, match="half_life_s"):
+        stateful_decayed_quantile(df, "key", "v", "sec", -1.0)
