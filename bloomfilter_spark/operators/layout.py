@@ -116,9 +116,12 @@ def equidepth_bucket(col, cut_points: Sequence[float]) -> Column:
     cuts = [float(x) for x in cut_points]
     arr = F.array(*[F.lit(x) for x in cuts])
     v = _col(col).cast("double")
-    return F.aggregate(
+    fold = F.aggregate(
         arr, F.lit(0).cast("long"),
         lambda acc, cut: acc + F.when(v >= cut, 1).otherwise(0).cast("long"))
+    # v >= cut is NULL for NULL v, and when(NULL).otherwise(0) is 0 — the
+    # bare fold would silently drop every NULL row into bucket 0
+    return F.when(v.isNotNull(), fold)
 
 
 def sketch_range_bucket(col, sketch: KLL, n_buckets: int) -> Column:

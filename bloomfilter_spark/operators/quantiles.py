@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..agg import build_sketch, grouped_sketch_df
 from ..config import WGL_THRESHOLD_LOCK
@@ -272,3 +272,40 @@ def grouped_extreme_quantiles(df: DataFrame, keys: Sequence[str], col,
                     spark.conf.unset(thr_key)
                 else:
                     spark.conf.set(thr_key, prev)
+
+
+def quantile_rank_normalize(df: DataFrame, col, n_buckets: int = 1000,
+                            k: int = 200, out_col: str | None = None,
+                            sketch: KLL | None = None) -> DataFrame:
+    """Percentile-rank transform of a column — each value mapped to its
+    approximate CDF position in (0, 1) — WITHOUT the global sort
+    ``percent_rank()`` needs (a total-order window is a single-reducer
+    chokepoint at 100 TB; this is one KLL scan + a codegen fold).
+
+    Mechanism: one KLL build over the column (or pass a prebuilt/
+    warehoused ``sketch`` for zero extra scans), ``n_buckets`` equi-depth
+    cut points from it, then rank = (bucket + 0.5) / n_buckets via
+    `layout.equidepth_bucket`'s higher-order array fold — whole-stage
+    codegen, no Python in the transform plan. Error <= KLL rank error
+    (~1.7/k) + 1/(2*n_buckets) quantization; ranks are bucket midpoints,
+    so they never hit exactly 0 or 1 (safe for logit-style downstream
+    transforms). Heavy ties: all rows of a tied value land in ONE bucket
+    (cut points collapse), matching the CDF convention. NULL/NaN values
+    get NULL ranks.
+
+    The feature-scaling normalizer for training pipelines: rank features
+    are distribution-free, robust to outliers, and — because the sketch
+    is mergeable and persistable — train-time and serve-time transforms
+    can share the exact same cut points via the sketch warehouse.
+    """
+    from .layout import equidepth_bucket, kll_cut_points
+
+    name = col if isinstance(col, str) else df.select(col).columns[0]
+    v = F.col(name) if isinstance(col, str) else col
+    if sketch is None:
+        sketch = build_sketch(
+            df.where(v.isNotNull() & ~F.isnan(v.cast("double"))),
+            [name], lambda: KLL(k))
+    cuts = kll_cut_points(sketch, n_buckets)
+    rank = ((equidepth_bucket(v, cuts) + F.lit(0.5)) / F.lit(n_buckets))
+    return df.withColumn(out_col or f"{name}_qrank", rank)

@@ -220,3 +220,18 @@ def test_bucketed_join_composite_key(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_c1")
         spark.sql("DROP TABLE IF EXISTS t_bkt_c2")
+
+
+def test_equidepth_bucket_null_values_get_null_buckets(spark):
+    """Regression: the higher-order fold evaluates (NULL >= cut) to NULL
+    and when(NULL).otherwise(0) to 0, so without the explicit null guard
+    every NULL row silently landed in bucket 0 — skewing the lowest
+    equi-depth bucket. NULLs must get NULL buckets, as documented."""
+    from bloomfilter_spark.operators.layout import equidepth_bucket
+
+    df = spark.createDataFrame([(1.0,), (5.0,), (None,)], "v double")
+    got = (df.select("v", equidepth_bucket("v", [2.0, 4.0]).alias("b"))
+             .toPandas().set_index("v", drop=False))
+    assert got.loc[1.0, "b"] == 0
+    assert got.loc[5.0, "b"] == 2
+    assert got[got["v"].isna()]["b"].isna().all()

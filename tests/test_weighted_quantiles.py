@@ -305,3 +305,43 @@ def test_grouped_extreme_quantiles_restores_window_threshold(spark):
             spark.conf.unset(thr_key)
         else:
             spark.conf.set(thr_key, prev)
+
+
+def test_quantile_rank_normalize_accuracy_and_plan(spark, lineitem):
+    """quantile_rank_normalize stays within KLL rank error + bucket
+    quantization of the exact empirical CDF on a near-unique column,
+    never emits 0 or 1, gives tied values identical ranks, maps NULLs to
+    NULL, reuses a prebuilt sketch with a Python-free transform plan,
+    and validates n_buckets."""
+    import numpy as np
+
+    from bloomfilter_spark.operators.quantiles import quantile_rank_normalize
+
+    li = lineitem.select(F.col("l_extendedprice").alias("v"))
+    out = quantile_rank_normalize(li, "v", n_buckets=500, k=200).toPandas()
+    n = len(out)
+    exact_cdf = out["v"].rank(method="max").to_numpy() / n
+    err = np.abs(out["v_qrank"].to_numpy() - exact_cdf)
+    tol = 1.7 / 200 + 1 / (2 * 500) + 0.01
+    assert err.max() <= tol
+    assert (out["v_qrank"] > 0).all() and (out["v_qrank"] < 1).all()
+
+    # ties collapse to one rank; NULL -> NULL; prebuilt sketch reused
+    from bloomfilter_spark.agg import build_sketch
+    from bloomfilter_spark.sketches import KLL
+    ties = spark.createDataFrame(
+        [(1.0,)] * 50 + [(2.0,)] * 50 + [(None,)], "v double")
+    sk = build_sketch(ties.where(F.col("v").isNotNull()), ["v"],
+                      lambda: KLL(200))
+    ranked = quantile_rank_normalize(ties, "v", n_buckets=10, sketch=sk)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan
+    pdf = ranked.toPandas()
+    assert pdf[pdf["v"] == 1.0]["v_qrank"].nunique() == 1
+    assert pdf[pdf["v"] == 2.0]["v_qrank"].nunique() == 1
+    assert (pdf[pdf["v"] == 1.0]["v_qrank"].iloc[0]
+            < pdf[pdf["v"] == 2.0]["v_qrank"].iloc[0])
+    assert pdf[pdf["v"].isna()]["v_qrank"].isna().all()
+
+    with pytest.raises(ValueError, match="buckets"):
+        quantile_rank_normalize(ties, "v", n_buckets=1, sketch=sk)
