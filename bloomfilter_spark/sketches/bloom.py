@@ -104,12 +104,22 @@ class BloomFilter(Sketch):
             else int(sum(bin(int(w)).count("1") for w in self.words))
 
     def approx_cardinality(self) -> float:
-        """Swamidass–Baldi estimate: n ≈ -(m/k) ln(1 - X/m)."""
+        """Swamidass–Baldi fill-ratio estimate: n ≈ -(m/k)·ln(1 − X/m)
+        where X = set bits (Swamidass & Baldi, J. Chem. Inf. Model. 2007,
+        eq. 8). Duplicate inserts set no new bits, so this estimates
+        DISTINCT inserted keys — same semantics as HLL/theta `estimate`.
+        Saturated filters (every bit set) return +inf."""
         x = self.bit_count()
         m, k = self.num_bits, self.num_hashes
         if x >= m:
             return float("inf")
         return -(m / k) * np.log1p(-x / m)
+
+    def estimate(self) -> float:
+        """Distinct-count estimate (alias of :meth:`approx_cardinality`),
+        giving Bloom blobs the same `estimate()` surface as HLL/theta so
+        `sql.sketch_estimate` works on warehoused membership filters."""
+        return self.approx_cardinality()
 
     def __len__(self) -> int:
         """Size in bits (B.length, BloomFilter.hs:261-262)."""

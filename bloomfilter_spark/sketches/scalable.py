@@ -84,6 +84,16 @@ class ScalableBloomFilter(Sketch):
     def count(self) -> int:
         return sum(self.counts)
 
+    def estimate(self) -> float:
+        """Distinct-count estimate: sum of per-level Swamidass–Baldi
+        fill-ratio estimates. Levels are disjoint insert windows, so
+        duplicates WITHIN a level dedup for free; a key re-inserted after
+        the filter grew counts once per level it landed in (the dedup
+        streams that use this type probe `contains` before inserting, so
+        cross-level repeats never reach `update` there). Upper-bounded by
+        `count` (exact inserts) when every insert was membership-gated."""
+        return float(sum(f.approx_cardinality() for f in self.filters))
+
     def compound_error_bound(self) -> float:
         """Union bound over levels: sum of the level error schedule —
         converges to err/(1-tightening) (Almeida eq. 2.1)."""

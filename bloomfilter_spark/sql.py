@@ -15,7 +15,9 @@ Registered functions (all Arrow-batched; a bounded per-executor parse
 cache means each distinct sketch blob is deserialized once per worker, not
 once per row):
 
-  sketch_estimate(sketch) -> double        HLL / Theta distinct estimate
+  sketch_estimate(sketch) -> double        distinct estimate: HLL / Theta
+                                           native, Bloom / scalable Bloom
+                                           via Swamidass–Baldi fill ratio
   sketch_quantile(sketch, q) -> double     KLL / t-digest quantile
   sketch_rank(sketch, x) -> double         estimated CDF at x (rank dual)
   sketch_histogram(s, lo, hi, n) -> array<double>  equi-width bucket masses
@@ -89,7 +91,23 @@ def _parse(buf) -> Sketch:
 
 
 def sketch_estimate(sketch: pd.Series) -> pd.Series:
-    return sketch.map(lambda b: None if b is None else float(_parse(b).estimate()))
+    """Distinct-count estimate of a blob: HLL/theta native estimators,
+    Bloom/scalable-Bloom via the Swamidass–Baldi fill-ratio inversion.
+    Frequency/quantile families (CMS, KLL, t-digest, MG) carry a total
+    weight `n`, not a distinct count — querying one raises with the
+    family name instead of returning a number with the wrong meaning
+    (`sketch_describe` exposes their `n`)."""
+    def one(b):
+        if b is None:
+            return None
+        sk = _parse(b)
+        est = getattr(sk, "estimate", None)
+        if est is None:
+            raise TypeError(
+                f"sketch_estimate: {type(sk).__name__} has no distinct-count "
+                "estimator (its total weight is in sketch_describe(sketch))")
+        return float(est())
+    return sketch.map(one)
 
 
 def sketch_quantile(sketch: pd.Series, q: pd.Series) -> pd.Series:

@@ -126,6 +126,37 @@ def test_bloom_shift32_reference_semantics(rng):
             assert probes[i, j] == ((h1 + (h2 >> i)) & mask)
 
 
+def test_bloom_swamidass_baldi_cardinality(rng):
+    """estimate()/approx_cardinality: the fill-ratio inversion
+    n ≈ -(m/k)·ln(1 − X/m) tracks the true distinct insert count across
+    fills (Swamidass & Baldi 2007, eq. 8); duplicate inserts set no new
+    bits so the estimate is idempotent; a saturated filter reports +inf."""
+    m, k = 1 << 16, 7
+    for n in (100, 1000, 5000):
+        bf = BloomFilter(m, k)
+        h = np.unique(hashes(rng, 2 * n))[:n]
+        bf.update(h)
+        est = bf.estimate()
+        assert abs(est - n) / n < 0.05
+        bf.update(h)  # duplicates: no new bits, estimate unchanged
+        assert bf.estimate() == est
+    sat = BloomFilter(64, 1)
+    sat.words[:] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    assert sat.approx_cardinality() == float("inf")
+
+
+def test_scalable_bloom_estimate_tracks_distinct(rng):
+    """ScalableBloomFilter.estimate(): per-level Swamidass–Baldi sum tracks
+    the distinct count across a multi-level growth history."""
+    from bloomfilter_spark.sketches.scalable import ScalableBloomFilter
+    sbf = ScalableBloomFilter(0.01, initial_capacity=1024)
+    h = np.unique(hashes(rng, 12000))[:10000]
+    sbf.update(h)
+    assert len(sbf.filters) > 1  # growth actually happened
+    est = sbf.estimate()
+    assert abs(est - h.size) / h.size < 0.05
+
+
 # --- hll -----------------------------------------------------------------
 
 def test_hll_accuracy_and_merge(rng):

@@ -474,3 +474,49 @@ def test_sql_sketch_describe_all_families(spark, lineitem, events):
     # NULL blob -> NULL description (not an error)
     assert spark.sql("SELECT sketch_describe(CAST(NULL AS binary)) AS d"
                      ).first()["d"] is None
+
+
+def test_sql_estimate_on_bloom_blob(spark, lineitem):
+    """sketch_estimate over a Bloom blob = kernel Swamidass–Baldi estimate,
+    and that estimate tracks the true distinct key count."""
+    keys = lineitem.select("l_orderkey").distinct().limit(2000)
+    n = keys.count()
+    bloom = build_sketch(keys, ["l_orderkey"], lambda: BloomFilter(1 << 16, 7))
+    spark.createDataFrame([(bloom.to_bytes(),)], "sketch binary") \
+         .createOrReplaceTempView("bloom_est_t")
+    got = spark.sql(
+        "SELECT sketch_estimate(sketch) AS e FROM bloom_est_t").first()["e"]
+    assert got == float(bloom.estimate())  # kernel equality
+    assert abs(got - n) / n < 0.05         # fill-ratio accuracy
+
+
+def test_sql_estimate_on_scalable_bloom_blob(spark):
+    """sketch_estimate dispatches to the per-level Swamidass–Baldi sum for
+    scalable Bloom blobs (multi-level growth history)."""
+    from bloomfilter_spark.sketches.scalable import ScalableBloomFilter
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    h = np.unique(rng.integers(0, 2**63, 6000, dtype=np.int64)
+                  .view(np.uint64))[:5000]
+    sbf = ScalableBloomFilter(0.01, initial_capacity=1024)
+    sbf.update(h)
+    assert len(sbf.filters) > 1
+    spark.createDataFrame([(sbf.to_bytes(),)], "sketch binary") \
+         .createOrReplaceTempView("sbf_est_t")
+    got = spark.sql(
+        "SELECT sketch_estimate(sketch) AS e FROM sbf_est_t").first()["e"]
+    assert got == float(sbf.estimate())
+    assert abs(got - h.size) / h.size < 0.05
+
+
+def test_sql_estimate_rejects_frequency_family(spark, events):
+    """CMS carries a total weight, not a distinct count — sketch_estimate
+    refuses with the family name instead of returning the wrong number."""
+    cms = build_sketch(events.select("event_type"), ["event_type"],
+                       lambda: CountMinSketch(width=1024, depth=3))
+    spark.createDataFrame([(cms.to_bytes(),)], "sketch binary") \
+         .createOrReplaceTempView("cms_est_t")
+    with pytest.raises(Exception, match="distinct-count"):
+        spark.sql("SELECT sketch_estimate(sketch) AS e FROM cms_est_t") \
+             .collect()
