@@ -121,6 +121,17 @@ class BloomFilter(Sketch):
         `sql.sketch_estimate` works on warehoused membership filters."""
         return self.approx_cardinality()
 
+    def fpp(self) -> float:
+        """Current false-positive probability at the OBSERVED fill:
+        (X/m)^k, X = set bits — a non-member's k probes each hit a set bit
+        independently with probability X/m (standard approximation,
+        Mitzenmacher & Upfal §5.5.3). This is the operational "is this
+        filter overloaded?" number: unlike the configured bound (fixed at
+        sizing time for a planned capacity), it tracks actual inserts, so
+        a filter fed past its capacity reports the degraded rate instead
+        of the stale promise."""
+        return float((self.bit_count() / self.num_bits) ** self.num_hashes)
+
     def __len__(self) -> int:
         """Size in bits (B.length, BloomFilter.hs:261-262)."""
         return self.num_bits

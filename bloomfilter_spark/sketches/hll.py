@@ -61,6 +61,12 @@ class HyperLogLog(Sketch):
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
+    def rse(self) -> float:
+        """Relative standard error of estimate(): 1.04/sqrt(m)
+        (Flajolet et al. 2007) — the same bound suggest_hll_precision
+        inverts and test_hll_accuracy validates empirically."""
+        return 1.04 / np.sqrt(self.m)
+
     def estimate(self) -> float:
         m = float(self.m)
         regs = self.registers.astype(np.float64)

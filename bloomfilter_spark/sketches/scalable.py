@@ -94,6 +94,19 @@ class ScalableBloomFilter(Sketch):
         `count` (exact inserts) when every insert was membership-gated."""
         return float(sum(f.approx_cardinality() for f in self.filters))
 
+    def fpp(self) -> float:
+        """Current false-positive probability at the OBSERVED per-level
+        fills: a probe answers positive iff ANY level does, and levels use
+        independent hash offsets, so fpp = 1 − Π(1 − fpp_i). The
+        actual-fill dual of :meth:`compound_error_bound` (the configured
+        Almeida schedule bound): a membership-gated filter stays well
+        under the compound bound because each level is frozen just as it
+        reaches its designed fill."""
+        miss = 1.0
+        for f in self.filters:
+            miss *= 1.0 - f.fpp()
+        return float(1.0 - miss)
+
     def compound_error_bound(self) -> float:
         """Union bound over levels: sum of the level error schedule —
         converges to err/(1-tightening) (Almeida eq. 2.1)."""

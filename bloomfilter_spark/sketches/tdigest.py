@@ -111,6 +111,14 @@ class TDigest(Sketch):
         return self
 
     # --- queries --------------------------------------------------------
+    def rank_error_bound(self, q: float = 0.5) -> float:
+        """Predicted k1-scale rank error at quantile q:
+        pi*sqrt(q(1-q))/delta — worst at the median, tighter in the tails
+        (the arcsine scale spends resolution there). The same formula
+        suggest_tdigest_delta inverts; default q=0.5 reports the honest
+        worst case."""
+        return float(np.pi * np.sqrt(q * (1.0 - q)) / self.delta)
+
     def quantile(self, q) -> np.ndarray | float:
         """Interpolated quantile estimate(s) for q in [0,1]."""
         self._flush()

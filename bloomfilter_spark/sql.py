@@ -22,6 +22,9 @@ once per row):
   sketch_rank(sketch, x) -> double         estimated CDF at x (rank dual)
   sketch_histogram(s, lo, hi, n) -> array<double>  equi-width bucket masses
   sketch_describe(sketch) -> string        JSON introspection of any blob
+  sketch_error_bound(sketch) -> double     the blob's current error bound
+                                           in its family's native units
+                                           (fpp / rel-std / additive / rank)
   kll_ks_distance(a, b) -> double          two-sample KS drift statistic
   cms_count(sketch, key_hash) -> long      Count-Min point estimate
   bloom_contains(sketch, key_hash) -> bool Bloom membership
@@ -302,6 +305,55 @@ def sketch_describe(sketch: pd.Series) -> pd.Series:
     return sketch.map(desc)
 
 
+def sketch_error_bound(sketch: pd.Series) -> pd.Series:
+    """The blob's CURRENT error bound, in its family's native units — the
+    dual of the `sizing.suggest_*` calculators (target accuracy → params):
+    this goes params/state → accuracy, using the SAME formula per family,
+    so `suggest_*` then `sketch_error_bound` round-trips. Pair with
+    `sketch_estimate`/`cms_count`/`sketch_quantile` to publish an
+    estimate WITH its trust radius from plain SQL.
+
+    Per family (what the number means):
+      Bloom / scalable Bloom  false-positive PROBABILITY at observed fill
+                              ((X/m)^k; 1-Π(1-fpp_i) over levels) — grows
+                              as inserts exceed the sized capacity
+      HLL / theta             RELATIVE std error of the estimate
+                              (1.04/√m; 1/√(k−2)) — fixed by geometry
+      CMS                     ADDITIVE overcount bound εN = (e/width)·N —
+                              grows with stream weight
+      Misra–Gries             ADDITIVE undercount (exact decrement total,
+                              ≤ n/(k+1)) — deterministic, not probabilistic
+      KLL / t-digest          normalized RANK error (1.7/k; π/(2δ) at the
+                              median) — fixed by geometry
+
+    Units differ by family on purpose — each is the bound that family's
+    kernel tests validate; `sketch_describe` gives the family when a
+    column is mixed. NULL blob → NULL."""
+    from .sketches import (BloomFilter, CountMinSketch, HyperLogLog, KLL,
+                           MisraGries, ScalableBloomFilter, TDigest,
+                           ThetaSketch)
+
+    def bound(b):
+        if b is None:
+            return None
+        sk = _parse(bytes(b))
+        if isinstance(sk, (BloomFilter, ScalableBloomFilter)):
+            return float(sk.fpp())
+        if isinstance(sk, HyperLogLog):
+            return float(sk.rse())
+        if isinstance(sk, ThetaSketch):
+            return float(sk.rse())
+        if isinstance(sk, (CountMinSketch, MisraGries)):
+            return float(sk.error_bound())
+        if isinstance(sk, KLL):
+            return float(sk.rank_error_bound())
+        if isinstance(sk, TDigest):
+            return float(sk.rank_error_bound())
+        raise TypeError(f"sketch_error_bound: no bound formula for "
+                        f"{type(sk).__name__}")
+    return sketch.map(bound)
+
+
 def cms_inner_product(a: pd.Series, b: pd.Series) -> pd.Series:
     """Join-size estimate between two CMS blobs: min over rows of the
     row-wise counter dot products (Cormode & Muthukrishnan 2005, Thm 3).
@@ -411,6 +463,7 @@ SQL_FUNCTIONS = {
     "sketch_rank": (sketch_rank, "double"),
     "sketch_histogram": (sketch_histogram, "array<double>"),
     "sketch_describe": (sketch_describe, "string"),
+    "sketch_error_bound": (sketch_error_bound, "double"),
     "kll_ks_distance": (kll_ks_distance, "double"),
     "cms_inner_product": (cms_inner_product, "long"),
     "cms_inner_product_bound": (cms_inner_product_bound, "double"),

@@ -157,6 +157,38 @@ def test_scalable_bloom_estimate_tracks_distinct(rng):
     assert abs(est - h.size) / h.size < 0.05
 
 
+def test_bloom_fpp_observed_fill(rng):
+    """fpp(): (X/m)^k at the observed fill tracks the empirically measured
+    false-positive rate, sits at/under the configured bound when filled to
+    the sized capacity, and reports the DEGRADED rate when overfilled —
+    the operational signal the sizing-time bound cannot give."""
+    cap, target = 5000, 0.01
+    bf = BloomFilter.for_capacity(cap, target)
+    h = np.unique(hashes(rng, 60000))
+    bf.update(h[:cap])
+    at_cap = bf.fpp()
+    observed = float(bf.contains(h[cap:cap + 20000]).mean())
+    assert abs(at_cap - observed) < 0.005   # 4 sigma at n=20k, p<=0.01
+    assert at_cap <= 1.5 * target           # honest at design fill
+    bf.update(h[cap:5 * cap])               # overfill 5x the sized capacity
+    assert bf.fpp() > 5 * target            # degraded rate is reported
+
+
+def test_scalable_bloom_fpp_matches_observed(rng):
+    """ScalableBloomFilter.fpp(): 1 - prod(1 - level fpp) over observed
+    per-level fills tracks the measured FP rate of the multi-level probe
+    and stays within the Almeida compound schedule bound."""
+    from bloomfilter_spark.sketches.scalable import ScalableBloomFilter
+    sbf = ScalableBloomFilter(0.01, initial_capacity=1024)
+    h = np.unique(hashes(rng, 50000))
+    sbf.update(h[:10000])
+    assert len(sbf.filters) > 1
+    fpp = sbf.fpp()
+    observed = float(sbf.contains(h[10000:50000]).mean())
+    assert abs(fpp - observed) < 0.005
+    assert 0.0 < fpp <= sbf.compound_error_bound()
+
+
 # --- hll -----------------------------------------------------------------
 
 def test_hll_accuracy_and_merge(rng):

@@ -520,3 +520,56 @@ def test_sql_estimate_rejects_frequency_family(spark, events):
     with pytest.raises(Exception, match="distinct-count"):
         spark.sql("SELECT sketch_estimate(sketch) AS e FROM cms_est_t") \
              .collect()
+
+
+def test_sql_error_bound_all_families(spark, lineitem, events):
+    """sketch_error_bound returns each family's native bound — the exact
+    kernel formula, so the sizing suggest_* calculators round-trip
+    (suggested params -> build -> sketch_error_bound == predicted)."""
+    import math
+
+    from bloomfilter_spark.sketches import MisraGries, ScalableBloomFilter, \
+        TDigest
+
+    ev = events.where(F.col("user_id").isNotNull())
+    vals = lineitem.select(F.col("l_quantity").alias("v"))
+    sbf = ScalableBloomFilter(0.01, initial_capacity=256)
+    sbf.update(np.arange(1000, 3000, dtype=np.uint64))
+    blobs = {
+        "HyperLogLog": build_sketch(ev, ["user_id"], lambda: HyperLogLog(12)),
+        "CountMinSketch": build_sketch(ev, ["event_type"],
+                                       lambda: CountMinSketch(width=1024,
+                                                              depth=5)),
+        "KLL": build_sketch(vals, ["v"], lambda: KLL(200)),
+        "TDigest": build_sketch(vals, ["v"], lambda: TDigest(100)),
+        "ThetaSketch": build_sketch(ev, ["user_id"], lambda: ThetaSketch(256)),
+        "MisraGries": build_sketch(ev, ["event_type"], lambda: MisraGries(8)),
+        "BloomFilter": build_sketch(ev, ["user_id"],
+                                    lambda: BloomFilter.for_capacity(
+                                        10_000, 0.01)),
+        "ScalableBloomFilter": sbf,
+    }
+    spark.createDataFrame([(fam, b.to_bytes()) for fam, b in blobs.items()],
+                          "fam string, sketch binary") \
+         .createOrReplaceTempView("errbound_t")
+    got = {r["fam"]: r["e"] for r in spark.sql(
+        "SELECT fam, sketch_error_bound(sketch) AS e FROM errbound_t"
+    ).collect()}
+    # exact kernel-formula equality per family
+    assert got["HyperLogLog"] == 1.04 / math.sqrt(1 << 12)
+    assert got["ThetaSketch"] == blobs["ThetaSketch"].rse()
+    assert got["CountMinSketch"] == blobs["CountMinSketch"].error_bound()
+    assert got["MisraGries"] == float(blobs["MisraGries"].error_bound())
+    assert got["KLL"] == 1.7 / 200
+    assert got["TDigest"] == math.pi / (2 * 100)
+    assert got["BloomFilter"] == blobs["BloomFilter"].fpp()
+    assert got["ScalableBloomFilter"] == sbf.fpp()
+    # sizing round-trip: suggested params produce exactly the predicted bound
+    from bloomfilter_spark.sizing import suggest_hll_precision, suggest_kll_k
+    p, predicted, _ = suggest_hll_precision(0.02)
+    assert HyperLogLog(p).rse() == predicted
+    k, predicted_k, _ = suggest_kll_k(0.01)
+    assert KLL(k).rank_error_bound() == predicted_k
+    # NULL blob -> NULL (not an error)
+    assert spark.sql("SELECT sketch_error_bound(CAST(NULL AS binary)) AS e"
+                     ).first()["e"] is None
