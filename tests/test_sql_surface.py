@@ -573,3 +573,36 @@ def test_sql_error_bound_all_families(spark, lineitem, events):
     # NULL blob -> NULL (not an error)
     assert spark.sql("SELECT sketch_error_bound(CAST(NULL AS binary)) AS e"
                      ).first()["e"] is None
+
+
+def test_sql_bloom_contains_on_scalable_blob(spark):
+    """bloom_contains dispatches through the generic hash-query helper to
+    ScalableBloomFilter.contains as well — streamed unknown-capacity dedup
+    state probed from SQL keeps zero false negatives across grown levels."""
+    from bloomfilter_spark.sketches import ScalableBloomFilter
+
+    rng = np.random.default_rng(11)
+    h = np.unique(rng.integers(0, 2**63, 9000, dtype=np.int64)
+                  .view(np.uint64))
+    ins, absent = h[:6000], h[6000:]
+    sbf = ScalableBloomFilter(0.01, initial_capacity=512)
+    sbf.update(ins)
+    assert len(sbf.filters) > 1  # growth actually happened
+    spark.createDataFrame([(sbf.to_bytes(),)], "sketch binary") \
+         .createOrReplaceTempView("sbf_probe_t")
+    spark.createDataFrame(
+        [(int(x),) for x in ins[:2000].view(np.int64)], "h long"
+    ).createOrReplaceTempView("sbf_member_keys")
+    n_member = spark.sql(
+        "SELECT count(*) AS c FROM sbf_member_keys k, sbf_probe_t b "
+        "WHERE bloom_contains(b.sketch, k.h)").first()["c"]
+    assert n_member == 2000  # zero FN over the multi-level filter
+    # false-positive rate on absent keys within the compound bound (x4 slack
+    # for sampling noise at n=|absent|)
+    spark.createDataFrame(
+        [(int(x),) for x in absent.view(np.int64)], "h long"
+    ).createOrReplaceTempView("sbf_absent_keys")
+    n_fp = spark.sql(
+        "SELECT count(*) AS c FROM sbf_absent_keys k, sbf_probe_t b "
+        "WHERE bloom_contains(b.sketch, k.h)").first()["c"]
+    assert n_fp / absent.size <= 4 * sbf.compound_error_bound()
