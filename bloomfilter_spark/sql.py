@@ -30,6 +30,8 @@ once per row):
   bloom_contains(sketch, key_hash) -> bool Bloom membership
   theta_intersect_estimate(a, b) -> double |A ∩ B| estimate
   theta_a_not_b_estimate(a, b) -> double   |A \\ B| estimate
+  theta_intersect_pair(a, b) -> binary     the |A ∩ B| SKETCH — composable
+  theta_a_not_b_pair(a, b) -> binary       the |A \\ B| SKETCH — composable
   sketch_merge_pair(a, b) -> binary        pairwise merge (same type/params)
   sketch_seed() -> long                    the engine's default hash salt
 
@@ -180,6 +182,44 @@ def theta_a_not_b_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
         None if (x is None or y is None)
         else float(theta_a_not_b(_parse(x), _parse(y)).estimate())
         for x, y in zip(a, b)], dtype="object")
+
+
+def theta_intersect_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Intersection SKETCH of two theta blobs (binary out, not just the
+    estimate) — makes set algebra COMPOSABLE in SQL: nest with
+    theta_a_not_b_pair / sketch_merge_pair and put sketch_estimate only
+    at the top, e.g. new-user churn
+    ``sketch_estimate(theta_a_not_b_pair(week2, theta_intersect_pair(
+    week1, week2)))``. NULL in → NULL out."""
+    from .sketches import ThetaSketch, theta_intersect
+
+    def ip(x, y):
+        if x is None or y is None:
+            return None
+        sa, sb = _parse(bytes(x)), _parse(bytes(y))
+        for s in (sa, sb):
+            if not isinstance(s, ThetaSketch):
+                raise TypeError(f"theta_intersect_pair needs theta blobs, "
+                                f"got {type(s).__name__}")
+        return theta_intersect(sa, sb).to_bytes()
+    return pd.Series([ip(x, y) for x, y in zip(a, b)], dtype="object")
+
+
+def theta_a_not_b_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Difference SKETCH |A \\ B| of two theta blobs (binary out), the
+    composable dual of theta_a_not_b_estimate. NULL in → NULL out."""
+    from .sketches import ThetaSketch, theta_a_not_b
+
+    def ab(x, y):
+        if x is None or y is None:
+            return None
+        sa, sb = _parse(bytes(x)), _parse(bytes(y))
+        for s in (sa, sb):
+            if not isinstance(s, ThetaSketch):
+                raise TypeError(f"theta_a_not_b_pair needs theta blobs, "
+                                f"got {type(s).__name__}")
+        return theta_a_not_b(sa, sb).to_bytes()
+    return pd.Series([ab(x, y) for x, y in zip(a, b)], dtype="object")
 
 
 def theta_jaccard_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -458,6 +498,8 @@ SQL_FUNCTIONS = {
     "theta_intersect_estimate": (theta_intersect_estimate, "double"),
     "theta_a_not_b_estimate": (theta_a_not_b_estimate, "double"),
     "theta_jaccard_estimate": (theta_jaccard_estimate, "double"),
+    "theta_intersect_pair": (theta_intersect_pair, "binary"),
+    "theta_a_not_b_pair": (theta_a_not_b_pair, "binary"),
     "mg_count_lo": (mg_count_lo, "long"),
     "mg_error_bound": (mg_error_bound, "long"),
     "sketch_rank": (sketch_rank, "double"),

@@ -606,3 +606,38 @@ def test_sql_bloom_contains_on_scalable_blob(spark):
         "SELECT count(*) AS c FROM sbf_absent_keys k, sbf_probe_t b "
         "WHERE bloom_contains(b.sketch, k.h)").first()["c"]
     assert n_fp / absent.size <= 4 * sbf.compound_error_bound()
+
+
+def test_sql_theta_set_algebra_composes(spark, lineitem):
+    """Blob-returning theta set ops nest in SQL: the composed
+    (A ∩ B) \\ C expression equals the kernel composition byte-for-byte,
+    and its estimate tracks the exact set count within the sketch bound."""
+    from bloomfilter_spark.sketches import theta_a_not_b
+
+    keys = lineitem.select("l_orderkey").distinct()
+    lo, hi = keys.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    cut = lambda f: int(lo + f * (hi - lo))
+    a_df = keys.where(F.col("l_orderkey") < cut(0.6))
+    b_df = keys.where(F.col("l_orderkey").between(cut(0.3), cut(0.9)))
+    c_df = keys.where(F.col("l_orderkey").between(cut(0.3), cut(0.45)))
+    mk = lambda df: build_sketch(df, ["l_orderkey"], lambda: ThetaSketch(4096))
+    ta, tb, tc = mk(a_df), mk(b_df), mk(c_df)
+    spark.createDataFrame([(ta.to_bytes(), tb.to_bytes(), tc.to_bytes())],
+                          "a binary, b binary, c binary") \
+         .createOrReplaceTempView("theta_alg_t")
+    row = spark.sql(
+        "SELECT theta_a_not_b_pair(theta_intersect_pair(a, b), c) AS s, "
+        "       sketch_estimate(theta_a_not_b_pair("
+        "           theta_intersect_pair(a, b), c)) AS e "
+        "FROM theta_alg_t").first()
+    # byte-exact vs the kernel composition of the same blobs
+    kern = theta_a_not_b(theta_intersect(ta, tb), tc)
+    assert bytes(row["s"]) == kern.to_bytes()
+    assert row["e"] == float(kern.estimate())
+    # estimate accuracy vs the exact set count (composed ops compound
+    # error: allow 5x the single-sketch rse)
+    exact = a_df.intersect(b_df).exceptAll(c_df).count()
+    assert abs(row["e"] - exact) / exact < 5 * ThetaSketch(4096).rse()
+    # NULL propagates, wrong family refuses
+    assert spark.sql("SELECT theta_intersect_pair(CAST(NULL AS binary), a) "
+                     "AS s FROM theta_alg_t").first()["s"] is None
