@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""End-to-end sketch-warehouse walkthrough: build once, answer from SQL.
+
+The engine's flagship usage pattern over the north-rule transcript shape
+(conv_id, turn_idx, role, text, tool, ts):
+
+  1. ONE scan of the corpus builds per-day mergeable sketch tables
+     (HLL distinct convs, theta conv sets, KLL turn-length quantiles).
+  2. Everything after that is plain ``spark.sql`` over the serialized
+     blobs — no re-scan, no Python on the data path:
+       - weekly distinct convs via GROUP BY sketch_merge + sketch_estimate,
+         published WITH its trust radius (sketch_error_bound);
+       - tool co-occurrence via the composable theta set algebra
+         (theta_intersect_pair / theta_a_not_b_pair nested inside
+         sketch_estimate, plus theta_jaccard_estimate);
+       - turn-length drift between first/last day via kll_ks_distance;
+       - warehouse-column audit via sketch_describe.
+
+At 10^12 turns the step-1 scan is the only corpus pass; the SQL layer
+operates on O(days) rows. Run: ``python examples/sql_surface_demo.py
+[n_turns]`` (default 200k).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str]) -> int:
+    from pyspark.sql import functions as F
+
+    from bloomfilter_spark.agg import grouped_sketch_table
+    from bloomfilter_spark.config import get_spark
+    from bloomfilter_spark.sketches import KLL, HyperLogLog, ThetaSketch
+    from bloomfilter_spark.sql import register_sketch_sql
+    from bloomfilter_spark.sources.transcripts import load_transcripts
+
+    n_turns = int(argv[1]) if len(argv) > 1 else 200_000
+    spark = get_spark("sql_surface_demo")
+    register_sketch_sql(spark)
+
+    t = load_transcripts(spark, n_turns).withColumn(
+        "day", F.to_date("ts")).withColumn(
+        "turn_len", F.length("text"))
+
+    # -- 1. one corpus scan per sketch family -> per-day sketch rows ------
+    grouped_sketch_table(t, ["day"], ["conv_id"],
+                         lambda: HyperLogLog(12)) \
+        .createOrReplaceTempView("hll_daily")
+    grouped_sketch_table(t.where(F.col("tool").isNotNull()),
+                         ["tool"], ["conv_id"],
+                         lambda: ThetaSketch(4096)) \
+        .createOrReplaceTempView("theta_by_tool")
+    grouped_sketch_table(t, ["day"], ["turn_len"],
+                         lambda: KLL(200)) \
+        .createOrReplaceTempView("kll_daily")
+
+    # -- 2a. weekly rollup WITHOUT rescanning: merge day blobs in SQL -----
+    weekly = spark.sql("""
+        SELECT weekofyear(day) AS week,
+               sketch_estimate(sketch_merge(sketch))    AS approx_convs,
+               sketch_error_bound(sketch_merge(sketch)) AS rel_std_error
+        FROM hll_daily GROUP BY weekofyear(day) ORDER BY week""").collect()
+    for r in weekly:
+        print(f"week {r['week']}: ~{r['approx_convs']:.0f} convs "
+              f"(±{100 * r['rel_std_error']:.2f}% rse)")
+
+    # -- 2b. tool co-occurrence: composable theta set algebra ------------
+    # convs using BOTH tools, and convs using a exclusively (a AND NOT b),
+    # each one nested SQL expression over the per-tool conv-set blobs
+    pairs = spark.sql("""
+        SELECT a.tool AS tool_a, b.tool AS tool_b,
+               sketch_estimate(theta_intersect_pair(a.sketch, b.sketch))
+                   AS convs_both,
+               sketch_estimate(theta_a_not_b_pair(a.sketch, b.sketch))
+                   AS convs_a_only,
+               theta_jaccard_estimate(a.sketch, b.sketch) AS jaccard
+        FROM theta_by_tool a JOIN theta_by_tool b ON a.tool < b.tool
+        ORDER BY convs_both DESC LIMIT 5""").collect()
+    for r in pairs:
+        print(f"{r['tool_a']} & {r['tool_b']}: ~{r['convs_both']:.0f} convs "
+              f"use both, ~{r['convs_a_only']:.0f} only {r['tool_a']}, "
+              f"jaccard {r['jaccard']:.3f}")
+
+    # -- 2c. distribution drift between the first and last day -----------
+    drift = spark.sql("""
+        SELECT kll_ks_distance(f.sketch, l.sketch) AS ks
+        FROM (SELECT sketch FROM kll_daily ORDER BY day ASC  LIMIT 1) f,
+             (SELECT sketch FROM kll_daily ORDER BY day DESC LIMIT 1) l
+        """).first()
+    print(f"turn-length KS drift first->last day: {drift['ks']:.4f}")
+
+    # -- 2d. audit what the warehouse column actually stores -------------
+    desc = json.loads(spark.sql(
+        "SELECT sketch_describe(sketch) AS d FROM hll_daily LIMIT 1"
+    ).first()["d"])
+    print(f"hll_daily blobs: family={desc['family']} p={desc['p']} "
+          f"state={desc['state_bytes']}B")
+
+    # sanity: the SQL answers are coherent (demo doubles as a smoke test)
+    assert weekly and all(r["approx_convs"] > 0 for r in weekly)
+    assert all(0 < r["rel_std_error"] < 0.05 for r in weekly)
+    assert pairs and any(r["convs_both"] > 0 for r in pairs)
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in pairs)
+    assert 0.0 <= drift["ks"] <= 1.0
+    assert desc["family"] == "HyperLogLog"
+    print("OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
