@@ -32,6 +32,8 @@ once per row):
   theta_a_not_b_estimate(a, b) -> double   |A \\ B| estimate
   theta_intersect_pair(a, b) -> binary     the |A ∩ B| SKETCH — composable
   theta_a_not_b_pair(a, b) -> binary       the |A \\ B| SKETCH — composable
+  bloom_intersect_pair(a, b) -> binary     AND of two Bloom blobs (zero-FN
+                                           superset membership of A ∩ B)
   sketch_merge_pair(a, b) -> binary        pairwise merge (same type/params)
   sketch_seed() -> long                    the engine's default hash salt
 
@@ -220,6 +222,30 @@ def theta_a_not_b_pair(a: pd.Series, b: pd.Series) -> pd.Series:
                                 f"got {type(s).__name__}")
         return theta_a_not_b(sa, sb).to_bytes()
     return pd.Series([ab(x, y) for x, y in zip(a, b)], dtype="object")
+
+
+def bloom_intersect_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+    """AND of two same-geometry Bloom blobs (binary out) — the membership
+    dual of sketch_merge_pair's OR. The result filter answers positive for
+    every key present in BOTH inputs (zero false negatives on the true
+    intersection) and is a SUPERSET membership test: its FPR is higher
+    than a filter built from A∩B directly, because a bit can survive the
+    AND via different keys on each side. Use it to pre-filter probes
+    against several per-shard/per-day filters at once; for intersection
+    CARDINALITY use theta blobs (theta_intersect_pair), whose estimator
+    has a published bound. NULL in → NULL out."""
+    from .sketches import BloomFilter
+
+    def bi(x, y):
+        if x is None or y is None:
+            return None
+        sa, sb = _parse(bytes(x)), _parse(bytes(y))
+        for s in (sa, sb):
+            if not isinstance(s, BloomFilter):
+                raise TypeError(f"bloom_intersect_pair needs plain Bloom "
+                                f"blobs, got {type(s).__name__}")
+        return sa.copy().intersect(sb).to_bytes()  # copy: parses are cached
+    return pd.Series([bi(x, y) for x, y in zip(a, b)], dtype="object")
 
 
 def theta_jaccard_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -500,6 +526,7 @@ SQL_FUNCTIONS = {
     "theta_jaccard_estimate": (theta_jaccard_estimate, "double"),
     "theta_intersect_pair": (theta_intersect_pair, "binary"),
     "theta_a_not_b_pair": (theta_a_not_b_pair, "binary"),
+    "bloom_intersect_pair": (bloom_intersect_pair, "binary"),
     "mg_count_lo": (mg_count_lo, "long"),
     "mg_error_bound": (mg_error_bound, "long"),
     "sketch_rank": (sketch_rank, "double"),

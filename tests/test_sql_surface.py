@@ -641,3 +641,35 @@ def test_sql_theta_set_algebra_composes(spark, lineitem):
     # NULL propagates, wrong family refuses
     assert spark.sql("SELECT theta_intersect_pair(CAST(NULL AS binary), a) "
                      "AS s FROM theta_alg_t").first()["s"] is None
+
+
+def test_sql_bloom_intersect_pair(spark):
+    """bloom_intersect_pair: AND of two Bloom blobs is byte-equal to the
+    kernel copy-intersect, keeps zero false negatives on the true common
+    keys, rejects most keys unique to one side, and does not mutate the
+    cached parses of its inputs."""
+    rng = np.random.default_rng(23)
+    h = np.unique(rng.integers(0, 2**63, 30000, dtype=np.int64)
+                  .view(np.uint64))[:24000]
+    common, only_a, only_b = h[:8000], h[8000:16000], h[16000:24000]
+    ba = BloomFilter.for_capacity(20_000, 0.01)
+    bb = BloomFilter.for_capacity(20_000, 0.01)
+    ba.update(np.concatenate([common, only_a]))
+    bb.update(np.concatenate([common, only_b]))
+    spark.createDataFrame([(ba.to_bytes(), bb.to_bytes())],
+                          "a binary, b binary") \
+         .createOrReplaceTempView("bloom_and_t")
+    blob = bytes(spark.sql(
+        "SELECT bloom_intersect_pair(a, b) AS s FROM bloom_and_t"
+    ).first()["s"])
+    assert blob == ba.copy().intersect(bb).to_bytes()  # kernel byte parity
+    out = BloomFilter.from_bytes(blob)
+    assert bool(out.contains(common).all())            # zero FN on A∩B
+    assert float(out.contains(only_a).mean()) < 0.05   # one-side keys cut
+    assert float(out.contains(only_b).mean()) < 0.05
+    # inputs not mutated through the parse cache: re-query A's own keys
+    n_a = spark.sql(
+        "SELECT count(*) AS c FROM (SELECT explode(sequence(0, 0)) z) d, "
+        "bloom_and_t t WHERE bloom_contains(t.a, %d)"
+        % int(np.int64(only_a[0].astype(np.int64)))).first()["c"]
+    assert n_a == 1
