@@ -203,3 +203,34 @@ def test_theta_jvm_build_prefilter_hint_byte_identical(spark, lineitem):
         hinted = theta_build_jvm(lineitem, ["l_orderkey"], k=64,
                                  expected_n=hint)
         assert hinted.to_bytes() == base.to_bytes(), hint
+
+
+def test_theta_set_algebra_laws():
+    """Algebra laws over estimation-mode sketches (the SQL pair functions
+    rest on these): intersect is commutative and idempotent; the result
+    never mutates its inputs; intersect + a_not_b PARTITION a's retained
+    sample below the common theta; (A∩B)'s retained set is a subset of
+    both inputs'."""
+    k = 1024
+    a = ThetaSketch(k); a.update(_hashes(50_000))
+    b = ThetaSketch(k); b.update(_hashes(60_000, 30_000))
+    a_bytes, b_bytes = a.to_bytes(), b.to_bytes()
+
+    i_ab, i_ba = theta_intersect(a, b), theta_intersect(b, a)
+    assert np.array_equal(i_ab.retained, i_ba.retained)   # commutative
+    assert i_ab.theta == i_ba.theta == min(a.theta, b.theta)
+    assert a.to_bytes() == a_bytes and b.to_bytes() == b_bytes  # no mutation
+
+    i_aa = theta_intersect(a, a)                          # idempotent
+    assert np.array_equal(i_aa.retained, a.retained[a.retained < a.theta])
+
+    d_ab = theta_a_not_b(a, b)
+    common_theta = min(a.theta, b.theta)
+    a_below = a.retained[a.retained < common_theta]
+    # partition: intersect(a,b) ∪ a_not_b(a,b) == a's sample, disjointly
+    union = np.union1d(i_ab.retained, d_ab.retained)
+    assert np.array_equal(union, np.sort(a_below))
+    assert np.intersect1d(i_ab.retained, d_ab.retained).size == 0
+    # subset of both inputs
+    assert np.isin(i_ab.retained, a.retained).all()
+    assert np.isin(i_ab.retained, b.retained).all()
