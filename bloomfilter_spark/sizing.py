@@ -183,6 +183,32 @@ def tdigest_rank_error(delta: int, q: float) -> float:
     return math.pi * math.sqrt(q * (1.0 - q)) / delta
 
 
+def suggest_scalable_bloom(total_err_rate: float, tightening: float = 0.5,
+                           initial_capacity: int = 1024
+                           ) -> tuple[float, float, int]:
+    """Level-0 error rate so a ScalableBloomFilter's COMPOUND bound stays
+    under the target at ANY growth history: the Almeida union bound over
+    levels is err0·(1−t^L)/(1−t), which converges from below to
+    err0/(1−t) — so err0 = total·(1−t). This is the footgun the helper
+    exists for: passing the TOTAL target as the constructor's ``err_rate``
+    silently doubles the converged bound at the default tightening 0.5
+    (Almeida et al. 2007, eq. 2.1–2.2).
+
+    Returns (err_rate, predicted_total_error, level0_state_bytes); the
+    predicted total is the L→∞ limit, an upper bound on every finite
+    history. Level-0 bytes use the same exact sizing scan the plain Bloom
+    path uses; each later level roughly doubles capacity at a tightened
+    rate, so total state stays O(level-L size)."""
+    _require_frac("total_err_rate", total_err_rate)
+    if not 0.0 < tightening < 1.0:
+        raise SizingError("tightening ratio must be in (0, 1)")
+    if initial_capacity < 1:
+        raise SizingError("invalid capacity")
+    err0 = total_err_rate * (1.0 - tightening)
+    bits, _k = safe_suggest_sizing(initial_capacity, err0)
+    return err0, total_err_rate, bits // 8
+
+
 def suggest_sketch(kind: str, **targets) -> dict:
     """One-call dispatcher: target accuracy -> constructor kwargs + budget.
 
@@ -197,6 +223,9 @@ def suggest_sketch(kind: str, **targets) -> dict:
       theta  rel_std_error=                -> k
       mg     eps=                          -> k
       tdigest mid_rank_error=              -> delta
+      scalable_bloom total_err_rate= [, tightening=, initial_capacity=]
+                                           -> err_rate/tightening/
+                                              initial_capacity
     """
     kind = kind.lower()
     if kind == "bloom":
@@ -228,4 +257,13 @@ def suggest_sketch(kind: str, **targets) -> dict:
         delta, err, nbytes = suggest_tdigest_delta(targets["mid_rank_error"])
         return {"kind": kind, "params": {"delta": delta},
                 "predicted_error": err, "state_bytes": nbytes}
+    if kind == "scalable_bloom":
+        t = targets.get("tightening", 0.5)
+        cap = targets.get("initial_capacity", 1024)
+        err0, total, nbytes = suggest_scalable_bloom(
+            targets["total_err_rate"], t, cap)
+        return {"kind": kind,
+                "params": {"err_rate": err0, "tightening": t,
+                           "initial_capacity": cap},
+                "predicted_error": total, "state_bytes": nbytes}
     raise SizingError(f"unknown sketch kind {kind!r}")

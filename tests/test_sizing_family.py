@@ -185,3 +185,43 @@ def test_bloom_dispatcher_fpr_roundtrip():
     k = out["params"]["num_hashes"]
     assert analytic_fpr(m, k, 50_000) <= 0.01
     assert out["state_bytes"] == m // 8
+
+
+def test_scalable_bloom_sizer_inverts_compound_bound():
+    """suggest_scalable_bloom: err0 = total*(1-t), so the Almeida compound
+    bound converges to exactly the requested total — passing the total
+    straight to the constructor would converge to total/(1-t) instead."""
+    from bloomfilter_spark.sizing import suggest_scalable_bloom
+    err0, total, nbytes = suggest_scalable_bloom(0.01)
+    assert err0 == 0.01 * 0.5 and total == 0.01 and nbytes > 0
+    # dispatcher form constructs a real filter whose bound stays under
+    # the target at EVERY growth depth
+    from bloomfilter_spark.sketches import ScalableBloomFilter
+    out = suggest_sketch("scalable_bloom", total_err_rate=0.01)
+    sbf = ScalableBloomFilter(**out["params"])
+    for _ in range(6):
+        sbf._grow()
+        assert sbf.compound_error_bound() <= 0.01 + 1e-12
+    with pytest.raises(SizingError):
+        suggest_sketch("scalable_bloom", total_err_rate=0.01, tightening=1.5)
+
+
+def test_sized_scalable_bloom_meets_target(rng):
+    """Empirical: a scalable filter built at the suggested params, grown
+    well past its initial capacity, keeps observed FPR under the TOTAL
+    target (plus 4-sigma sampling slack) and zero false negatives."""
+    from bloomfilter_spark.sizing import suggest_scalable_bloom
+    from bloomfilter_spark.sketches import ScalableBloomFilter
+    total = 0.02
+    err0, _, _ = suggest_scalable_bloom(total, initial_capacity=512)
+    sbf = ScalableBloomFilter(err0, initial_capacity=512)
+    h = np.unique(rng.integers(0, 2**63, 60_000, dtype=np.int64)
+                  .view(np.uint64))
+    ins, absent = h[:8_000], h[8_000:]
+    sbf.update(ins)
+    assert len(sbf.filters) > 3          # grew well past level 0
+    assert bool(sbf.contains(ins).all())  # zero FN
+    observed = float(sbf.contains(absent).mean())
+    slack = 4.0 * math.sqrt(total * (1 - total) / absent.size)
+    assert observed <= total + slack
+    assert sbf.compound_error_bound() <= total + 1e-12
