@@ -78,6 +78,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: grouped multi-aggregate over
+    lineitem with money floored to integer cents (exact oracle match)."""
     li = _t(spark, sf_dir, "lineitem")
     cents = lambda c: F.floor(c * 100).cast("long")  # noqa: E731
     return (li.where(F.col("l_shipdate") <= F.lit("1997-09-01").cast("timestamp"))
@@ -90,6 +92,8 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-document census: total vs distinct text counts
+    (the hash-groupBy dedup baseline on the documents table)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.agg(
         F.count("*").alias("total_docs"),
@@ -108,6 +112,10 @@ def _q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bloom_semijoin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join: prefilter lineitem against a Bloom of high-value
+    order keys, then aggregate. Exact (oracle-matchable) because the
+    operator's default exact=True re-verifies the FPR·|fact| admitted
+    extras with a left_semi join that now shuffles only ~|matches|."""
     from bloomfilter_spark.operators import bloom_semi_join
 
     li = _t(spark, sf_dir, "lineitem")
@@ -137,11 +145,15 @@ def _q_bloom_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 event types by count (TakeOrdered plan) — the exact
+    baseline the CMS/MG heavy-hitter queries bracket."""
     from bloomfilter_spark.operators import exact_top_k
     return exact_top_k(_t(spark, sf_dir, "events"), "event_type", 10)
 
 
 def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority via a rank window (WindowGroupLimit
+    pushdown), deterministic tiebreak on orderkey."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -153,6 +165,8 @@ def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token/char totals over documents using the engine's
+    whitespace+punctuation token_count (pure codegen, no UDF)."""
     from bloomfilter_spark.functions import token_count
     docs = _t(spark, sf_dir, "documents")
     return (docs.groupBy("lang")
@@ -1687,6 +1701,10 @@ def _q_sharded_bloom_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bloom_antijoin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom ANTI-join (notElem dual): zero FN means a filter reject is a
+    DEFINITE non-member (exact fast path, no join at all); only the
+    FPR-sized maybe-member remainder pays a left_anti verification join.
+    Aggregates over the complement; exact, oracle-matchable."""
     from bloomfilter_spark.operators import bloom_anti_join
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -1746,6 +1764,8 @@ def _q_sketch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID distribution over documents
+    (functions.lang_id, pure codegen)."""
     from bloomfilter_spark.functions import lang_id
     docs = _t(spark, sf_dir, "documents")
     return (docs.select(lang_id("text").alias("guessed_lang"))
