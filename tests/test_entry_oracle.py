@@ -128,3 +128,23 @@ def test_stream_source_dir_self_heals(tmp_path):
         fh.write(b"junk")
     entry_mod._stream_source_dir(str(a))
     assert os.path.islink(la)
+
+
+def test_every_query_has_docstring_and_catalog_current():
+    """Every queries() entry carries a docstring (the generated
+    docs/QUERY_CATALOG.md renders its first line), and the committed
+    catalog matches the live registry's size and order-sensitive first
+    entries — regenerate with tools/gen_query_catalog.py after adding
+    or reordering queries."""
+    import os
+    import re
+
+    qs = entry_mod.queries()
+    undocumented = [k for k, fn in qs.items() if not (fn.__doc__ or "").strip()]
+    assert undocumented == []
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "QUERY_CATALOG.md")
+    rows = re.findall(r"^\| (\d+) \| `([^`]+)` \|",
+                      open(path).read(), flags=re.M)
+    assert len(rows) == len(qs)
+    assert [name for _, name in rows] == list(qs)
