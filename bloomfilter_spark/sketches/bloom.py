@@ -111,6 +111,8 @@ class BloomFilter(Sketch):
         Saturated filters (every bit set) return +inf."""
         x = self.bit_count()
         m, k = self.num_bits, self.num_hashes
+        if x == 0:
+            return 0.0  # explicit: -(m/k)·log1p(-0) would be IEEE -0.0
         if x >= m:
             return float("inf")
         return -(m / k) * np.log1p(-x / m)
