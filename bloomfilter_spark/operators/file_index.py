@@ -59,6 +59,11 @@ def build_file_bloom_index(spark: SparkSession, path: str,
 
     ``files``: restrict the build to these files (incremental refresh —
     index only newly-landed files and union with the existing table).
+
+    Health check from SQL: ``SELECT file, sketch_error_bound(sketch)
+    FROM index`` reports each file's CURRENT false-positive rate at its
+    observed fill (sql.register_sketch_sql) — a filter fed past its
+    sized capacity shows a degraded rate instead of the configured fpr.
     """
     from ..agg import grouped_sketch_table
 

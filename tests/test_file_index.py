@@ -250,3 +250,36 @@ def test_range_prune_empty_result_schema(spark, ranged_table):
     out = pruned_read_range(spark, ranged_table, idx, "v", 10**9, 2 * 10**9)
     assert out.count() == 0
     assert set(out.columns) == {"v", "tag"}
+
+
+def test_index_health_via_sql_error_bound(spark, keyed_table):
+    """Operational health check is one SQL line: sketch_error_bound over
+    the index table reports each file's CURRENT false-positive rate at
+    its observed fill — every file of a correctly sized index sits at or
+    under the configured fpr, and an artificially saturated filter is
+    flagged by a degraded rate (the signal a stale configured bound
+    cannot give)."""
+    import numpy as np
+
+    from bloomfilter_spark.sketches import BloomFilter
+    from bloomfilter_spark.sql import register_sketch_sql
+
+    register_sketch_sql(spark)
+    idx = build_file_bloom_index(spark, keyed_table, ["user_id"], fpr=0.001)
+    idx.createOrReplaceTempView("fidx_health_t")
+    rows = spark.sql("SELECT file, n_rows, "
+                     "sketch_error_bound(sketch) AS current_fpp "
+                     "FROM fidx_health_t").collect()
+    assert len(rows) == 8
+    assert all(0.0 <= r["current_fpp"] <= 0.001 for r in rows)
+    # overload one filter far past its sized capacity -> degraded rate
+    blob = bytes(idx.first()["sketch"])
+    bf = BloomFilter.from_bytes(blob)
+    rng = np.random.default_rng(5)
+    bf.update(rng.integers(0, 2**63, 40 * 80_000, dtype=np.int64)
+              .view(np.uint64))
+    spark.createDataFrame([(bf.to_bytes(),)], "sketch binary") \
+         .createOrReplaceTempView("fidx_overload_t")
+    degraded = spark.sql("SELECT sketch_error_bound(sketch) AS e "
+                         "FROM fidx_overload_t").first()["e"]
+    assert degraded > 0.01  # well past the configured 0.001
