@@ -15,6 +15,7 @@ side); value sketches (t-digest, KLL) consume float64 values.
 from __future__ import annotations
 
 import struct
+import zlib
 from abc import ABC, abstractmethod
 
 import numpy as np
@@ -26,7 +27,18 @@ _MAGIC = b"SKCH"
 # payload-shape error; every other type's payload layout is unchanged, so
 # its v1 blobs remain readable (MIN_WIRE_VERSION below) — a persisted
 # warehouse only needs the Bloom/HLL tables rebuilt, not everything.
-_VERSION = 2
+# v3: header gains a CRC32 of params+payload. Length checks alone cannot
+# catch truncation of the variable-count layouts (sparse Bloom/HLL pairs,
+# theta retained samples): a prefix cut at an entry boundary parses as a
+# VALID smaller state — for a Bloom blob that is silent false negatives,
+# the one failure mode the membership contract forbids. At 100 TB a blob
+# crosses shuffle, disk, and warehouse many times; corruption must fail
+# loudly at read, not surface as wrong estimates. v1/v2 blobs (no CRC)
+# remain readable per each type's MIN_WIRE_VERSION — integrity is checked
+# exactly when the writer promised it (version >= 3).
+_VERSION = 3
+_HEADER = "<4sBBI"
+_HEADER_LEN = struct.calcsize(_HEADER)
 
 
 class Sketch(ABC):
@@ -55,12 +67,17 @@ class Sketch(ABC):
 
     def to_bytes(self) -> bytes:
         params, payload = self._payload()
-        header = struct.pack("<4sBBI", _MAGIC, _VERSION, self.TYPE_TAG, len(params))
-        return header + params + payload
+        body = params + payload
+        header = struct.pack(_HEADER, _MAGIC, _VERSION, self.TYPE_TAG, len(params))
+        return header + struct.pack("<I", zlib.crc32(body)) + body
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "Sketch":
-        magic, version, tag, plen = struct.unpack_from("<4sBBI", buf, 0)
+        if len(buf) < _HEADER_LEN:
+            raise ValueError(
+                f"sketch blob shorter than the {_HEADER_LEN}-byte header "
+                f"({len(buf)} bytes) — truncated or not a sketch")
+        magic, version, tag, plen = struct.unpack_from(_HEADER, buf, 0)
         if magic != _MAGIC or not (cls.MIN_WIRE_VERSION <= version <= _VERSION):
             raise ValueError(
                 f"bad sketch serialization header (magic={magic!r}, "
@@ -70,7 +87,22 @@ class Sketch(ABC):
                 f"rebuild the sketch table)")
         if tag != cls.TYPE_TAG:
             raise ValueError(f"sketch type mismatch: got {tag}, want {cls.TYPE_TAG}")
-        off = struct.calcsize("<4sBBI")
+        off = _HEADER_LEN
+        if version >= 3:
+            if len(buf) < off + 4:
+                raise ValueError("sketch blob truncated inside the CRC word")
+            (crc,) = struct.unpack_from("<I", buf, off)
+            off += 4
+            body = buf[off:]
+            if zlib.crc32(body) != crc:
+                raise ValueError(
+                    f"sketch blob failed CRC32 integrity check "
+                    f"({cls.__name__}, {len(buf)} bytes) — corrupted or "
+                    f"truncated in transit/storage; rebuild or re-fetch it")
+        if len(buf) < off + plen:
+            raise ValueError(
+                f"sketch blob truncated inside the params block "
+                f"(have {len(buf) - off}, header promises {plen})")
         return cls._from_payload(buf[off:off + plen], buf[off + plen:])
 
     @property

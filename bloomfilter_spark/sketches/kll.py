@@ -238,7 +238,13 @@ class KLL(Sketch):
         s = cls(k, seed)
         s.n = n
         s._compactions = comps
+        if len(payload) < 4 * nlevels:
+            raise ValueError("KLL payload truncated inside the level-size table")
         sizes = np.frombuffer(payload[:4 * nlevels], dtype="<u4")
+        if len(payload) != 4 * nlevels + 8 * int(sizes.sum()):
+            raise ValueError(
+                f"KLL payload length {len(payload)} != declared level sizes "
+                f"({nlevels} levels, {int(sizes.sum())} values) — truncated blob")
         off = 4 * nlevels
         s.levels = []
         for sz in sizes:

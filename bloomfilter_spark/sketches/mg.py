@@ -149,6 +149,10 @@ class MisraGries(Sketch):
         k, n, dec = struct.unpack("<IQQ", params)
         sk = cls(k)
         sk.n, sk.dec = int(n), int(dec)
+        if len(payload) % 16:
+            raise ValueError(
+                f"Misra-Gries payload length {len(payload)} not a multiple of "
+                f"16 (u64 item + i64 count pairs) — truncated blob")
         m = len(payload) // 16
         sk.items = np.frombuffer(payload[: 8 * m], dtype="<u8").astype(U64)
         sk.counts = np.frombuffer(payload[8 * m:], dtype="<i8").astype(np.int64)

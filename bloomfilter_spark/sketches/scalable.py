@@ -149,6 +149,10 @@ class ScalableBloomFilter(Sketch):
             off += blen
             s.capacities.append(cap0 * (2 ** level))
             s.counts.append(cnt)
+        if off != len(payload):
+            raise ValueError(
+                f"scalable-Bloom payload has {len(payload) - off} trailing "
+                f"bytes after {n} declared levels — corrupted blob")
         return s
 
     def __repr__(self) -> str:

@@ -167,6 +167,10 @@ class TDigest(Sketch):
         delta, n, vmin, vmax = struct.unpack("<IIdd", params)
         s = cls(delta)
         s.vmin, s.vmax = vmin, vmax
+        if len(payload) != 16 * n:
+            raise ValueError(
+                f"t-digest payload length {len(payload)} != 16*{n} declared "
+                f"centroids — truncated blob")
         arr = np.frombuffer(payload, dtype="<f8")
         s.means = arr[:n].astype(np.float64)
         s.weights = arr[n:2 * n].astype(np.float64)

@@ -562,7 +562,9 @@ def test_wire_version_compat_per_type(rng):
         blob = sk.to_bytes()
         magic, version, tag, plen = struct.unpack_from("<4sBBI", blob, 0)
         head = struct.pack("<4sBBI", magic, 1, tag, plen)
-        return head + blob[struct.calcsize("<4sBBI"):]
+        # v3 writers put a 4-byte CRC word after the header; a v1 blob
+        # has none, so drop it along with the version downgrade
+        return head + blob[struct.calcsize("<4sBBI") + 4:]
 
     th = ThetaSketch(k=64)
     th.update(rng.integers(0, 2**63, 1000, dtype=np.int64).view(np.uint64))
@@ -587,6 +589,77 @@ def test_wire_version_compat_per_type(rng):
     with pytest.raises(ValueError, match="reads v2"):
         HyperLogLog.from_bytes(as_v1(h))
     assert _MAGIC == b"SKCH"
+
+
+def test_wire_crc_integrity_matrix(rng):
+    """v3 blobs carry a CRC32 of params+payload: ANY corruption — including
+    the truncations length checks cannot see (sparse Bloom/HLL pairs and
+    theta retained samples cut exactly at an entry boundary parse as a
+    VALID smaller state; for a Bloom membership blob that is silent false
+    negatives) — fails loudly at from_bytes. v2 blobs (pre-CRC) stay
+    readable: integrity is enforced exactly when the writer promised it."""
+    import struct
+    from bloomfilter_spark.sketches.base import _MAGIC, _VERSION
+    from bloomfilter_spark.sketches.mg import MisraGries
+    from bloomfilter_spark.sketches.scalable import ScalableBloomFilter
+    from bloomfilter_spark.sketches.theta import ThetaSketch
+
+    h = rng.integers(0, 2**63, 5000, dtype=np.int64).view(np.uint64)
+    few = h[:64]
+    vals = rng.standard_normal(5000)
+    dense_bf = BloomFilter(1 << 14, 5)
+    dense_bf.update(h)
+    sparse_bf = BloomFilter(1 << 20, 5)   # 64 keys in 2^20 bits -> sparse wire
+    sparse_bf.update(few)
+    sparse_hll = HyperLogLog(14)          # 64 keys in 2^14 registers -> sparse
+    sparse_hll.update(few)
+    cms = CountMinSketch(width=512, depth=4)
+    cms.update(h)
+    th = ThetaSketch(k=256)
+    th.update(h)
+    mg = MisraGries(64)
+    mg.update(h)
+    kll = KLL(128)
+    kll.update(vals)
+    td = TDigest()
+    td.update(vals)
+    sbf = ScalableBloomFilter(0.01, initial_capacity=256)
+    for chunk in np.array_split(h, 4):
+        sbf.update(chunk)
+    hll = HyperLogLog(10)
+    hll.update(h)
+
+    body_off = struct.calcsize("<4sBBI") + 4  # header + CRC word
+    for sk in (dense_bf, sparse_bf, hll, sparse_hll, cms, th, mg, kll, td, sbf):
+        cls = type(sk)
+        blob = sk.to_bytes()
+        assert blob[4] == _VERSION  # writer stamps v3
+        cls.from_bytes(blob)        # intact blob parses
+
+        # one flipped byte anywhere in params/payload -> CRC failure
+        for idx in (body_off + 2, len(blob) - 1):
+            bad = bytearray(blob)
+            bad[idx] ^= 0xFF
+            with pytest.raises(ValueError, match="CRC32"):
+                cls.from_bytes(bytes(bad))
+
+        # truncation inside the body -> loud error (CRC or length check)
+        with pytest.raises(ValueError):
+            cls.from_bytes(blob[:-7])
+
+        # a v2 blob of the SAME body (CRC word dropped, version byte
+        # downgraded) parses: pre-CRC warehouses stay readable
+        magic, _, tag, plen = struct.unpack_from("<4sBBI", blob, 0)
+        v2 = struct.pack("<4sBBI", magic, 2, tag, plen) + blob[body_off:]
+        cls.from_bytes(v2)
+
+    # The motivating cases: entry-boundary truncation used to reconstruct
+    # silently smaller state (sparse Bloom 12-byte pairs, sparse HLL
+    # 5-byte pairs, theta 8-byte samples); CRC now rejects all three.
+    for sk, entry in ((sparse_bf, 12), (sparse_hll, 5), (th, 8)):
+        blob = sk.to_bytes()
+        with pytest.raises(ValueError, match="CRC32"):
+            type(sk).from_bytes(blob[:-entry])
 
 
 # --- Misra-Gries ----------------------------------------------------------
