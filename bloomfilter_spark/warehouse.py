@@ -145,6 +145,90 @@ def save_ivf_centroids(spark: SparkSession, centroids, path: str,
           .parquet(f"{path}/{_META_SUBDIR}"))
 
 
+def verify_sketch_table(spark: SparkSession, path: str, *,
+                        errors_per_partition: int = 5,
+                        strict: bool = False) -> dict:
+    """Distributed integrity sweep (fsck) of a persisted sketch table.
+
+    Every blob is re-parsed on the executors — which, as of wire v3,
+    re-checks the CRC32 each writer stamped — and then merge-probed
+    against a zero sketch built from the table's own `_sketch_meta`, so a
+    structurally-valid blob of the WRONG geometry (an hll(p=12) row inside
+    an hll(p=14) table: parseable, un-mergeable, estimate-corrupting) is
+    caught here rather than mid-rollup. At 100 TB a warehouse table
+    crosses storage migrations, partial job failures, and manual surgery;
+    this is the audit you run before pointing a quarter's rollups at it.
+
+    Scale shape: one executor pass over the table, one partial row per
+    partition back to the driver (counts + a bounded error sample) — the
+    same O(partials) driver-traffic contract as the sketch builds. Blob
+    parsing is per-sketch-row Python, which is O(keys), never O(turns).
+
+    Returns {"path", "meta", "rows", "ok", "corrupt", "nulls",
+    "state_bytes", "errors": [...]}. With strict=True, raises ValueError
+    when any row is corrupt or NULL instead of returning the report.
+    """
+    import pandas as pd
+
+    meta = json.loads(
+        spark.read.parquet(f"{path}/{_META_SUBDIR}").first()["meta"])
+    if "sketch" not in meta:
+        raise ValueError(f"table at {path} has no sketch metadata "
+                         f"(kind={meta.get('kind')!r}) — not a sketch table")
+    cls = SKETCH_TYPES[meta["sketch"]["type_tag"]]
+    zero_params = bytes.fromhex(meta["sketch"]["params_hex"])
+    df = spark.read.parquet(f"{path}/{_DATA_SUBDIR}")
+    if "sketch" not in df.columns:
+        raise ValueError(f"table at {path} has no 'sketch' column")
+    cap = int(errors_per_partition)
+
+    def scan(batches):
+        ok = bad = nulls = 0
+        nbytes = 0
+        errs: list[str] = []
+        for pdf in batches:
+            for b in pdf["sketch"]:
+                if b is None:
+                    nulls += 1
+                    continue
+                raw = bytes(b)
+                try:
+                    sk = cls.from_bytes(raw)
+                    # merge-probe: the same per-family geometry guard a
+                    # real rollup would hit (p/k/width mismatch, ...)
+                    cls._from_payload(zero_params, b"").merge(sk)
+                except Exception as e:  # noqa: BLE001 — classified below
+                    bad += 1
+                    if len(errs) < cap:
+                        errs.append(f"{type(e).__name__}: {str(e)[:200]}")
+                    continue
+                ok += 1
+                nbytes += len(raw)
+        yield pd.DataFrame({"ok": [ok], "bad": [bad], "nulls": [nulls],
+                            "nbytes": [nbytes],
+                            "errs": [json.dumps(errs)]})
+
+    parts = df.select("sketch").mapInPandas(
+        scan, "ok long, bad long, nulls long, nbytes long, errs string"
+    ).collect()  # O(partitions) rows
+    errors: list[str] = []
+    for r in parts:
+        errors.extend(json.loads(r["errs"]))
+    report = {"path": path, "meta": meta,
+              "rows": sum(r["ok"] + r["bad"] + r["nulls"] for r in parts),
+              "ok": sum(r["ok"] for r in parts),
+              "corrupt": sum(r["bad"] for r in parts),
+              "nulls": sum(r["nulls"] for r in parts),
+              "state_bytes": sum(r["nbytes"] for r in parts),
+              "errors": errors[:cap]}
+    if strict and (report["corrupt"] or report["nulls"]):
+        raise ValueError(
+            f"sketch table at {path} failed integrity sweep: "
+            f"{report['corrupt']} corrupt / {report['nulls']} NULL of "
+            f"{report['rows']} rows; first errors: {report['errors']}")
+    return report
+
+
 def load_ivf_centroids(spark: SparkSession, path: str):
     """Load a persisted IVF quantizer back into the (n_lists, d) float32
     ndarray `ivf_assign`/`ivf_topk` take. Raises on wrong table kind or

@@ -220,3 +220,82 @@ def test_ivf_centroids_roundtrip(spark, tmp_path):
         save_sketch_table(t, sk_path, keys=["k"],
                           factory=lambda: HyperLogLog(p=10))
         load_ivf_centroids(spark, sk_path)
+
+
+def test_verify_sketch_table_healthy_and_doctored(spark, events, tmp_path):
+    """Warehouse fsck: a healthy table sweeps clean; a doctored copy with a
+    bit-flipped blob (CRC failure), a NULL, and a wrong-geometry blob
+    (parses fine, un-mergeable) reports each class of damage, and
+    strict=True refuses the table outright."""
+    import numpy as np
+    from bloomfilter_spark.warehouse import verify_sketch_table
+
+    ev = events.where(F.col("user_id").isNotNull())
+    tbl = grouped_sketch_table(ev, ["event_type"], ["user_id"],
+                               lambda: HyperLogLog(10), salt=2)
+    healthy = str(tmp_path / "healthy")
+    save_sketch_table(tbl, healthy, keys=["event_type"],
+                      factory=lambda: HyperLogLog(10))
+    rep = verify_sketch_table(spark, healthy)
+    assert rep["corrupt"] == 0 and rep["nulls"] == 0
+    assert rep["ok"] == rep["rows"] > 0
+    assert rep["state_bytes"] > 0
+    assert rep["meta"]["sketch"]["class"] == "HyperLogLog"
+
+    flipped = bytearray(bytes(tbl.first()["sketch"]))
+    flipped[-1] ^= 0xFF  # payload damage a length check cannot see
+    wrong = HyperLogLog(12)  # parseable, but un-mergeable into a p=10 table
+    wrong.update(np.arange(100, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    doctored_rows = spark.createDataFrame(
+        [("k_crc", bytes(flipped)), ("k_null", None),
+         ("k_geom", wrong.to_bytes())],
+        "event_type string, sketch binary")
+    doctored = str(tmp_path / "doctored")
+    save_sketch_table(tbl.unionByName(doctored_rows), doctored,
+                      keys=["event_type"], factory=lambda: HyperLogLog(10))
+    rep = verify_sketch_table(spark, doctored)
+    assert rep["corrupt"] == 2 and rep["nulls"] == 1
+    assert rep["ok"] == rep["rows"] - 3
+    assert any("CRC32" in e for e in rep["errors"])
+    assert any("precision mismatch" in e for e in rep["errors"])
+    with pytest.raises(ValueError, match="integrity sweep"):
+        verify_sketch_table(spark, doctored, strict=True)
+
+
+def test_verify_sketch_table_rejects_non_sketch_table(spark, tmp_path):
+    """fsck refuses an ivf_centroids table (same warehouse layout, no
+    sketch metadata) instead of mis-reporting it; the CLI's _discover
+    finds tables one level down from a warehouse root."""
+    import numpy as np
+    from bloomfilter_spark.operators.similarity import ivf_train
+    from bloomfilter_spark.warehouse import (save_ivf_centroids,
+                                             verify_sketch_table)
+
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in
+         enumerate(rng.normal(size=(64, 4)).astype(np.float32))],
+        "vec_id long, embedding array<float>")
+    cents = ivf_train(df, "embedding", n_lists=4, max_train=64)
+    root = tmp_path / "wh"
+    root.mkdir()
+    save_ivf_centroids(spark, cents, str(root / "ivf"))
+    with pytest.raises(ValueError, match="not a sketch table"):
+        verify_sketch_table(spark, str(root / "ivf"))
+
+    ev = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    t = grouped_sketch_table(ev, ["k"], ["v"], lambda: HyperLogLog(p=10))
+    save_sketch_table(t, str(root / "sk"), keys=["k"],
+                      factory=lambda: HyperLogLog(p=10))
+
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "fsck_warehouse", os.path.join(os.path.dirname(__file__), "..",
+                                       "tools", "fsck_warehouse.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    found = mod._discover([str(root)])
+    assert sorted(os.path.basename(p) for p in found) == ["ivf", "sk"]
+    # a table path passed directly resolves to itself
+    assert mod._discover([str(root / "sk")]) == [str(root / "sk")]
