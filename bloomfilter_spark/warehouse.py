@@ -35,6 +35,43 @@ from .sketches import SKETCH_TYPES, Sketch
 
 _META_SUBDIR = "_sketch_meta"
 _DATA_SUBDIR = "data"
+_COMMIT_MARKER = "_COMMITTED"
+_VERSION_FMT = "v_{:08d}"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path class) for `path` via the JVM Hadoop FS API —
+    the same abstraction Spark's own writers use, so existence checks,
+    marker creation, and pruning work on ANY Spark-supported filesystem
+    (file://, hdfs://, s3a://, ...), not just the driver's local disk."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path
+
+
+def _versions(spark: SparkSession, path: str,
+              committed_only: bool) -> list[int]:
+    """Sorted version numbers of `v_NNNNNNNN` subdirs under a publish
+    root; with committed_only, just those whose commit marker exists."""
+    fs, Path = _hadoop_fs(spark, path)
+    root = Path(path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v_")):
+            continue
+        try:
+            n = int(name[2:])
+        except ValueError:
+            continue
+        if committed_only and not fs.exists(
+                Path(f"{path}/{name}/{_COMMIT_MARKER}")):
+            continue
+        out.append(n)
+    return sorted(out)
 
 
 def _sketch_params(proto: Sketch) -> dict:
@@ -59,13 +96,86 @@ def save_sketch_table(table: DataFrame, path: str, *, keys: Sequence[str],
          .coalesce(1).write.mode("overwrite").parquet(f"{path}/{_META_SUBDIR}")
 
 
+def publish_sketch_table(table: DataFrame, path: str, *,
+                         keys: Sequence[str],
+                         factory: Callable[[], Sketch],
+                         seed: int = DEFAULT_SEED, keep: int = 2) -> str:
+    """Crash-safe republication of a sketch table that readers may hold
+    open: the versioned alternative to ``save_sketch_table(mode=
+    "overwrite")``, whose in-place rewrite tears the PREVIOUS copy the
+    moment it starts — a job that dies mid-write (or a reader racing it)
+    leaves/sees a half-table.
+
+    Commit protocol (the metadata-pointer idea Iceberg builds a catalog
+    around, reduced to one filesystem invariant): each publish writes a
+    complete table into a fresh ``v_NNNNNNNN`` subdir, then creates a
+    zero-byte ``_COMMITTED`` marker in it LAST. Readers (`
+    resolve_sketch_table`, which `load_sketch_table`/`verify_sketch_table`
+    call) only ever see the newest MARKED version, so a crash at any
+    instant leaves them on the previous complete snapshot; the replayed
+    epoch simply republishes. Marker creation is a single small-file
+    create — atomic visibility on HDFS/POSIX and a single PUT on object
+    stores; no rename-overwrite semantics are relied on anywhere.
+
+    ``keep``: committed versions retained after a successful publish
+    (default 2: current + one rollback). Older committed versions are
+    pruned marker-first (so a lagging resolver never picks a half-deleted
+    dir), along with uncommitted crash leftovers below the new commit.
+    Single writer per root assumed — same as any path-addressed table
+    without a lock service; concurrent publishers need a real catalog.
+
+    Returns the committed version's path.
+    """
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    spark = table.sparkSession
+    n = (_versions(spark, path, committed_only=False) or [0])[-1] + 1
+    vdir = f"{path}/{_VERSION_FMT.format(n)}"
+    save_sketch_table(table, vdir, keys=keys, factory=factory, seed=seed)
+    fs, Path = _hadoop_fs(spark, path)
+    fs.create(Path(f"{vdir}/{_COMMIT_MARKER}"), True).close()
+    committed = _versions(spark, path, committed_only=True)
+    for old in _versions(spark, path, committed_only=False):
+        if old >= n or old in committed[-keep:]:
+            continue
+        odir = f"{path}/{_VERSION_FMT.format(old)}"
+        if old in committed:
+            fs.delete(Path(f"{odir}/{_COMMIT_MARKER}"), False)
+        fs.delete(Path(odir), True)
+    return vdir
+
+
+def resolve_sketch_table(spark: SparkSession, path: str) -> str:
+    """Newest committed version under a `publish_sketch_table` root, or
+    `path` itself for a flat `save_sketch_table` table (back-compat) —
+    uncommitted (torn) versions are invisible by construction."""
+    fs, Path = _hadoop_fs(spark, path)
+    if fs.exists(Path(f"{path}/{_META_SUBDIR}")):
+        return path
+    committed = _versions(spark, path, committed_only=True)
+    if committed:
+        return f"{path}/{_VERSION_FMT.format(committed[-1])}"
+    return path
+
+
+def sketch_table_exists(spark: SparkSession, path: str) -> bool:
+    """True iff `path` resolves to a readable sketch table (flat or
+    versioned) — the FS-agnostic form of `os.path.exists(.../_sketch_meta)`
+    for jobs that bootstrap from a previous run's snapshot."""
+    fs, Path = _hadoop_fs(spark, path)
+    return bool(fs.exists(
+        Path(f"{resolve_sketch_table(spark, path)}/{_META_SUBDIR}")))
+
+
 def load_sketch_table(spark: SparkSession, path: str,
                       expected_factory: Callable[[], Sketch] | None = None,
                       expected_seed: int | None = None
                       ) -> tuple[DataFrame, dict]:
     """Load a saved sketch table; returns (DataFrame, metadata). If the
     caller states expectations, mismatches raise instead of corrupting a
-    later merge."""
+    later merge. Versioned roots (`publish_sketch_table`) resolve to
+    their newest committed version."""
+    path = resolve_sketch_table(spark, path)
     meta = json.loads(
         spark.read.parquet(f"{path}/{_META_SUBDIR}").first()["meta"])
     if expected_factory is not None:
@@ -167,9 +277,11 @@ def verify_sketch_table(spark: SparkSession, path: str, *,
     Returns {"path", "meta", "rows", "ok", "corrupt", "nulls",
     "state_bytes", "errors": [...]}. With strict=True, raises ValueError
     when any row is corrupt or NULL instead of returning the report.
+    Versioned roots resolve to their newest committed version.
     """
     import pandas as pd
 
+    path = resolve_sketch_table(spark, path)
     meta = json.loads(
         spark.read.parquet(f"{path}/{_META_SUBDIR}").first()["meta"])
     if "sketch" not in meta:

@@ -30,19 +30,21 @@ the same bounded-collect discipline as the batch builds. On a cluster,
 pass --master/--deploy-mode to spark-submit as usual; nothing here
 assumes local mode.
 
-Failure window, stated honestly: the warehouse snapshot write is not
-atomic with the state-store commit. If the job dies between them, the
-state store is the source of truth (keys are never lost from it) but a
-key untouched by later epochs could be missing from the snapshot table.
-Recovery: rerun with a fresh --checkpoint-dir over the retained input
-files (AvailableNow replays everything), or treat the snapshot as a
-cache and the state store as canonical."""
+Crash safety: the snapshot is republished via
+`warehouse.publish_sketch_table` — each epoch writes a COMPLETE table
+into a fresh versioned subdir and commits it with a marker file created
+last, and every reader (including this job's own bootstrap) resolves
+only committed versions. A job that dies mid-write therefore leaves the
+previous snapshot fully intact and readable; the uncommitted epoch is
+replayed by AvailableNow on restart and simply republishes. The state
+store remains canonical for per-key sketch state (keys are never lost
+from it); the snapshot table is now crash-consistent rather than a
+tearable cache."""
 
 from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 import time
 
@@ -64,7 +66,8 @@ def main(argv=None) -> int:
     from bloomfilter_spark.streaming import (SketchAccumulator,
                                              stateful_grouped_cms)
     from bloomfilter_spark.warehouse import (load_sketch_table,
-                                             save_sketch_table)
+                                             publish_sketch_table,
+                                             sketch_table_exists)
 
     spark = SparkSession.builder.appName("stream_sketches").getOrCreate()
     t0 = time.time()
@@ -73,11 +76,13 @@ def main(argv=None) -> int:
         return CountMinSketch(eps=args.cms_eps, delta=args.cms_delta)
 
     snapshot_path = f"{args.checkpoint_dir}/cms_tool_convs"
-    # bootstrap the snapshot dict from the previous run, if any; the
-    # geometry guard refuses a snapshot built with different eps/delta
-    # instead of silently mixing incompatible sketches
+    # bootstrap the snapshot dict from the previous run, if any — the
+    # loader resolves the newest COMMITTED version, so a torn write from
+    # a crashed run is invisible here by construction; the geometry guard
+    # refuses a snapshot built with different eps/delta instead of
+    # silently mixing incompatible sketches
     snapshot: dict = {}
-    if os.path.exists(f"{snapshot_path}/_sketch_meta"):
+    if sketch_table_exists(spark, snapshot_path):
         prev, _meta = load_sketch_table(spark, snapshot_path,
                                         expected_factory=cms_factory)
         snapshot = {r["tool"]: (bytes(r["sketch"]), r["n_updates"])
@@ -92,8 +97,8 @@ def main(argv=None) -> int:
         tbl = spark.createDataFrame(
             [(t, s, n) for t, (s, n) in sorted(snapshot.items())],
             "tool string, sketch binary, n_updates long")
-        save_sketch_table(tbl, snapshot_path, keys=["tool"],
-                          factory=cms_factory)
+        publish_sketch_table(tbl, snapshot_path, keys=["tool"],
+                             factory=cms_factory)
 
     stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
               .parquet(args.input_dir))

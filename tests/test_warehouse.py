@@ -299,3 +299,90 @@ def test_verify_sketch_table_rejects_non_sketch_table(spark, tmp_path):
     assert sorted(os.path.basename(p) for p in found) == ["ivf", "sk"]
     # a table path passed directly resolves to itself
     assert mod._discover([str(root / "sk")]) == [str(root / "sk")]
+
+
+def test_publish_sketch_table_versioned_crash_safe(spark, events, tmp_path):
+    """Crash-safe republication: each publish lands in a fresh committed
+    version; an uncommitted (torn) version is invisible to readers;
+    pruning keeps `keep` committed versions and clears crash leftovers."""
+    import os
+
+    from bloomfilter_spark.warehouse import (publish_sketch_table,
+                                             resolve_sketch_table,
+                                             sketch_table_exists,
+                                             verify_sketch_table)
+
+    root = str(tmp_path / "pub")
+    assert not sketch_table_exists(spark, root)
+    ev = events.where(F.col("user_id").isNotNull())
+    fac = lambda: HyperLogLog(10)  # noqa: E731
+
+    t1 = grouped_sketch_table(ev.limit(500), ["event_type"], ["user_id"], fac)
+    v1 = publish_sketch_table(t1, root, keys=["event_type"], factory=fac)
+    assert v1.endswith("v_00000001") and sketch_table_exists(spark, root)
+
+    t2 = grouped_sketch_table(ev, ["event_type"], ["user_id"], fac)
+    v2 = publish_sketch_table(t2, root, keys=["event_type"], factory=fac)
+    assert resolve_sketch_table(spark, root) == v2
+
+    # reader sees exactly the latest committed publish
+    back, meta = load_sketch_table(spark, root, expected_factory=fac)
+    assert ({r["event_type"]: bytes(r["sketch"]) for r in back.collect()}
+            == {r["event_type"]: bytes(r["sketch"]) for r in t2.collect()})
+
+    # torn write: a complete-looking version dir WITHOUT the marker —
+    # readers stay on v2, fsck resolves past it, exists() still true
+    save_sketch_table(t1, f"{root}/v_00000003", keys=["event_type"],
+                      factory=fac)
+    assert resolve_sketch_table(spark, root) == v2
+    assert sketch_table_exists(spark, root)
+    rep = verify_sketch_table(spark, root)
+    assert rep["corrupt"] == 0 and rep["path"] == v2
+
+    # next publish numbers past the torn dir; default keep=2 prunes the
+    # oldest committed version AND the uncommitted leftover
+    v4 = publish_sketch_table(t2, root, keys=["event_type"], factory=fac)
+    assert v4.endswith("v_00000004")
+    assert sorted(os.listdir(root)) == ["v_00000002", "v_00000004"]
+    assert resolve_sketch_table(spark, root) == v4
+
+    # keep=1 retains only the newest
+    publish_sketch_table(t2, root, keys=["event_type"], factory=fac, keep=1)
+    assert sorted(os.listdir(root)) == ["v_00000005"]
+    with pytest.raises(ValueError, match="keep must be"):
+        publish_sketch_table(t2, root, keys=["event_type"], factory=fac,
+                             keep=0)
+
+    # back-compat: a flat save_sketch_table path resolves to itself
+    flat = str(tmp_path / "flat")
+    save_sketch_table(t1, flat, keys=["event_type"], factory=fac)
+    assert resolve_sketch_table(spark, flat) == flat
+    assert sketch_table_exists(spark, flat)
+
+
+def test_fsck_discovers_versioned_roots(spark, events, tmp_path):
+    """The fsck CLI's discovery treats a publish root as one table and
+    sweeps its newest committed version."""
+    import importlib.util
+    import os
+
+    from bloomfilter_spark.warehouse import publish_sketch_table
+
+    ev = events.where(F.col("user_id").isNotNull())
+    fac = lambda: HyperLogLog(10)  # noqa: E731
+    t = grouped_sketch_table(ev, ["event_type"], ["user_id"], fac)
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    publish_sketch_table(t, str(wh / "versioned"), keys=["event_type"],
+                         factory=fac)
+    save_sketch_table(t, str(wh / "flat"), keys=["event_type"], factory=fac)
+
+    spec = importlib.util.spec_from_file_location(
+        "fsck_warehouse", os.path.join(os.path.dirname(__file__), "..",
+                                       "tools", "fsck_warehouse.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    found = mod._discover([str(wh)])
+    assert sorted(os.path.basename(p) for p in found) == ["flat", "versioned"]
+    # a versioned root passed directly resolves to itself as one table
+    assert mod._discover([str(wh / "versioned")]) == [str(wh / "versioned")]

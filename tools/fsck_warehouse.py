@@ -26,8 +26,25 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bloomfilter_spark.config import get_spark  # noqa: E402
-from bloomfilter_spark.warehouse import (_META_SUBDIR, load_ivf_centroids,  # noqa: E402
+from bloomfilter_spark.warehouse import (_COMMIT_MARKER, _META_SUBDIR,  # noqa: E402
+                                         load_ivf_centroids,
+                                         resolve_sketch_table,
                                          verify_sketch_table)
+
+
+def _is_table(p: str) -> bool:
+    """Flat table (has _sketch_meta) or versioned publish root (has at
+    least one committed v_NNNNNNNN); resolution to the live version
+    happens in verify via resolve_sketch_table."""
+    if os.path.isdir(os.path.join(p, _META_SUBDIR)):
+        return True
+    if not os.path.isdir(p):
+        return False
+    return any(
+        name.startswith("v_")
+        and os.path.exists(os.path.join(p, name, _COMMIT_MARKER))
+        and os.path.isdir(os.path.join(p, name, _META_SUBDIR))
+        for name in os.listdir(p))
 
 
 def _discover(paths: list[str]) -> list[str]:
@@ -35,12 +52,12 @@ def _discover(paths: list[str]) -> list[str]:
     on a cluster store, pass table paths explicitly)."""
     tables = []
     for p in paths:
-        if os.path.isdir(os.path.join(p, _META_SUBDIR)):
+        if _is_table(p):
             tables.append(p)
             continue
         for name in sorted(os.listdir(p)):
             sub = os.path.join(p, name)
-            if os.path.isdir(os.path.join(sub, _META_SUBDIR)):
+            if _is_table(sub):
                 tables.append(sub)
     return tables
 
@@ -57,15 +74,17 @@ def main() -> int:
     failed = 0
     for path in tables:
         try:
+            resolved = resolve_sketch_table(spark, path)
             meta = json.loads(
-                spark.read.parquet(f"{path}/{_META_SUBDIR}").first()["meta"])
+                spark.read.parquet(
+                    f"{resolved}/{_META_SUBDIR}").first()["meta"])
         except Exception as e:  # noqa: BLE001 — unreadable table = failure
             print(f"FAIL {path}: unreadable metadata ({e})")
             failed += 1
             continue
         if meta.get("kind") == "ivf_centroids":
             try:
-                arr = load_ivf_centroids(spark, path)
+                arr = load_ivf_centroids(spark, resolved)
                 print(f"OK   {path}: ivf_centroids {arr.shape[0]}x{arr.shape[1]}")
             except Exception as e:  # noqa: BLE001
                 print(f"FAIL {path}: {e}")
