@@ -145,14 +145,30 @@ def publish_sketch_table(table: DataFrame, path: str, *,
     return vdir
 
 
-def resolve_sketch_table(spark: SparkSession, path: str) -> str:
+def resolve_sketch_table(spark: SparkSession, path: str,
+                         version: int | None = None) -> str:
     """Newest committed version under a `publish_sketch_table` root, or
     `path` itself for a flat `save_sketch_table` table (back-compat) —
-    uncommitted (torn) versions are invisible by construction."""
+    uncommitted (torn) versions are invisible by construction.
+
+    ``version``: pin a specific committed version instead of the newest
+    (time travel within the retention window — with the default
+    ``keep=2`` that is the one-publish rollback). Raises ValueError if
+    that version is not committed/retained, listing what is."""
     fs, Path = _hadoop_fs(spark, path)
     if fs.exists(Path(f"{path}/{_META_SUBDIR}")):
+        if version is not None:
+            raise ValueError(
+                f"table at {path} is a flat save_sketch_table table — "
+                "it has no versions to pin")
         return path
     committed = _versions(spark, path, committed_only=True)
+    if version is not None:
+        if version not in committed:
+            raise ValueError(
+                f"version {version} of {path} is not committed/retained; "
+                f"available: {committed}")
+        return f"{path}/{_VERSION_FMT.format(version)}"
     if committed:
         return f"{path}/{_VERSION_FMT.format(committed[-1])}"
     return path
@@ -169,13 +185,15 @@ def sketch_table_exists(spark: SparkSession, path: str) -> bool:
 
 def load_sketch_table(spark: SparkSession, path: str,
                       expected_factory: Callable[[], Sketch] | None = None,
-                      expected_seed: int | None = None
+                      expected_seed: int | None = None, *,
+                      version: int | None = None
                       ) -> tuple[DataFrame, dict]:
     """Load a saved sketch table; returns (DataFrame, metadata). If the
     caller states expectations, mismatches raise instead of corrupting a
     later merge. Versioned roots (`publish_sketch_table`) resolve to
-    their newest committed version."""
-    path = resolve_sketch_table(spark, path)
+    their newest committed version, or to ``version`` if pinned (time
+    travel / rollback read within the retention window)."""
+    path = resolve_sketch_table(spark, path, version=version)
     meta = json.loads(
         spark.read.parquet(f"{path}/{_META_SUBDIR}").first()["meta"])
     if expected_factory is not None:

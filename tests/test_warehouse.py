@@ -386,3 +386,37 @@ def test_fsck_discovers_versioned_roots(spark, events, tmp_path):
     assert sorted(os.path.basename(p) for p in found) == ["flat", "versioned"]
     # a versioned root passed directly resolves to itself as one table
     assert mod._discover([str(wh / "versioned")]) == [str(wh / "versioned")]
+
+
+def test_publish_version_pinning_time_travel(spark, events, tmp_path):
+    """A pinned `version=` reads the retained rollback publish; missing
+    or pruned versions and flat tables reject the pin with the available
+    list."""
+    from bloomfilter_spark.warehouse import publish_sketch_table
+
+    root = str(tmp_path / "tt")
+    ev = events.where(F.col("user_id").isNotNull())
+    fac = lambda: HyperLogLog(10)  # noqa: E731
+    t1 = grouped_sketch_table(ev.limit(300), ["event_type"], ["user_id"], fac)
+    t2 = grouped_sketch_table(ev, ["event_type"], ["user_id"], fac)
+    publish_sketch_table(t1, root, keys=["event_type"], factory=fac)
+    publish_sketch_table(t2, root, keys=["event_type"], factory=fac)
+
+    old, _ = load_sketch_table(spark, root, expected_factory=fac, version=1)
+    new, _ = load_sketch_table(spark, root, expected_factory=fac)
+    assert ({r["event_type"]: bytes(r["sketch"]) for r in old.collect()}
+            == {r["event_type"]: bytes(r["sketch"]) for r in t1.collect()})
+    assert ({r["event_type"]: bytes(r["sketch"]) for r in new.collect()}
+            == {r["event_type"]: bytes(r["sketch"]) for r in t2.collect()})
+
+    with pytest.raises(ValueError, match=r"not committed/retained.*\[1, 2\]"):
+        load_sketch_table(spark, root, version=7)
+    # a third publish prunes v1 past keep=2 — the pin now rejects it
+    publish_sketch_table(t2, root, keys=["event_type"], factory=fac)
+    with pytest.raises(ValueError, match=r"available: \[2, 3\]"):
+        load_sketch_table(spark, root, version=1)
+
+    flat = str(tmp_path / "flat_tt")
+    save_sketch_table(t1, flat, keys=["event_type"], factory=fac)
+    with pytest.raises(ValueError, match="no versions to pin"):
+        load_sketch_table(spark, flat, version=1)
