@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, functions as F
@@ -86,11 +87,16 @@ def _cc_state_path(checkpoint_dir: str, rnd: int) -> str:
 
 
 def _cc_checkpoint(e: DataFrame, checkpoint_dir: str, rnd: int,
-                   input_edges: int) -> None:
+                   input_edges: int, keep: int) -> None:
     """Persist the post-round edge state + a lineage record. The lineage
     line is appended only after the parquet write succeeds, so a crash
     between the two loses at most one round (the state dir is rewritten
-    with mode=overwrite on the retried round)."""
+    with mode=overwrite on the retried round). After a successful write,
+    complete state dirs older than the newest ``keep`` are pruned —
+    resume only ever uses the newest complete one, and without pruning a
+    50-round run retains 50 copies of the edge set on disk. Lineage
+    lines are kept for all rounds (the run's audit trail); `_cc_resume`
+    already skips entries whose state dir is gone."""
     path = _cc_state_path(checkpoint_dir, rnd)
     e.write.mode("overwrite").parquet(path)
     n = e.count()
@@ -99,6 +105,13 @@ def _cc_checkpoint(e: DataFrame, checkpoint_dir: str, rnd: int,
         fh.write(json.dumps({"round": rnd, "edges": n,
                              "input_edges": input_edges,
                              "ts": time.time()}) + "\n")
+    complete = sorted(
+        r for r in (int(name[len("round_"):]) for name in
+                    os.listdir(checkpoint_dir) if name.startswith("round_"))
+        if os.path.exists(os.path.join(_cc_state_path(checkpoint_dir, r),
+                                       "_SUCCESS")))
+    for old in complete[:-keep]:
+        shutil.rmtree(_cc_state_path(checkpoint_dir, old))
 
 
 def _cc_resume(spark, checkpoint_dir: str, input_edges: int):
@@ -125,6 +138,7 @@ def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", *, max_iter: int = 50,
                          checkpoint_dir: str | None = None,
                          checkpoint_every: int = 1,
+                         keep_checkpoints: int = 2,
                          _probe=None) -> DataFrame:
     """Connected components of the undirected graph given as an edge list.
 
@@ -160,11 +174,17 @@ def connected_components(edges: DataFrame, src: str = "src",
     forest and executes ZERO further rounds); an input whose canonical edge
     count differs raises rather than silently mixing graphs. Cost when
     enabled: one parquet write + one count per checkpointed round.
+    ``keep_checkpoints`` (default 2: newest + one fallback) bounds disk —
+    resume only ever reads the newest complete state, so older round
+    dirs are pruned after each successful write instead of accumulating
+    one edge-set copy per round; lineage lines are kept for every round.
 
     ``_probe``: test hook, called with the round number each iteration.
     """
     if checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
+    if keep_checkpoints < 1:
+        raise ValueError("keep_checkpoints must be >= 1")
     e = _canonical(edges.select(F.col(src).alias("u"),
                                 F.col(dst).alias("v")))
     start_round = 0
@@ -182,7 +202,8 @@ def connected_components(edges: DataFrame, src: str = "src",
             e = _canonical(_small_star(_large_star(e))).localCheckpoint(
                 eager=True)
             if checkpoint_dir is not None and (it + 1) % checkpoint_every == 0:
-                _cc_checkpoint(e, checkpoint_dir, it, input_edges)
+                _cc_checkpoint(e, checkpoint_dir, it, input_edges,
+                               keep_checkpoints)
             if _is_star_forest(e):
                 break
         else:

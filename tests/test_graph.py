@@ -219,3 +219,29 @@ def test_cc_checkpoint_lineage_and_every(spark, tmp_path):
     assert all(e["input_edges"] == n0 for e in lin)
     with pytest.raises(ValueError):
         connected_components(df, checkpoint_dir=ck, checkpoint_every=0)
+
+
+def test_cc_checkpoint_pruning_bounds_disk(spark, tmp_path):
+    """keep_checkpoints prunes round dirs past the newest N complete ones
+    (a path graph runs O(log n) rounds — without pruning that is one edge
+    set copy per round); lineage keeps every round and resume still
+    restores from the newest surviving state."""
+    import os
+    edges = [(i, i + 1) for i in range(511)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ck = str(tmp_path / "cc")
+    rounds = []
+    base = _labels(connected_components(df, checkpoint_dir=ck,
+                                        _probe=rounds.append))
+    assert len(rounds) >= 3  # enough rounds for pruning to have fired
+    dirs = sorted(d for d in os.listdir(ck) if d.startswith("round_"))
+    assert dirs == [f"round_{len(rounds) - 2:04d}",
+                    f"round_{len(rounds) - 1:04d}"]  # default keep=2
+    from bloomfilter_spark.checkpoint import read_lineage
+    assert [e["round"] for e in read_lineage(ck)] == list(range(len(rounds)))
+    r2 = []
+    got = _labels(connected_components(df, checkpoint_dir=ck,
+                                       _probe=r2.append))
+    assert got == base and r2 == []  # converged state survived pruning
+    with pytest.raises(ValueError, match="keep_checkpoints"):
+        connected_components(df, checkpoint_dir=ck, keep_checkpoints=0)
