@@ -126,12 +126,23 @@ def publish_sketch_table(table: DataFrame, path: str, *,
 
     Returns the committed version's path.
     """
+    spark = table.sparkSession
+    return _publish_version(
+        spark, path, keep,
+        lambda vdir: save_sketch_table(table, vdir, keys=keys,
+                                       factory=factory, seed=seed))
+
+
+def _publish_version(spark: SparkSession, path: str, keep: int,
+                     write_version: Callable[[str], None]) -> str:
+    """Shared commit protocol for any warehouse-layout table: write a
+    complete version dir, mark it committed LAST, prune old versions
+    marker-first plus uncommitted crash leftovers."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
-    spark = table.sparkSession
     n = (_versions(spark, path, committed_only=False) or [0])[-1] + 1
     vdir = f"{path}/{_VERSION_FMT.format(n)}"
-    save_sketch_table(table, vdir, keys=keys, factory=factory, seed=seed)
+    write_version(vdir)
     fs, Path = _hadoop_fs(spark, path)
     fs.create(Path(f"{vdir}/{_COMMIT_MARKER}"), True).close()
     committed = _versions(spark, path, committed_only=True)
@@ -147,9 +158,10 @@ def publish_sketch_table(table: DataFrame, path: str, *,
 
 def resolve_sketch_table(spark: SparkSession, path: str,
                          version: int | None = None) -> str:
-    """Newest committed version under a `publish_sketch_table` root, or
-    `path` itself for a flat `save_sketch_table` table (back-compat) —
-    uncommitted (torn) versions are invisible by construction.
+    """Newest committed version under a publish root (sketch tables and
+    ivf_centroids share the layout), or `path` itself for a flat
+    `save_*` table (back-compat) — uncommitted (torn) versions are
+    invisible by construction.
 
     ``version``: pin a specific committed version instead of the newest
     (time travel within the retention window — with the default
@@ -273,6 +285,19 @@ def save_ivf_centroids(spark: SparkSession, centroids, path: str,
           .parquet(f"{path}/{_META_SUBDIR}"))
 
 
+def publish_ivf_centroids(spark: SparkSession, centroids, path: str,
+                          *, keep: int = 2) -> str:
+    """Crash-safe republication of an IVF quantizer (same commit protocol
+    as `publish_sketch_table`): a retrained quantizer must never tear the
+    copy concurrent assignment jobs hold open — half-new centroids would
+    silently mis-assign a corpus, which is worse than a crash. Returns
+    the committed version's path; `load_ivf_centroids` resolves to the
+    newest committed version (or a pinned one)."""
+    return _publish_version(
+        spark, path, keep,
+        lambda vdir: save_ivf_centroids(spark, centroids, vdir))
+
+
 def verify_sketch_table(spark: SparkSession, path: str, *,
                         errors_per_partition: int = 5,
                         strict: bool = False) -> dict:
@@ -359,11 +384,15 @@ def verify_sketch_table(spark: SparkSession, path: str, *,
     return report
 
 
-def load_ivf_centroids(spark: SparkSession, path: str):
+def load_ivf_centroids(spark: SparkSession, path: str, *,
+                       version: int | None = None):
     """Load a persisted IVF quantizer back into the (n_lists, d) float32
     ndarray `ivf_assign`/`ivf_topk` take. Raises on wrong table kind or
-    shape-corrupted rows rather than mis-assigning a corpus."""
+    shape-corrupted rows rather than mis-assigning a corpus. Versioned
+    roots (`publish_ivf_centroids`) resolve to the newest committed
+    version, or to a pinned ``version``."""
     import numpy as np
+    path = resolve_sketch_table(spark, path, version=version)
     meta = json.loads(
         spark.read.parquet(f"{path}/{_META_SUBDIR}").first()["meta"])
     if meta.get("kind") != "ivf_centroids":

@@ -420,3 +420,32 @@ def test_publish_version_pinning_time_travel(spark, events, tmp_path):
     save_sketch_table(t1, flat, keys=["event_type"], factory=fac)
     with pytest.raises(ValueError, match="no versions to pin"):
         load_sketch_table(spark, flat, version=1)
+
+
+def test_publish_ivf_centroids_versioned(spark, tmp_path):
+    """A retrained quantizer republishes without tearing the copy readers
+    hold: versioned commit, torn version invisible, rollback pinnable."""
+    import numpy as np
+
+    from bloomfilter_spark.operators.similarity import ivf_train
+    from bloomfilter_spark.warehouse import (load_ivf_centroids,
+                                             publish_ivf_centroids,
+                                             save_ivf_centroids)
+
+    rng = np.random.default_rng(11)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in
+         enumerate(rng.normal(size=(128, 6)).astype(np.float32))],
+        "vec_id long, embedding array<float>")
+    c1 = ivf_train(df, "embedding", n_lists=4, max_train=128)
+    c2 = ivf_train(df, "embedding", n_lists=8, max_train=128)
+    root = str(tmp_path / "ivf_pub")
+    publish_ivf_centroids(spark, c1, root)
+    v2 = publish_ivf_centroids(spark, c2, root)
+    assert v2.endswith("v_00000002")
+    np.testing.assert_array_equal(load_ivf_centroids(spark, root), c2)
+    np.testing.assert_array_equal(
+        load_ivf_centroids(spark, root, version=1), c1)  # rollback read
+    # torn retrain: complete-looking dir without the marker stays invisible
+    save_ivf_centroids(spark, c1, f"{root}/v_00000003")
+    np.testing.assert_array_equal(load_ivf_centroids(spark, root), c2)
