@@ -103,7 +103,20 @@ class Sketch(ABC):
             raise ValueError(
                 f"sketch blob truncated inside the params block "
                 f"(have {len(buf) - off}, header promises {plen})")
-        return cls._from_payload(buf[off:off + plen], buf[off + plen:])
+        try:
+            return cls._from_payload(buf[off:off + plen], buf[off + plen:])
+        except ValueError:
+            raise
+        except Exception as e:
+            # A corrupt header can mis-slice the body past the CRC's reach
+            # (e.g. a bit flip downgrading the version byte to pre-CRC v2
+            # makes the CRC word parse as params): whatever the per-type
+            # reconstruction trips over (struct.error, KeyError, ...),
+            # callers must see one exception type for "corrupt blob".
+            raise ValueError(
+                f"corrupt sketch blob ({cls.__name__}, {len(buf)} bytes): "
+                f"state reconstruction failed "
+                f"({type(e).__name__}: {e})") from e
 
     @property
     def state_nbytes(self) -> int:

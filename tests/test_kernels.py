@@ -779,3 +779,44 @@ def test_mg_serialization_roundtrip_and_errors(rng):
         mg.update(hashes(rng, 3), np.array([1, -2, 3]))
     with pytest.raises(ValueError, match="k must be"):
         MisraGries(k=0)
+
+
+def test_wire_v3_exhaustive_prefix_and_flip_fuzz(rng):
+    """The strongest form of the v3 integrity claim, verified by brute
+    force on small sketches of all 8 families: EVERY strict prefix of a
+    blob and EVERY sampled single-byte flip (header bytes exhaustively,
+    body positions sampled) raises — nothing parses to silently different
+    state. The header's plen field sits outside the CRC, so this pins
+    that the per-type params guards reject boundary-shifting flips too."""
+    from bloomfilter_spark.sketches.mg import MisraGries
+    from bloomfilter_spark.sketches.scalable import ScalableBloomFilter
+    from bloomfilter_spark.sketches.theta import ThetaSketch
+
+    h = rng.integers(0, 2**63, 2000, dtype=np.int64).view(np.uint64)
+    vals = rng.standard_normal(2000)
+    sketches = []
+    bf = BloomFilter(1 << 12, 5); bf.update(h); sketches.append(bf)
+    sh = HyperLogLog(10); sh.update(h[:150]); sketches.append(sh)  # sparse
+    cm = CountMinSketch(width=64, depth=3); cm.update(h); sketches.append(cm)
+    kl = KLL(64); kl.update(vals); sketches.append(kl)
+    td = TDigest(50); td.update(vals); sketches.append(td)
+    mg = MisraGries(8); mg.update(h); sketches.append(mg)
+    th = ThetaSketch(k=64); th.update(h); sketches.append(th)
+    sb = ScalableBloomFilter(0.01, initial_capacity=128); sb.update(h)
+    sketches.append(sb)
+
+    for sk in sketches:
+        cls = type(sk)
+        blob = sk.to_bytes()
+        for cut in range(len(blob)):          # every strict prefix
+            with pytest.raises(ValueError):
+                cls.from_bytes(blob[:cut])
+        header = np.arange(10)
+        body = rng.choice(np.arange(10, len(blob)),
+                          size=min(150, len(blob) - 10), replace=False)
+        for pos in np.concatenate([header, body]):
+            for bit in (0, 7):
+                bad = bytearray(blob)
+                bad[pos] ^= 1 << bit
+                with pytest.raises(ValueError):
+                    cls.from_bytes(bytes(bad))
