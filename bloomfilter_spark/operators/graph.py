@@ -105,12 +105,23 @@ def _cc_checkpoint(e: DataFrame, checkpoint_dir: str, rnd: int,
         fh.write(json.dumps({"round": rnd, "edges": n,
                              "input_edges": input_edges,
                              "ts": time.time()}) + "\n")
-    complete = sorted(
-        r for r in (int(name[len("round_"):]) for name in
-                    os.listdir(checkpoint_dir) if name.startswith("round_"))
-        if os.path.exists(os.path.join(_cc_state_path(checkpoint_dir, r),
-                                       "_SUCCESS")))
-    for old in complete[:-keep]:
+    rounds = []
+    for name in os.listdir(checkpoint_dir):
+        if name.startswith("round_"):
+            try:
+                rounds.append(int(name[len("round_"):]))
+            except ValueError:
+                continue
+    complete = [r for r in sorted(rounds) if os.path.exists(
+        os.path.join(_cc_state_path(checkpoint_dir, r), "_SUCCESS"))]
+    keep_set = set(complete[-keep:])
+    for old in sorted(rounds):
+        # prune complete dirs past the newest `keep` AND incomplete
+        # crash leftovers older than the round just written (rnd is
+        # always the newest complete one) — an un-pruned torn dir would
+        # otherwise leak a near-complete edge-set copy forever
+        if old in keep_set or old >= complete[-1]:
+            continue
         shutil.rmtree(_cc_state_path(checkpoint_dir, old))
 
 

@@ -238,6 +238,14 @@ class KLL(Sketch):
         s = cls(k, seed)
         s.n = n
         s._compactions = comps
+        if not payload:
+            # params-only zero reconstruction (sketch_factory_from_meta,
+            # verify_sketch_table's geometry probe): same convention as
+            # the other families — an absent payload means empty state,
+            # regardless of the level count the params were stamped with
+            s.n = 0
+            s._compactions = 0
+            return s
         if len(payload) < 4 * nlevels:
             raise ValueError("KLL payload truncated inside the level-size table")
         sizes = np.frombuffer(payload[:4 * nlevels], dtype="<u4")

@@ -124,6 +124,11 @@ def publish_sketch_table(table: DataFrame, path: str, *,
     Single writer per root assumed — same as any path-addressed table
     without a lock service; concurrent publishers need a real catalog.
 
+    Publishing onto a legacy flat `save_sketch_table` root is a
+    supported upgrade: committed versions take resolve precedence, so
+    readers move to the first publish immediately; the stale flat files
+    stay in place, ignored (one-time disk cost, never pruned).
+
     Returns the committed version's path.
     """
     spark = table.sparkSession
@@ -166,21 +171,25 @@ def resolve_sketch_table(spark: SparkSession, path: str,
     ``version``: pin a specific committed version instead of the newest
     (time travel within the retention window — with the default
     ``keep=2`` that is the one-publish rollback). Raises ValueError if
-    that version is not committed/retained, listing what is."""
-    fs, Path = _hadoop_fs(spark, path)
-    if fs.exists(Path(f"{path}/{_META_SUBDIR}")):
-        if version is not None:
+    that version is not committed/retained, listing what is.
+
+    Committed versions take precedence over a root-level flat table:
+    upgrading a job from `save_sketch_table` to `publish_sketch_table`
+    on the SAME path must direct readers at the new publishes, not pin
+    them to the stale pre-upgrade copy forever (the legacy flat files
+    stay in place, ignored — a one-time disk cost, never pruned)."""
+    committed = _versions(spark, path, committed_only=True)
+    if version is not None:
+        if version in committed:
+            return f"{path}/{_VERSION_FMT.format(version)}"
+        fs, Path = _hadoop_fs(spark, path)
+        if not committed and fs.exists(Path(f"{path}/{_META_SUBDIR}")):
             raise ValueError(
                 f"table at {path} is a flat save_sketch_table table — "
                 "it has no versions to pin")
-        return path
-    committed = _versions(spark, path, committed_only=True)
-    if version is not None:
-        if version not in committed:
-            raise ValueError(
-                f"version {version} of {path} is not committed/retained; "
-                f"available: {committed}")
-        return f"{path}/{_VERSION_FMT.format(version)}"
+        raise ValueError(
+            f"version {version} of {path} is not committed/retained; "
+            f"available: {committed}")
     if committed:
         return f"{path}/{_VERSION_FMT.format(committed[-1])}"
     return path
@@ -300,7 +309,8 @@ def publish_ivf_centroids(spark: SparkSession, centroids, path: str,
 
 def verify_sketch_table(spark: SparkSession, path: str, *,
                         errors_per_partition: int = 5,
-                        strict: bool = False) -> dict:
+                        strict: bool = False,
+                        meta: dict | None = None) -> dict:
     """Distributed integrity sweep (fsck) of a persisted sketch table.
 
     Every blob is re-parsed on the executors — which, as of wire v3,
@@ -317,16 +327,22 @@ def verify_sketch_table(spark: SparkSession, path: str, *,
     same O(partials) driver-traffic contract as the sketch builds. Blob
     parsing is per-sketch-row Python, which is O(keys), never O(turns).
 
-    Returns {"path", "meta", "rows", "ok", "corrupt", "nulls",
-    "state_bytes", "errors": [...]}. With strict=True, raises ValueError
-    when any row is corrupt or NULL instead of returning the report.
-    Versioned roots resolve to their newest committed version.
+    Returns {"path" (resolved), "meta", "rows", "ok", "corrupt", "nulls",
+    "state_bytes", "errors": [...]} — errors carries up to
+    ``errors_per_partition`` samples from EVERY partition (O(partitions)
+    total), so distinct damage classes in different partitions all
+    surface. With strict=True, raises ValueError when any row is corrupt
+    or NULL instead of returning the report. Versioned roots resolve to
+    their newest committed version; ``meta`` short-circuits the resolve +
+    metadata read for callers that already did both (then ``path`` must
+    be the resolved table dir).
     """
     import pandas as pd
 
-    path = resolve_sketch_table(spark, path)
-    meta = json.loads(
-        spark.read.parquet(f"{path}/{_META_SUBDIR}").first()["meta"])
+    if meta is None:
+        path = resolve_sketch_table(spark, path)
+        meta = json.loads(
+            spark.read.parquet(f"{path}/{_META_SUBDIR}").first()["meta"])
     if "sketch" not in meta:
         raise ValueError(f"table at {path} has no sketch metadata "
                          f"(kind={meta.get('kind')!r}) — not a sketch table")
@@ -338,6 +354,11 @@ def verify_sketch_table(spark: SparkSession, path: str, *,
     cap = int(errors_per_partition)
 
     def scan(batches):
+        # one zero per task, not per row (a dense CMS/Bloom zero is up to
+        # MBs of allocation); the probe merges the zero INTO the parsed
+        # row's sketch — same geometry guard, and the discarded row copy
+        # absorbs the mutation so the zero never accumulates state
+        zero = cls._from_payload(zero_params, b"")
         ok = bad = nulls = 0
         nbytes = 0
         errs: list[str] = []
@@ -351,7 +372,7 @@ def verify_sketch_table(spark: SparkSession, path: str, *,
                     sk = cls.from_bytes(raw)
                     # merge-probe: the same per-family geometry guard a
                     # real rollup would hit (p/k/width mismatch, ...)
-                    cls._from_payload(zero_params, b"").merge(sk)
+                    sk.merge(zero)
                 except Exception as e:  # noqa: BLE001 — classified below
                     bad += 1
                     if len(errs) < cap:
@@ -375,12 +396,12 @@ def verify_sketch_table(spark: SparkSession, path: str, *,
               "corrupt": sum(r["bad"] for r in parts),
               "nulls": sum(r["nulls"] for r in parts),
               "state_bytes": sum(r["nbytes"] for r in parts),
-              "errors": errors[:cap]}
+              "errors": errors}
     if strict and (report["corrupt"] or report["nulls"]):
         raise ValueError(
             f"sketch table at {path} failed integrity sweep: "
             f"{report['corrupt']} corrupt / {report['nulls']} NULL of "
-            f"{report['rows']} rows; first errors: {report['errors']}")
+            f"{report['rows']} rows; first errors: {report['errors'][:5]}")
     return report
 
 

@@ -245,3 +245,20 @@ def test_cc_checkpoint_pruning_bounds_disk(spark, tmp_path):
     assert got == base and r2 == []  # converged state survived pruning
     with pytest.raises(ValueError, match="keep_checkpoints"):
         connected_components(df, checkpoint_dir=ck, keep_checkpoints=0)
+
+
+def test_cc_checkpoint_prunes_torn_round_dirs(spark, tmp_path):
+    """An incomplete round dir (crashed parquet write, no _SUCCESS) older
+    than the newest complete round is pruned like any other leftover —
+    it can never be resumed from, so keeping it only leaks disk."""
+    import os
+    from bloomfilter_spark.operators.graph import (_cc_checkpoint,
+                                                   _cc_state_path)
+    e = spark.createDataFrame([(2, 1)], "u long, v long")
+    ck = str(tmp_path / "ck")
+    _cc_checkpoint(e, ck, 0, 1, 2)
+    _cc_checkpoint(e, ck, 2, 1, 2)
+    os.makedirs(_cc_state_path(ck, 1))  # torn: no _SUCCESS inside
+    _cc_checkpoint(e, ck, 5, 1, 2)
+    dirs = sorted(d for d in os.listdir(ck) if d.startswith("round_"))
+    assert dirs == ["round_0002", "round_0005"]

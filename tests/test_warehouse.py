@@ -449,3 +449,70 @@ def test_publish_ivf_centroids_versioned(spark, tmp_path):
     # torn retrain: complete-looking dir without the marker stays invisible
     save_ivf_centroids(spark, c1, f"{root}/v_00000003")
     np.testing.assert_array_equal(load_ivf_centroids(spark, root), c2)
+
+
+def test_verify_sketch_table_all_families(spark, tmp_path):
+    """fsck sweeps a healthy table of EVERY family clean — pins that each
+    family's params-only zero reconstruction (the geometry probe, also
+    the sketch_factory_from_meta path) works; KLL used to reject its own
+    empty payload here and report healthy tables 100% corrupt."""
+    import numpy as np
+
+    from bloomfilter_spark.sketches import CountMinSketch, TDigest
+    from bloomfilter_spark.sketches.kll import KLL as KLLSketch
+    from bloomfilter_spark.sketches.mg import MisraGries
+    from bloomfilter_spark.sketches.scalable import ScalableBloomFilter
+    from bloomfilter_spark.sketches.theta import ThetaSketch
+    from bloomfilter_spark.sketches.bloom import BloomFilter
+    from bloomfilter_spark.warehouse import verify_sketch_table
+
+    rng = np.random.default_rng(5)
+    h = rng.integers(0, 2**63, 400, dtype=np.int64).view(np.uint64)
+    v = rng.normal(size=400)
+    factories = {
+        "bloom": lambda: BloomFilter(1 << 12, 5),
+        "hll": lambda: HyperLogLog(10),
+        "cms": lambda: CountMinSketch(depth=3, width=64),
+        "kll": lambda: KLLSketch(64),
+        "tdigest": lambda: TDigest(50),
+        "mg": lambda: MisraGries(8),
+        "theta": lambda: ThetaSketch(64),
+        "scalable": lambda: ScalableBloomFilter(0.01, initial_capacity=128),
+    }
+    for name, fac in factories.items():
+        rows = []
+        for i in range(4):
+            sk = fac()
+            sk.update(v[i::4] if not sk.HASH_KEYED else h[i::4])
+            rows.append((f"k{i}", sk.to_bytes()))
+        tbl = spark.createDataFrame(rows, "k string, sketch binary")
+        path = str(tmp_path / name)
+        save_sketch_table(tbl, path, keys=["k"], factory=fac)
+        rep = verify_sketch_table(spark, path, strict=True)
+        assert rep["ok"] == rep["rows"] == 4 and rep["corrupt"] == 0, name
+
+
+def test_publish_over_legacy_flat_root_upgrades_readers(spark, events,
+                                                        tmp_path):
+    """Upgrading a job from save_sketch_table to publish_sketch_table on
+    the SAME path: committed versions take resolve precedence, so readers
+    see the first publish immediately instead of being pinned to the
+    stale flat copy forever."""
+    from bloomfilter_spark.warehouse import (publish_sketch_table,
+                                             resolve_sketch_table,
+                                             verify_sketch_table)
+
+    root = str(tmp_path / "upgrade")
+    ev = events.where(F.col("user_id").isNotNull())
+    fac = lambda: HyperLogLog(10)  # noqa: E731
+    t_old = grouped_sketch_table(ev.limit(200), ["event_type"],
+                                 ["user_id"], fac)
+    t_new = grouped_sketch_table(ev, ["event_type"], ["user_id"], fac)
+    save_sketch_table(t_old, root, keys=["event_type"], factory=fac)
+    assert resolve_sketch_table(spark, root) == root  # flat until upgraded
+    v1 = publish_sketch_table(t_new, root, keys=["event_type"], factory=fac)
+    assert resolve_sketch_table(spark, root) == v1
+    back, _ = load_sketch_table(spark, root, expected_factory=fac)
+    assert ({r["event_type"]: bytes(r["sketch"]) for r in back.collect()}
+            == {r["event_type"]: bytes(r["sketch"]) for r in t_new.collect()})
+    assert verify_sketch_table(spark, root)["path"] == v1

@@ -49,11 +49,14 @@ def _is_table(p: str) -> bool:
 
 def _discover(paths: list[str]) -> list[str]:
     """Expand warehouse roots into table paths (local filesystem walk;
-    on a cluster store, pass table paths explicitly)."""
+    on a cluster store, pass table paths explicitly). Non-directory
+    paths are skipped here — main() reports them as failures."""
     tables = []
     for p in paths:
         if _is_table(p):
             tables.append(p)
+            continue
+        if not os.path.isdir(p):
             continue
         for name in sorted(os.listdir(p)):
             sub = os.path.join(p, name)
@@ -66,12 +69,16 @@ def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__)
         return 2
-    tables = _discover(sys.argv[1:])
-    if not tables:
-        print("no sketch tables found under", sys.argv[1:])
+    args = sys.argv[1:]
+    bad_args = [p for p in args if not os.path.isdir(p)]
+    for p in bad_args:
+        print(f"FAIL {p}: not a directory")
+    tables = _discover([p for p in args if os.path.isdir(p)])
+    if not tables and not bad_args:
+        print("no sketch tables found under", args)
         return 1
     spark = get_spark("fsck-warehouse", cores=8, shuffle_partitions=8)
-    failed = 0
+    failed = len(bad_args)
     for path in tables:
         try:
             resolved = resolve_sketch_table(spark, path)
@@ -91,7 +98,7 @@ def main() -> int:
                 failed += 1
             continue
         try:
-            rep = verify_sketch_table(spark, path)
+            rep = verify_sketch_table(spark, resolved, meta=meta)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {path}: {e}")
             failed += 1
@@ -105,7 +112,8 @@ def main() -> int:
         else:
             print(f"OK   {path}: {cls} — {rep['rows']} rows, "
                   f"{rep['state_bytes']} state bytes")
-    print(f"\n{len(tables) - failed}/{len(tables)} tables healthy")
+    total = len(tables) + len(bad_args)
+    print(f"\n{total - failed}/{total} tables healthy")
     return 1 if failed else 0
 
 
