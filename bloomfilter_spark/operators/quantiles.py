@@ -303,9 +303,21 @@ def quantile_rank_normalize(df: DataFrame, col, n_buckets: int = 1000,
     name = col if isinstance(col, str) else df.select(col).columns[0]
     v = F.col(name) if isinstance(col, str) else col
     if sketch is None:
+        # pass the Column itself, not its stringified name — an
+        # expression like F.col("x")*2 has no resolvable column name
         sketch = build_sketch(
             df.where(v.isNotNull() & ~F.isnan(v.cast("double"))),
-            [name], lambda: KLL(k))
+            [v], lambda: KLL(k))
+    if sketch.n == 0:
+        raise ValueError(
+            "quantile_rank_normalize: the column has no non-NULL/non-NaN "
+            "values (or the prebuilt sketch is empty) — cut points would "
+            "be NaN and every row would silently rank in bucket 0")
     cuts = kll_cut_points(sketch, n_buckets)
-    rank = ((equidepth_bucket(v, cuts) + F.lit(0.5)) / F.lit(n_buckets))
+    # NaN guard: Spark orders NaN above every number, so without this a
+    # NaN row would fold into the TOP bucket and rank ~1.0 instead of
+    # the documented NULL (equidepth_bucket already maps NULL -> NULL)
+    vd = v.cast("double")
+    rank = F.when(F.isnan(vd), F.lit(None).cast("double")).otherwise(
+        (equidepth_bucket(v, cuts) + F.lit(0.5)) / F.lit(n_buckets))
     return df.withColumn(out_col or f"{name}_qrank", rank)

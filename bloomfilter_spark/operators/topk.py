@@ -197,8 +197,13 @@ def decayed_top_items(df: DataFrame, group_cols, item_col: str, ts_col: str,
                       (T_.DoubleType, T_.FloatType, T_.LongType,
                        T_.IntegerType, T_.DecimalType)):
         ts = ts.cast("timestamp")
-    rows = (df.where(F.col(item_col).isNotNull() & F.col(ts_col).isNotNull())
-              .select(*groups, item_col, ts.cast("double").alias("__sec")))
+    # filter on the CASTED ts double: a NaN in a numeric ts_col passes
+    # isNotNull and would poison the group's max-landmark and every
+    # decayed weight downstream (exp of NaN)
+    ts_d = ts.cast("double")
+    rows = (df.where(F.col(item_col).isNotNull()
+                     & ts_d.isNotNull() & ~F.isnan(ts_d))
+              .select(*groups, item_col, ts_d.alias("__sec")))
     if t_ref == "global":
         # one scalar to the driver: the clock, not data
         t = rows.agg(F.max("__sec")).first()[0]

@@ -593,11 +593,16 @@ def stateful_decayed_heavy_hitters(stream_df: DataFrame, key_col: str,
                       (T.DoubleType, T.FloatType, T.LongType, T.IntegerType,
                        T.DecimalType)):
         ts_expr = ts_expr.cast("timestamp")
+    # filter on the CASTED ts double: a NaN in a numeric ts_col passes
+    # isNotNull, and one NaN timestamp pins t_ref (max(t_ref, nan) can
+    # return nan/-inf) and corrupts the key's decayed table
+    ts_d = ts_expr.cast("double")
     hashed = (stream_df
-              .where(F.col(item_col).isNotNull() & F.col(ts_col).isNotNull())
+              .where(F.col(item_col).isNotNull()
+                     & ts_d.isNotNull() & ~F.isnan(ts_d))
               .select(F.col(key_col).cast("string").alias(key_col),
                       F.col(item_col).cast("string").alias("__item"),
-                      ts_expr.cast("double").alias("__ts"),
+                      ts_d.alias("__ts"),
                       F.xxhash64(F.lit(seed), F.col(item_col)).alias("__h")))
     return (hashed.groupBy(key_col)
                   .applyInPandasWithState(fn, out_schema, state_schema,
@@ -688,11 +693,15 @@ def stateful_decayed_quantile(stream_df: DataFrame, key_col: str,
                        T.DecimalType)):
         ts_expr = ts_expr.cast("timestamp")
     v = F.col(value_col).cast("double")
+    # filter on the CASTED ts double: a NaN in a numeric ts_col passes
+    # isNotNull, and one NaN timestamp poisons the key's state forever
+    # (ts.max() = NaN -> t_ref stuck at -inf -> every weight = +inf)
+    ts_d = ts_expr.cast("double")
     vals = (stream_df.where(v.isNotNull() & ~F.isnan(v)
-                            & F.col(ts_col).isNotNull())
+                            & ts_d.isNotNull() & ~F.isnan(ts_d))
             .select(F.col(key_col).cast("string").alias(key_col),
                     v.alias("__v"),
-                    ts_expr.cast("double").alias("__ts")))
+                    ts_d.alias("__ts")))
     return (vals.groupBy(key_col)
                 .applyInPandasWithState(fn, out_schema, state_schema,
                                         "update", GroupStateTimeout.NoTimeout))

@@ -955,3 +955,56 @@ def test_stateful_decayed_quantile_tracks_current_distribution(spark,
 
     with pytest.raises(ValueError, match="half_life_s"):
         stateful_decayed_quantile(df, "key", "v", "sec", -1.0)
+
+
+def test_decayed_operators_drop_nan_timestamps(spark, tmp_path):
+    """A NaN in a NUMERIC ts column passes isNotNull; without the casted
+    NaN filter one poisoned row made ts.max() NaN, pinned t_ref at -inf,
+    and every weight became +inf — corrupting the key's state forever.
+    Both decayed streaming operators and the batch dual must ignore such
+    rows and produce the same finite results as the clean input."""
+    import math
+
+    from bloomfilter_spark.operators.topk import decayed_top_items
+    from bloomfilter_spark.streaming import (
+        stateful_decayed_heavy_hitters, stateful_decayed_quantile)
+
+    rows = [("k", float(v), float(v % 7)) for v in range(1, 101)]
+    poisoned = rows + [("k", 42.0, float("nan")), ("k", float("nan"), 3.0)]
+    df = spark.createDataFrame(poisoned, "key string, v double, sec double")
+    src = str(tmp_path / "nan_src")
+    df.repartition(2).write.parquet(src)
+
+    def run(qname, op, **kw):
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = op(stream, "key", **kw)
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName(qname).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.sql(
+            f"SELECT * FROM {qname} ORDER BY n_updates DESC").toPandas()
+
+    dq = run("nan_dq", stateful_decayed_quantile, value_col="v",
+             ts_col="sec", half_life_s=30.0, quantiles=(0.5,))
+    assert dq["n_updates"].iloc[0] == 100     # both poisoned rows dropped
+    assert np.isfinite(dq["est"].iloc[0]) and np.isfinite(
+        dq["w_total"].iloc[0])
+    assert dq["t_ref"].iloc[0] == 6.0
+
+    hh = run("nan_hh", stateful_decayed_heavy_hitters, item_col="v",
+             ts_col="sec", half_life_s=30.0, k=5)
+    assert hh["n_updates"].iloc[0] == 101     # NaN item is a valid string
+    assert np.isfinite(hh["est_decayed"]).all()
+    assert float(hh["t_ref"].iloc[0]) == 6.0
+
+    batch = decayed_top_items(df, "key", "v", "sec",
+                              half_life_s=30.0, k=5)
+    pdf = batch.toPandas().sort_values("decayed_count", ascending=False)
+    assert np.isfinite(pdf["decayed_count"]).all()
+    lam = math.log(2.0) / 30.0
+    # every item occurs once; the top decayed count is the exact NaN-free
+    # oracle's max weight (v % 7 == 6 -> landmark-age zero -> weight 1)
+    assert abs(pdf["decayed_count"].iloc[0]
+               - max(math.exp(-lam * (6.0 - (v % 7)))
+                     for v in range(1, 101))) < 1e-9

@@ -345,3 +345,35 @@ def test_quantile_rank_normalize_accuracy_and_plan(spark, lineitem):
 
     with pytest.raises(ValueError, match="buckets"):
         quantile_rank_normalize(ties, "v", n_buckets=1, sketch=sk)
+
+
+def test_quantile_rank_normalize_nan_expr_and_empty_guards(spark):
+    """Review-pass regressions: NaN values rank NULL (Spark sorts NaN
+    above every number, so unguarded they fell in the TOP bucket at rank
+    ~1.0); a Column EXPRESSION input builds the sketch from the
+    expression, not its unresolvable stringified name; an empty /
+    all-NULL column raises instead of silently ranking every row in
+    bucket 0."""
+    import math
+
+    from bloomfilter_spark.operators.quantiles import quantile_rank_normalize
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)]
+        + [(float("nan"),), (None,)], "x double")
+    out = quantile_rank_normalize(df, "x", n_buckets=10, k=200,
+                                  out_col="r").toPandas()
+    finite = out[out["x"].notna()]                   # None and NaN -> NaN
+    assert finite.set_index("x")["r"].loc[100.0] > 0.9  # real max ranks high
+    assert out[out["x"].isna()]["r"].isna().all()    # NaN/NULL -> NULL rank
+    assert out["r"].isna().sum() == 2                # exactly those two rows
+
+    from pyspark.sql import functions as F
+    expr_out = quantile_rank_normalize(
+        spark.range(1, 101).select(F.col("id").cast("double").alias("x")),
+        F.col("x") * 2, n_buckets=10, out_col="r").toPandas()
+    assert expr_out["r"].between(0.0, 1.0).all()
+
+    empty = spark.createDataFrame([(None,), (float("nan"),)], "x double")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        quantile_rank_normalize(empty, "x", n_buckets=10)
