@@ -36,7 +36,18 @@ _MAGIC = b"SKCH"
 # loudly at read, not surface as wrong estimates. v1/v2 blobs (no CRC)
 # remain readable per each type's MIN_WIRE_VERSION — integrity is checked
 # exactly when the writer promised it (version >= 3).
-_VERSION = 3
+# v4: the CRC covers the HEADER too (magic/version/tag/plen + body), so a
+# header flip is caught structurally instead of by whichever per-type
+# params guard the mis-sliced body happens to trip. The v3 gap: plen and
+# tag sat outside the CRC; fuzzing showed every flip still raised, but
+# only because each type's reconstruction validated geometry — v4 makes
+# that a wire guarantee, not an emergent property. Layouts are unchanged
+# (no MIN_WIRE_VERSION bump); v3 blobs verify body-only CRC as written.
+# A v4 blob whose version byte is flipped cannot sneak into a weaker
+# path: all single-bit flips of 0x04 land outside [1, 4] except 0x00
+# (rejected by MIN_WIRE_VERSION >= 1), and any multi-bit flip to 3 fails
+# the CRC check (stored word covers the header, v3 recompute does not).
+_VERSION = 4
 _HEADER = "<4sBBI"
 _HEADER_LEN = struct.calcsize(_HEADER)
 
@@ -69,7 +80,7 @@ class Sketch(ABC):
         params, payload = self._payload()
         body = params + payload
         header = struct.pack(_HEADER, _MAGIC, _VERSION, self.TYPE_TAG, len(params))
-        return header + struct.pack("<I", zlib.crc32(body)) + body
+        return header + struct.pack("<I", zlib.crc32(header + body)) + body
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "Sketch":
@@ -94,7 +105,10 @@ class Sketch(ABC):
             (crc,) = struct.unpack_from("<I", buf, off)
             off += 4
             body = buf[off:]
-            if zlib.crc32(body) != crc:
+            # v3 wrote crc32(body); v4 folds the header in so tag/plen
+            # flips fail here instead of in per-type reconstruction
+            covered = buf[:_HEADER_LEN] + body if version >= 4 else body
+            if zlib.crc32(covered) != crc:
                 raise ValueError(
                     f"sketch blob failed CRC32 integrity check "
                     f"({cls.__name__}, {len(buf)} bytes) — corrupted or "

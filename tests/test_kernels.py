@@ -592,12 +592,15 @@ def test_wire_version_compat_per_type(rng):
 
 
 def test_wire_crc_integrity_matrix(rng):
-    """v3 blobs carry a CRC32 of params+payload: ANY corruption — including
-    the truncations length checks cannot see (sparse Bloom/HLL pairs and
-    theta retained samples cut exactly at an entry boundary parse as a
-    VALID smaller state; for a Bloom membership blob that is silent false
-    negatives) — fails loudly at from_bytes. v2 blobs (pre-CRC) stay
-    readable: integrity is enforced exactly when the writer promised it."""
+    """v3+ blobs carry a CRC32 (v3: params+payload; v4: header too): ANY
+    corruption — including the truncations length checks cannot see
+    (sparse Bloom/HLL pairs and theta retained samples cut exactly at an
+    entry boundary parse as a VALID smaller state; for a Bloom membership
+    blob that is silent false negatives) — fails loudly at from_bytes.
+    v2 (pre-CRC) and v3 (body-only CRC) blobs stay readable: integrity is
+    enforced exactly as each writer promised it. v4 additionally makes
+    header flips (tag/plen) a structural CRC failure rather than relying
+    on per-type payload-geometry guards."""
     import struct
     from bloomfilter_spark.sketches.base import _MAGIC, _VERSION
     from bloomfilter_spark.sketches.mg import MisraGries
@@ -629,11 +632,15 @@ def test_wire_crc_integrity_matrix(rng):
     hll = HyperLogLog(10)
     hll.update(h)
 
-    body_off = struct.calcsize("<4sBBI") + 4  # header + CRC word
+    import zlib
+    from bloomfilter_spark.sketches import sketch_from_bytes
+
+    head_fmt = "<4sBBI"
+    body_off = struct.calcsize(head_fmt) + 4  # header + CRC word
     for sk in (dense_bf, sparse_bf, hll, sparse_hll, cms, th, mg, kll, td, sbf):
         cls = type(sk)
         blob = sk.to_bytes()
-        assert blob[4] == _VERSION  # writer stamps v3
+        assert blob[4] == _VERSION  # writer stamps the current version
         cls.from_bytes(blob)        # intact blob parses
 
         # one flipped byte anywhere in params/payload -> CRC failure
@@ -652,6 +659,29 @@ def test_wire_crc_integrity_matrix(rng):
         magic, _, tag, plen = struct.unpack_from("<4sBBI", blob, 0)
         v2 = struct.pack("<4sBBI", magic, 2, tag, plen) + blob[body_off:]
         cls.from_bytes(v2)
+
+        # a v3 blob as the OLD writer produced it (CRC over body only)
+        # still verifies and parses: v3 warehouses stay readable
+        body = blob[body_off:]
+        v3 = (struct.pack("<4sBBI", magic, 3, tag, plen)
+              + struct.pack("<I", zlib.crc32(body)) + body)
+        assert cls.from_bytes(v3).to_bytes() == blob
+
+        # v4 structural header coverage: a plen flip fails the CRC
+        # (v3 relied on the per-type params guard catching the mis-slice)
+        bad_plen = bytearray(blob)
+        bad_plen[6] ^= 0x01
+        with pytest.raises(ValueError, match="CRC32"):
+            cls.from_bytes(bytes(bad_plen))
+
+    # v4 type-confusion guard: flip Bloom's tag byte to HLL's and dispatch
+    # by tag (the SQL-surface path) — the CRC rejects it BEFORE HLL's
+    # payload guards ever see the alien body
+    confused = bytearray(dense_bf.to_bytes())
+    assert confused[5] == 1
+    confused[5] = 2
+    with pytest.raises(ValueError, match="CRC32"):
+        sketch_from_bytes(bytes(confused))
 
     # The motivating cases: entry-boundary truncation used to reconstruct
     # silently smaller state (sparse Bloom 12-byte pairs, sparse HLL
@@ -781,13 +811,14 @@ def test_mg_serialization_roundtrip_and_errors(rng):
         MisraGries(k=0)
 
 
-def test_wire_v3_exhaustive_prefix_and_flip_fuzz(rng):
-    """The strongest form of the v3 integrity claim, verified by brute
+def test_wire_exhaustive_prefix_and_flip_fuzz(rng):
+    """The strongest form of the wire-integrity claim, verified by brute
     force on small sketches of all 8 families: EVERY strict prefix of a
     blob and EVERY sampled single-byte flip (header bytes exhaustively,
     body positions sampled) raises — nothing parses to silently different
-    state. The header's plen field sits outside the CRC, so this pins
-    that the per-type params guards reject boundary-shifting flips too."""
+    state. Since v4 the header sits inside the CRC, so tag/plen flips are
+    structural CRC failures; version-byte flips land outside the accepted
+    [MIN_WIRE_VERSION, 4] range (all single-bit flips of 0x04 do)."""
     from bloomfilter_spark.sketches.mg import MisraGries
     from bloomfilter_spark.sketches.scalable import ScalableBloomFilter
     from bloomfilter_spark.sketches.theta import ThetaSketch

@@ -7,7 +7,7 @@ Each PATH is either a single sketch table (a directory containing
 `_sketch_meta`) or a warehouse root whose immediate subdirectories are
 tables. For every sketch table found, runs
 `warehouse.verify_sketch_table` — a distributed executor pass that
-re-checks each blob's wire-v3 CRC32 and merge-probes it against the
+re-checks each blob's wire CRC32 (v3: body; v4: header+body) and merge-probes it against the
 table's own metadata geometry — and prints one report line. Non-sketch
 tables that share the warehouse layout (e.g. `kind=ivf_centroids`) are
 validated by their own loader and reported as such.
