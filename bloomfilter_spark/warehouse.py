@@ -313,8 +313,8 @@ def verify_sketch_table(spark: SparkSession, path: str, *,
                         meta: dict | None = None) -> dict:
     """Distributed integrity sweep (fsck) of a persisted sketch table.
 
-    Every blob is re-parsed on the executors — which, as of wire v3,
-    re-checks the CRC32 each writer stamped — and then merge-probed
+    Every blob is re-parsed on the executors — which, for v3+ blobs,
+    re-checks the CRC32 each writer stamped (v4: header included) — and then merge-probed
     against a zero sketch built from the table's own `_sketch_meta`, so a
     structurally-valid blob of the WRONG geometry (an hll(p=12) row inside
     an hll(p=14) table: parseable, un-mergeable, estimate-corrupting) is
