@@ -1442,20 +1442,32 @@ def _q_retention_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_streaming_mg_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming per-key Misra-Gries
-    (streaming/sketch_stream.stateful_grouped_mg): with k=512 above
+    (streaming/sketch_stream.stateful_grouped_mg): with k sized ABOVE
     every key's distinct-user cardinality the summary never trims, so
     the final emission's top-5 (count desc, user asc) EQUALS the exact
     batch counts with count_lo == count_hi — the deterministic O(k)-state
     counterpart of q62's CMS variant (whose exactness is probabilistic in
-    the collision bound). Oracle recomputes with a plain window."""
+    the collision bound). k is derived from the input (one exact
+    countDistinct pre-pass over the same static files; at 10^12 turns
+    you'd size from an HLL pre-pass instead) rather than hardcoded: a
+    fixed k=512 held exact mode at sf0.01 (max 150 distinct users/key)
+    but silently entered trim mode at sf0.1 (max 1500), where lo < hi
+    is CORRECT sandwich behavior (pinned by the kernel/q89/q99 bound
+    tests) but no longer oracle-equal. Oracle recomputes with a plain
+    window."""
     import os
 
     from bloomfilter_spark.streaming import stateful_grouped_mg
     ev_schema = _t(spark, sf_dir, "events").schema
     stream_dir = _stream_source_dir(sf_dir)
+    max_d = (spark.read.parquet(stream_dir)
+                  .where(F.col("user_id").isNotNull())
+                  .groupBy("event_type")
+                  .agg(F.countDistinct("user_id").alias("d"))
+                  .agg(F.max("d")).first()[0]) or 0
     stream = spark.readStream.schema(ev_schema).parquet(stream_dir)
     out = stateful_grouped_mg(stream, "event_type", "user_id",
-                              k=512, emit_k=5)
+                              k=int(max_d) + 64, emit_k=5)
     name = "mg_state_" + str(abs(hash(sf_dir)) % 100000)
     q = (out.writeStream.outputMode("update").format("memory")
             .queryName(name).trigger(availableNow=True).start())
@@ -2007,10 +2019,16 @@ def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 for 3 fixed queries. The quantizer trains on a bounded
     deterministic sample (the at-scale recipe: ~100k training vectors no
     matter the corpus size); search scores only rows whose Voronoi list is
-    among each query's n_probes nearest — probing 8 of 16 lists halves the
-    scored fraction. The synthetic corpus is near-isotropic (the hardest
-    IVF case, like q36 for LSH): measured recall@10 is 0.83 (sf0.001) /
-    0.87 (sf0.01), floor 0.7."""
+    among each query's n_probes nearest — probing half the lists halves
+    the scored fraction. n_lists follows the at-scale IVF recipe
+    n_lists ~ sqrt(n) (pow-2, floor 16) instead of a hardcoded 16: on
+    this near-isotropic corpus (the hardest IVF case, like q36 for LSH)
+    a FIXED 16/8 measured 0.83 (sf0.001) / 0.87 (sf0.01) but decayed to
+    0.60 at sf0.1 as the true top-10 tightened; sqrt-scaling restores
+    0.80 there (32 lists / 16 probes) while resolving to the identical
+    16/8 at sf0.001/sf0.01. Floor 0.7."""
+    import math
+
     import numpy as np
     from bloomfilter_spark.operators import (brute_force_topk, ivf_topk,
                                              ivf_train)
@@ -2018,11 +2036,14 @@ def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = emb.where(F.col("vec_id") < 3).orderBy("vec_id").collect()
     queries = np.array([r["embedding"] for r in qrows], dtype=np.float32)
     corpus = emb.where(F.col("vec_id") >= 3)
-    cents = ivf_train(corpus, "embedding", n_lists=16, max_train=2000)
+    n = corpus.count()
+    n_lists = max(16, 1 << round(math.log2(max(1.0, math.sqrt(n)))))
+    cents = ivf_train(corpus, "embedding", n_lists=n_lists,
+                      max_train=max(2000, 64 * n_lists))
     exact = brute_force_topk(corpus, "vec_id", "embedding", queries, k=10) \
         .select("query_id", "vec_id")
     approx = ivf_topk(corpus, "vec_id", "embedding", queries, cents,
-                      k=10, n_probes=8).select("query_id", "vec_id")
+                      k=10, n_probes=n_lists // 2).select("query_id", "vec_id")
     n_exact = exact.count()
     hit = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
     return spark.createDataFrame(
