@@ -148,3 +148,33 @@ def test_every_query_has_docstring_and_catalog_current():
                       open(path).read(), flags=re.M)
     assert len(rows) == len(qs)
     assert [name for _, name in rows] == list(qs)
+
+
+def test_scale_derived_query_params():
+    """Pins the scale-parameter derivations the 10x-scale oracle sweep
+    forced (docs/ROUND5_CLOSEOUT.md): q37's IVF geometry follows
+    n_lists ~ sqrt(n) (pow-2, floor 16; probes = half) so it resolves to
+    the measured-green 16/8 at sf0.001/sf0.01 and 32/16 at sf0.1 — a
+    regression to a hardcoded 16 would pass the sf0.01 driver gate while
+    silently dropping recall@10 to 0.60 at sf0.1."""
+    import math
+
+    def n_lists(n):
+        return max(16, 1 << round(math.log2(max(1.0, math.sqrt(n)))))
+
+    assert n_lists(47) == 16      # sf0.001 corpus (50 - 3 query rows)
+    assert n_lists(497) == 16     # sf0.01
+    assert n_lists(1997) == 32    # sf0.1
+    assert n_lists(200_000) == 512
+    assert n_lists(0) == 16       # degenerate corpus still valid
+
+    # the q37 source uses exactly this formula (keep them in lockstep)
+    import inspect
+    src = inspect.getsource(entry_mod._q_ann_ivf_recall)
+    assert "max(16, 1 << round(math.log2(max(1.0, math.sqrt(n)))))" in src
+    assert "n_probes=n_lists // 2" in src
+
+    # q98 sizes MG k from the input's own cardinality (exact-mode
+    # contract at any sf), not a constant that happens to hold at sf0.01
+    src98 = inspect.getsource(entry_mod._q_streaming_mg_hitters)
+    assert "countDistinct" in src98 and "k=int(max_d) + 64" in src98
