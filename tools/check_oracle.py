@@ -43,7 +43,15 @@ def normalize(pdf):
 
 
 def main(sf_dir: str, only: list[str] | None = None) -> int:
-    spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
+    # ORACLE_CORES / ORACLE_PARTS: sweep axis for partition-invariance —
+    # every query must hash identically at ANY parallelism (odd counts
+    # catch accidental order/partitioning dependence the default 8/8
+    # run never exercises)
+    import os
+    spark = get_spark(
+        "oracle-check",
+        cores=int(os.environ.get("ORACLE_CORES", "8")),
+        shuffle_partitions=int(os.environ.get("ORACLE_PARTS", "8")))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
