@@ -51,8 +51,16 @@ def hash_col(cols, seed: int = DEFAULT_SEED) -> Column:
     Composite keys hash as the variadic form (tuple-instance analog,
     reference Hash.hs:288-303). The salt rides as a leading literal since
     Spark's xxhash64 has a fixed internal seed.
+
+    The literal is pinned to LongType: xxhash64 hashes int32 and int64
+    differently, and lit() picks the type from the Python int's
+    magnitude — the default 62-bit seed became a long while a small
+    override (SPARK_GRAFT_SEED sweep, test seeds) became an int, so
+    build-path hashes silently diverged from the SQL surface's
+    sketch_seed() (always long). Every seed literal in the engine
+    carries this cast for the same reason.
     """
-    return F.xxhash64(F.lit(seed), *_cols(cols))
+    return F.xxhash64(F.lit(seed).cast("long"), *_cols(cols))
 
 
 def prehash(df: DataFrame, col_map: dict[str, list], seed: int = DEFAULT_SEED) -> DataFrame:
@@ -321,7 +329,7 @@ def grouped_sketch_table(df: DataFrame, keys: Sequence[str], cols,
     prepped = df.where(cond).select(*[F.col(k) for k in keys], val)
     if not pre_partitioned:
         prepped = prepped.withColumn(
-            "__salt", F.pmod(F.xxhash64(F.lit(seed + 1), F.col("__v")),
+            "__salt", F.pmod(F.xxhash64(F.lit(seed + 1).cast("long"), F.col("__v")),
                              F.lit(salt)))
 
     key_fields = [prepped.schema[k] for k in keys]

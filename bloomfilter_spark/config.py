@@ -11,7 +11,14 @@ from __future__ import annotations
 import os
 
 # Reference salt for cheapHashes (Data/BloomFilter/Hash.hs:149: 0x9150a946c4a8966e).
-DEFAULT_SEED = 0x9150A946C4A8966E & 0x7FFFFFFFFFFFFFFF  # keep in int64 range for lit()
+# SPARK_GRAFT_SEED overrides it (int64 range) — the seed-robustness sweep
+# axis: re-running the oracle gate under a different seed separates
+# genuinely seed-invariant queries from the (documented) ones whose
+# exact-match claims rest on fixed-seed collision-freeness. Estimates and
+# bounds must hold at ANY seed; only which keys collide may change.
+DEFAULT_SEED = int(os.environ.get(
+    "SPARK_GRAFT_SEED",
+    0x9150A946C4A8966E & 0x7FFFFFFFFFFFFFFF))  # keep in int64 range for lit()
 
 # Default false-positive rate used by convenience builders (examples/Words.hs:33).
 DEFAULT_FPR = 0.01

@@ -79,7 +79,7 @@ def normalized_fingerprint(col, seed: int = DEFAULT_SEED) -> Column:
     the exact-dedup key for 'same document modulo formatting'."""
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
-    return F.xxhash64(F.lit(seed), normalized)
+    return F.xxhash64(F.lit(seed).cast("long"), normalized)
 
 
 # --- language ID (vectorized pandas UDF) ---------------------------------

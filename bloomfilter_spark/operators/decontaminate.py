@@ -49,7 +49,7 @@ def word_ngram_hashes(text_col, n: int = 8,
     m = F.size(words) - F.lit(n - 1)
     grams = F.transform(
         F.sequence(F.lit(0), m - 1),
-        lambda i: F.xxhash64(F.lit(seed),
+        lambda i: F.xxhash64(F.lit(seed).cast("long"),
                              F.concat_ws(" ", F.slice(words, i + 1, n))))
     empty = F.array().cast("array<bigint>")
     return F.when((F.length(F.trim(c)) == 0) | (m <= 0), empty) \

@@ -211,7 +211,7 @@ def _band_table(signatures: DataFrame, id_col: str, bands: int, seed: int,
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(F.lit(seed),
+            F.xxhash64(F.lit(seed).cast("long"),
                        F.slice("signature", b * rows_per_band + 1,
                                rows_per_band)).alias("band_hash"))
         for b in range(bands)]
@@ -480,7 +480,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     toks = F.filter(toks, lambda t: F.length(t) > 0)
-    th_arr = F.transform(toks, lambda t: F.xxhash64(F.lit(seed), t))
+    th_arr = F.transform(toks, lambda t: F.xxhash64(F.lit(seed).cast("long"), t))
     th_arr = F.coalesce(th_arr, F.array().cast("array<bigint>"))  # NULL text
     prepped = df.select(id_col, th_arr.alias("__th"))
 
@@ -588,7 +588,7 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
         F.explode(F.transform(
             F.sequence(F.lit(0), F.greatest(
                 F.size(F.split(F.lower(F.col(text_col)), r"\s+")) - n, F.lit(0))),
-            lambda i: F.xxhash64(F.lit(seed), F.concat_ws(" ", F.slice(
+            lambda i: F.xxhash64(F.lit(seed).cast("long"), F.concat_ws(" ", F.slice(
                 F.split(F.lower(F.col(text_col)), r"\s+"), i + 1, n))),
         )).alias("gram")).distinct()
 
@@ -651,7 +651,7 @@ def dedup_lines(df: DataFrame, id_col: str, text_col: str,
         F.posexplode(F.split(F.col(text_col), _regex_quote(delimiter)))
          .alias("__pos", "__line"))
     occ = lines.withColumn(
-        "__lh", F.xxhash64(F.lit(seed), F.col("__line")))
+        "__lh", F.xxhash64(F.lit(seed).cast("long"), F.col("__line")))
     over_cap = (occ.groupBy("__lh", "__line")
                    .agg(F.count("*").alias("__cnt"))
                    .where(F.col("__cnt") > max_occurrences)

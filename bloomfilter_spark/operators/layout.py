@@ -93,7 +93,7 @@ def hash_bucket(col, bits: int = 12, seed: int = DEFAULT_SEED) -> Column:
     """Uniform bucket id in ``[0, 2**bits)``: top bits of xxhash64.
     Order-destroying — use for equality-pruned dimensions (ids, join
     keys) where the Bloom file index, not min/max, does the skipping."""
-    return F.shiftrightunsigned(F.xxhash64(F.lit(seed), _col(col)),
+    return F.shiftrightunsigned(F.xxhash64(F.lit(seed).cast("long"), _col(col)),
                                 64 - bits).cast("long")
 
 

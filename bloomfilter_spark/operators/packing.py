@@ -115,7 +115,7 @@ def pack_sequences(df: DataFrame, id_col: str, token_col: str, budget: int,
         F.col(id_col),
         # NULL token counts pack as 0-cost (kept, not dropped: conservation)
         F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("__tok"),
-        F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)),
+        F.pmod(F.xxhash64(F.lit(seed).cast("long"), F.col(id_col)),
                F.lit(n_buckets)).alias("__bucket"))
     return src.groupBy("__bucket").applyInPandas(pack_bucket, out_schema)
 

@@ -353,7 +353,7 @@ def ivf_train(df: DataFrame, vec_col: str, n_lists: int = 256,
     recipe (FAISS trains IVF quantizers on ~(30-256)*n_lists vectors, not
     the corpus): at 100 TB the quantizer still trains on ~100k rows."""
     rows = (df.select(vec_col)
-              .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
+              .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed).cast("long")))
               .limit(max_train).collect())
     sample = np.vstack([np.asarray(r[0], dtype=np.float32) for r in rows])
     return _spherical_kmeans(sample, n_lists, max_iter, seed)

@@ -99,7 +99,7 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: Sequence[str] | str,
     payload = [f.name for f in fact.schema.fields
                if f.name not in keys and not _contains_map(f.dataType)]
     fact_salt = F.pmod(
-        F.xxhash64(F.lit(seed ^ 0x5A17),
+        F.xxhash64(F.lit(seed ^ 0x5A17).cast("long"),
                    *[F.col(c) for c in keys + payload]),
         F.lit(salt)).cast("int")
     replicas = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias(_SALT)

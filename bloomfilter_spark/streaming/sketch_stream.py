@@ -128,7 +128,7 @@ def stateful_grouped_hll(stream_df: DataFrame, key_col: str, value_col: str,
     # NULL row to the seed-only value and insert a phantom element)
     hashed = (stream_df.where(F.col(value_col).isNotNull())
               .select(F.col(key_col).cast("string").alias(key_col),
-                      F.xxhash64(F.lit(seed), F.col(value_col)).alias("__h")))
+                      F.xxhash64(F.lit(seed).cast("long"), F.col(value_col)).alias("__h")))
     return (hashed.groupBy(key_col)
                   .applyInPandasWithState(fn, out_schema, state_schema,
                                           "update", GroupStateTimeout.NoTimeout))
@@ -182,7 +182,7 @@ def stateful_grouped_theta(stream_df: DataFrame, key_col: str,
 
     hashed = (stream_df.where(F.col(value_col).isNotNull())
               .select(F.col(key_col).cast("string").alias(key_col),
-                      F.xxhash64(F.lit(seed), F.col(value_col)).alias("__h")))
+                      F.xxhash64(F.lit(seed).cast("long"), F.col(value_col)).alias("__h")))
     return (hashed.groupBy(key_col)
                   .applyInPandasWithState(fn, out_schema, state_schema,
                                           "update", GroupStateTimeout.NoTimeout))
@@ -322,7 +322,7 @@ def stateful_grouped_heavy_hitters(stream_df: DataFrame, key_col: str,
     hashed = (stream_df.where(F.col(item_col).isNotNull())
               .select(F.col(key_col).cast("string").alias(key_col),
                       F.col(item_col).cast("string").alias("__item"),
-                      F.xxhash64(F.lit(seed), F.col(item_col)).alias("__h")))
+                      F.xxhash64(F.lit(seed).cast("long"), F.col(item_col)).alias("__h")))
     return (hashed.groupBy(key_col)
                   .applyInPandasWithState(fn, out_schema, state_schema,
                                           "update", GroupStateTimeout.NoTimeout))
@@ -388,7 +388,7 @@ def stateful_grouped_cms(stream_df: DataFrame, key_col: str, item_col: str,
 
     hashed = (stream_df.where(F.col(item_col).isNotNull())
               .select(F.col(key_col).cast("string").alias(key_col),
-                      F.xxhash64(F.lit(seed), F.col(item_col)).alias("__h")))
+                      F.xxhash64(F.lit(seed).cast("long"), F.col(item_col)).alias("__h")))
     return (hashed.groupBy(key_col)
                   .applyInPandasWithState(fn, out_schema, state_schema,
                                           "update", GroupStateTimeout.NoTimeout))
@@ -465,7 +465,7 @@ def stateful_grouped_mg(stream_df: DataFrame, key_col: str, item_col: str,
     hashed = (stream_df.where(F.col(item_col).isNotNull())
               .select(F.col(key_col).cast("string").alias(key_col),
                       F.col(item_col).cast("string").alias("__item"),
-                      F.xxhash64(F.lit(seed), F.col(item_col)).alias("__h")))
+                      F.xxhash64(F.lit(seed).cast("long"), F.col(item_col)).alias("__h")))
     return (hashed.groupBy(key_col)
                   .applyInPandasWithState(fn, out_schema, state_schema,
                                           "update", GroupStateTimeout.NoTimeout))
@@ -603,7 +603,7 @@ def stateful_decayed_heavy_hitters(stream_df: DataFrame, key_col: str,
               .select(F.col(key_col).cast("string").alias(key_col),
                       F.col(item_col).cast("string").alias("__item"),
                       ts_d.alias("__ts"),
-                      F.xxhash64(F.lit(seed), F.col(item_col)).alias("__h")))
+                      F.xxhash64(F.lit(seed).cast("long"), F.col(item_col)).alias("__h")))
     return (hashed.groupBy(key_col)
                   .applyInPandasWithState(fn, out_schema, state_schema,
                                           "update", GroupStateTimeout.NoTimeout))

@@ -158,7 +158,10 @@ def test_weighted_reservoir_matches_reference(spark, events):
         weighted_reservoir_sample)
     ev = events.where(F.col("value").isNotNull() & (F.col("value") > 0))
     rows = ev.select("event_id", "value",
-                     F.xxhash64(F.lit(7), "event_id").alias("h")).collect()
+                     # seed literal cast long, matching the engine's
+                     # type-stable salt (hash_col docstring)
+                     F.xxhash64(F.lit(7).cast("long"),
+                                "event_id").alias("h")).collect()
 
     def key(r):
         u32 = (r["h"] & 0xFFFFFFFFFFFFFFFF) >> 32

@@ -673,3 +673,32 @@ def test_sql_bloom_intersect_pair(spark):
         "bloom_and_t t WHERE bloom_contains(t.a, %d)"
         % int(np.int64(only_a[0].astype(np.int64)))).first()["c"]
     assert n_a == 1
+
+
+def test_seed_literal_type_stable_across_magnitudes(spark):
+    """Build-path and SQL-probe-path hashes must agree at ANY seed, not
+    just the default. xxhash64 hashes int32 and int64 differently, and
+    lit() types a Python int by magnitude: the default 62-bit seed
+    became LongType while a small seed (SPARK_GRAFT_SEED sweep, test
+    seeds) became IntegerType — so every grouped-JVM build's filter was
+    probed with the WRONG hashes under a small seed (Bloom "zero FN"
+    flags went 0, found by the seed-robustness sweep). hash_col and all
+    18 seed-literal sites now pin .cast('long'); this test would fail
+    for any new site that forgets it."""
+    import pyspark.sql.functions as F
+
+    from bloomfilter_spark.agg import hash_col
+    from bloomfilter_spark.config import DEFAULT_SEED
+    from bloomfilter_spark.sql import register_sketch_sql
+
+    df = spark.createDataFrame([(12345,), (-7,)], "v long")
+    for seed in (42, DEFAULT_SEED):  # int32-range and int64-range
+        register_sketch_sql(spark, seed=seed)
+        df.createOrReplaceTempView("seed_probe_t")
+        got = [r["h"] for r in spark.sql(
+            "SELECT xxhash64(sketch_seed(), v) AS h FROM seed_probe_t"
+        ).collect()]
+        want = [r["h"] for r in
+                df.select(hash_col([F.col("v")], seed).alias("h")).collect()]
+        assert got == want, f"seed {seed}: probe {got} != build {want}"
+    register_sketch_sql(spark)  # restore the default for later tests
