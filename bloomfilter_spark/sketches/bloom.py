@@ -92,6 +92,32 @@ class BloomFilter(Sketch):
         np.bitwise_and(self.words, other.words, out=self.words)
         return self
 
+    def fold(self, num_bits: int) -> "BloomFilter":
+        """EXACT size downgrade: a new filter byte-identical to a direct
+        build at ``num_bits`` (pow-2 clamped, >= 64) over the same hashes.
+
+        Why it is exact: probes are ``(h1 + i*h2) & (m-1)`` (util.km_probes;
+        the shift32 variant masks the same way), and for pow-2 m' <= m,
+        ``x & (m'-1) == (x & (m-1)) & (m'-1)`` — so the direct-build bit set
+        is the image of this filter's bit set under ``mod m'``, i.e. OR of
+        the halves, repeated. k and variant are unchanged; FPR degrades to
+        the OBSERVED fill (``fpp()`` reports it — overloaded folds are
+        visible, zero false negatives are preserved by exactness). Source
+        is not mutated. Enables merging warehoused filter tables built at
+        different sizes (fold the bigger one down, then merge)."""
+        m = max(64, next_power_of_two(num_bits))
+        if m > self.num_bits:
+            raise ValueError(
+                f"fold target {m} bits exceeds this filter's {self.num_bits} "
+                "(can only reduce size; rebuild to increase it)")
+        out = BloomFilter(m, self.num_hashes, variant=self.variant)
+        w = self.words.copy()
+        while w.size > out.words.size:
+            half = w.size // 2
+            w = w[:half] | w[half:]
+        out.words = w
+        return out
+
     def _check_geometry(self, other: "BloomFilter") -> None:
         if (self.num_bits, self.num_hashes, self.variant) != (
                 other.num_bits, other.num_hashes, other.variant):

@@ -102,6 +102,40 @@ class CountMinSketch(Sketch):
         self.total += other.total
         return self
 
+    def fold(self, width: int | None = None,
+             depth: int | None = None) -> "CountMinSketch":
+        """Geometry downgrade: a new sketch at (``width``, ``depth``) with
+        width any DIVISOR of self.width and depth <= self.depth.
+
+        Width fold is exact for plain CMS: row positions are
+        ``(h1 + (j+1)*h2) mod w`` and for w' | w, ``(x mod w) mod w' ==
+        x mod w'`` — so summing column v into v mod w' reproduces a direct
+        build at w' byte-for-byte. Depth fold is exact for both variants:
+        row j's hash depends only on j, so the first d' rows ARE the
+        d'-deep build. A folded CONSERVATIVE sketch is not byte-equal to a
+        direct conservative build (its update path saw the old geometry)
+        but keeps both guarantees: it never undercounts (each summed group
+        contains the cell the key maps to, all cells >= 0) and is
+        cell-wise <= the plain fold, so the e/width' * total bound still
+        holds. Source is not mutated. Enables cross-geometry table merges
+        and join-size estimation between warehouses sized differently."""
+        width = self.width if width is None else int(width)
+        depth = self.depth if depth is None else int(depth)
+        if width < 1 or self.width % width != 0:
+            raise ValueError(
+                f"fold width {width} must be a divisor of {self.width} "
+                "(row positions are mod width; only divisors nest exactly)")
+        if not 1 <= depth <= self.depth:
+            raise ValueError(
+                f"fold depth {depth} must be in [1, {self.depth}]")
+        out = CountMinSketch(width=width, depth=depth,
+                             conservative=self.conservative)
+        out.table = (self.table[:depth]
+                     .reshape(depth, self.width // width, width)
+                     .sum(axis=1, dtype=np.uint64))
+        out.total = self.total
+        return out
+
     def error_bound(self) -> float:
         """eps*N additive overcount bound for the current stream length."""
         return math.e / self.width * self.total

@@ -61,6 +61,41 @@ class HyperLogLog(Sketch):
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
+    def fold(self, p: int) -> "HyperLogLog":
+        """EXACT precision downgrade: a new sketch byte-identical to a
+        direct build at precision ``p`` <= self.p over the same hashes
+        (HLL++ §5's precision-reduction idea, Heule et al. 2013, made
+        exact by this layout: index = top p bits, rho domain top-aligned).
+
+        Why it is exact: an element with index i at precision P splits as
+        i = (i' << d) | t at p = P - d. If t != 0 the dropped bits start
+        the new rho domain, so its rho' = d - bitlength(t) + 1 — the same
+        for EVERY element in sub-register t, so occupancy (register > 0)
+        is all we need. If t == 0 the new rho continues through d zero
+        bits: rho' = d + rho, monotone in rho, so the stored max carries.
+        Source is not mutated. Enables merging warehoused tables built at
+        different precisions (fold the finer one, then merge)."""
+        if not 4 <= p <= self.p:
+            raise ValueError(
+                f"fold target p={p} must be in [4, {self.p}] (can only "
+                "reduce precision; rebuild to increase it)")
+        out = HyperLogLog(p)
+        if p == self.p:
+            out.registers = self.registers.copy()
+            return out
+        d = self.p - p
+        regs = self.registers.reshape(-1, 1 << d)
+        t0 = regs[:, 0].astype(np.int64)
+        folded = np.where(t0 > 0, t0 + d, 0)
+        # rho' for sub-register t>0 is d - bitlength(t) + 1; frexp's
+        # exponent IS bitlength for positive ints (exact, no float log)
+        t = np.arange(1, 1 << d, dtype=np.float64)
+        rho_t = (d - np.frexp(t)[1] + 1).astype(np.int64)
+        contrib = np.where(regs[:, 1:] > 0, rho_t[None, :], 0).max(
+            axis=1, initial=0)
+        out.registers = np.maximum(folded, contrib).astype(np.uint8)
+        return out
+
     def rse(self) -> float:
         """Relative standard error of estimate(): 1.04/sqrt(m)
         (Flajolet et al. 2007) — the same bound suggest_hll_precision

@@ -134,6 +134,30 @@ class KLL(Sketch):
             self.levels[l] = np.concatenate([self.levels[l], sel])
         self._compress()
 
+    def fold(self, k: int) -> "KLL":
+        """Accuracy downgrade to ``k`` <= self.k: copy the level buffers
+        into a fresh KLL(k) and recompress under the new (smaller) level
+        capacities — exactly a merge into an empty k-sketch, which the KLL
+        paper's analysis allows (compaction error depends only on the
+        level at which a compaction happens, not on when). Rank error of
+        the result is bounded by eps(old k) + eps(new k) <= 2*eps(k):
+        compactions already performed were charged at the old (tighter)
+        capacities, new ones at the new. Same seed, so folding is
+        deterministic. Source is not mutated."""
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        if k > self.k:
+            raise ValueError(
+                f"fold target k={k} exceeds this sketch's k={self.k} "
+                "(can only reduce accuracy; rebuild to increase it)")
+        self._flush()
+        out = KLL(k, seed=self.seed)
+        out.levels = [buf.copy() for buf in self.levels]
+        out.n = self.n
+        out._compactions = self._compactions
+        out._compress()
+        return out
+
     def merge(self, other: "KLL") -> "KLL":
         if self.k != other.k:
             raise ValueError("k mismatch: cannot merge KLL sketches")

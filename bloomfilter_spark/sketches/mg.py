@@ -111,6 +111,28 @@ class MisraGries(Sketch):
         self._fold(other.items, other.counts)
         return self
 
+    def fold(self, k: int) -> "MisraGries":
+        """Counter-budget downgrade to ``k`` <= self.k: one trim round with
+        the mergeable-summaries rule (subtract the (k+1)-th largest stored
+        count), the same operation merge applies. The potential argument
+        of Agarwal et al. (PODS'12 §3.1) covers prune-to-smaller-k the
+        same way it covers merge: every decrement round of size t removes
+        >= (k+1)*t stored mass, so the folded summary's total decrement
+        stays <= n/(k+1) — query()'s [count, count+dec] sandwich and the
+        phi-heavy-hitter guarantee hold at the NEW k. Not byte-equal to a
+        direct k-build (MG is order-dependent; same caveat as merge,
+        module docstring). Source is not mutated."""
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        if k > self.k:
+            raise ValueError(
+                f"fold target k={k} exceeds this summary's k={self.k} "
+                "(can only reduce counters; rebuild to increase them)")
+        out = MisraGries(k)
+        out.n, out.dec = self.n, self.dec
+        out._fold(self.items.copy(), self.counts.copy())
+        return out
+
     # -- estimation -----------------------------------------------------------
 
     def query(self, hashes: np.ndarray) -> np.ndarray:

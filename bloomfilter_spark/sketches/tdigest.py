@@ -98,6 +98,28 @@ class TDigest(Sketch):
         self._compress(np.concatenate([self.means, v]),
                        np.concatenate([self.weights, w]))
 
+    def fold(self, delta: int) -> "TDigest":
+        """Compression downgrade to ``delta`` <= self.delta: one _compress
+        of the existing centroids under the coarser k1 scale — exactly a
+        merge into an empty delta'-digest. Centroids are weighted points,
+        so re-clustering adds at most one more O(1/delta') rank-error term
+        on top of the O(1/delta) already incurred (Dunning & Ertl §2.9,
+        repeated-merge bound); rank_error_bound() reports the new delta's
+        term. vmin/vmax carry over so tail interpolation stays anchored at
+        the true extremes. Source is not mutated."""
+        if delta < 10:
+            raise ValueError("delta must be >= 10")
+        if delta > self.delta:
+            raise ValueError(
+                f"fold target delta={delta} exceeds this digest's "
+                f"delta={self.delta} (can only reduce resolution)")
+        self._flush()
+        out = TDigest(delta)
+        if self.means.size:
+            out._compress(self.means.copy(), self.weights.copy())
+        out.vmin, out.vmax = self.vmin, self.vmax
+        return out
+
     def merge(self, other: "TDigest") -> "TDigest":
         if self.delta != other.delta:
             raise ValueError("compression mismatch: cannot merge t-digests")

@@ -105,6 +105,31 @@ class ThetaSketch(Sketch):
         self._absorb(other.retained)
         return self
 
+    def fold(self, k: int) -> "ThetaSketch":
+        """Sample-size downgrade to nominal ``k`` <= self.k (>= 16): keep
+        the k smallest retained hashes; if that trims, theta drops to the
+        (k+1)-th smallest — exactly what a direct build at k would hold
+        (eager trim keeps the k smallest distinct with theta the (k+1)-th
+        once more than k are seen), so a fold of a directly-built sketch
+        is byte-identical to the direct k-build. For merged sketches whose
+        theta is already below the trim point the sample is kept as-is
+        (resolution already spent); estimates are unchanged, future
+        updates trim at the new k. rse() reports the new ~1/sqrt(k-2).
+        Source is not mutated."""
+        if k < 16:
+            raise ValueError("k must be >= 16")
+        if k > self.k:
+            raise ValueError(
+                f"fold target k={k} exceeds this sketch's k={self.k} "
+                "(can only reduce the sample; rebuild to increase it)")
+        out = ThetaSketch(k)
+        out.theta = self.theta
+        out.retained = self.retained.copy()
+        if out.retained.size > k:
+            out.theta = out.retained[k]
+            out.retained = out.retained[:k]
+        return out
+
     # -- estimation --------------------------------------------------------
 
     def estimate(self) -> float:

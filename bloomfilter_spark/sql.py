@@ -461,6 +461,48 @@ def cms_inner_product_bound(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([bound(x, y) for x, y in zip(a, b)], dtype="object")
 
 
+def sketch_fold(sketch: pd.Series, target: pd.Series) -> pd.Series:
+    """Geometry downgrade of any foldable blob to ``target``, the family's
+    primary size parameter: HLL precision p, Bloom num_bits, theta / MG /
+    KLL k, t-digest delta, CMS width (depth kept — cms_fold controls
+    both). The warehouse escape hatch for geometry migrations: two tables
+    built at different sizes merge after folding the finer one down —
+    exactly for Bloom/HLL/CMS-plain/theta (byte-identical to a direct
+    build at the target; kernel fold() docstrings prove each case), with
+    published additive error for MG/KLL/t-digest. Folding UP raises, as
+    does a scalable-Bloom blob (its levels own their geometry)."""
+    def fold_one(b, t):
+        if b is None or t is None:
+            return None
+        sk = _parse(bytes(b))  # fold never mutates its source
+        fold = getattr(sk, "fold", None)
+        if fold is None:
+            raise TypeError(
+                f"sketch_fold: {type(sk).__name__} is not foldable "
+                "(scalable Bloom levels each own their geometry — fold "
+                "the per-level filters instead)")
+        return fold(int(t)).to_bytes()
+    return pd.Series([fold_one(b, t) for b, t in zip(sketch, target)])
+
+
+def cms_fold(sketch: pd.Series, width: pd.Series, depth: pd.Series) -> pd.Series:
+    """CMS-specific fold with explicit (width, depth): width must divide
+    the blob's width, depth <= the blob's depth (CountMinSketch.fold)."""
+    from .sketches.cms import CountMinSketch
+
+    def fold_one(b, w, d):
+        if b is None:
+            return None
+        sk = _parse(bytes(b))
+        if not isinstance(sk, CountMinSketch):
+            raise TypeError(f"cms_fold needs a CMS blob, got "
+                            f"{type(sk).__name__}")
+        return sk.fold(width=None if w is None else int(w),
+                       depth=None if d is None else int(d)).to_bytes()
+    return pd.Series([fold_one(b, w, d)
+                      for b, w, d in zip(sketch, width, depth)])
+
+
 def sketch_merge_pair(a: pd.Series, b: pd.Series) -> pd.Series:
     def m(x, y):
         if x is None:
@@ -537,6 +579,8 @@ SQL_FUNCTIONS = {
     "cms_inner_product": (cms_inner_product, "long"),
     "cms_inner_product_bound": (cms_inner_product_bound, "double"),
     "sketch_merge_pair": (sketch_merge_pair, "binary"),
+    "sketch_fold": (sketch_fold, "binary"),
+    "cms_fold": (cms_fold, "binary"),
     "sketch_merge": (sketch_merge, "binary"),
 }
 

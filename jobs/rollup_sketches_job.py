@@ -57,6 +57,13 @@ def main(argv=None) -> int:
     ap.add_argument("--derive", action="append", default=[],
                     help="name=SQL_EXPR derived grouping column, e.g."
                          " week=substring(day, 1, 7); repeatable")
+    ap.add_argument("--fold-to", type=int, default=None,
+                    help="fold every input blob to this primary size param"
+                         " (HLL p, Bloom num_bits, theta/MG/KLL k, t-digest"
+                         " delta, CMS width) before merging — lets tables"
+                         " built at different geometries roll up together"
+                         " (exact for Bloom/HLL/plain-CMS/theta; see the"
+                         " kernel fold() docstrings)")
     ap.add_argument("--no-fsck", action="store_true",
                     help="skip the input integrity sweeps (trusted inputs)")
     ap.add_argument("--keep", type=int, default=2,
@@ -97,12 +104,33 @@ def main(argv=None) -> int:
             fsck_in.append({"table": p, "rows": rep["rows"],
                             "state_bytes": rep["state_bytes"]})
             print(f"fsck {p}: {rep['rows']} rows clean", file=sys.stderr)
+    if args.fold_to is not None:
+        # geometry migration path: fold every input's blobs to the target
+        # BEFORE the union, so the compat check below compares FOLDED
+        # geometry. The fsck gate above already validated each table as
+        # stored. Folding a table already at the target is the identity
+        # fold (canonical re-serialization, byte-preserving). Seeds still
+        # must match — folding changes geometry, never the hash salt.
+        from pyspark.sql.functions import lit, pandas_udf
+
+        from bloomfilter_spark.sql import sketch_fold
+        from bloomfilter_spark.warehouse import _sketch_params
+        fold_udf = pandas_udf(sketch_fold, "binary")
+        for i, (df, m) in enumerate(zip(frames, metas)):
+            proto = sketch_factory_from_meta(m)()
+            folded_proto = proto.fold(args.fold_to)  # raises on upfold
+            frames[i] = df.withColumn(
+                "sketch", fold_udf(F.col("sketch"), lit(args.fold_to)))
+            metas[i] = {**m, "sketch": _sketch_params(folded_proto)}
     for p, m in zip(args.table[1:], metas[1:]):
         if m["sketch"] != metas[0]["sketch"] or m["seed"] != metas[0]["seed"]:
             raise SystemExit(
                 f"sketch table {p} ({m['sketch']}, seed {m['seed']}) is "
                 f"incompatible with {args.table[0]} ({metas[0]['sketch']}, "
-                f"seed {metas[0]['seed']}) — refusing to merge")
+                f"seed {metas[0]['seed']}) — refusing to merge"
+                + ("" if args.fold_to is not None else
+                   " (different geometries of one family can roll up via"
+                   " --fold-to)"))
     meta = metas[0]
     fine = frames[0]
     for f in frames[1:]:

@@ -140,3 +140,58 @@ def test_rollup_job_fsck_gate_rejects_corrupt_input(tmp_path, spark):
     assert "integrity" in blame or "CRC32" in blame
     # nothing was committed
     assert not glob.glob(str(tmp_path / "coarse" / "v_*" / "_COMMITTED"))
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None,
+                    reason="spark-submit not on PATH")
+def test_rollup_job_fold_to_merges_mixed_geometries(tmp_path, spark):
+    """Geometry-migration rollup: one table built at HLL p=14 (post-
+    migration) and one at p=12 (legacy) refuse a plain rollup but merge
+    under --fold-to 12, and the result is BYTE-EQUAL to a direct p=12
+    build over the full corpus — the fold is exact, so a migrated
+    warehouse loses nothing vs rebuilding the old tables."""
+    from bloomfilter_spark.agg import grouped_sketch_table
+    from bloomfilter_spark.sketches import HyperLogLog
+    from bloomfilter_spark.warehouse import load_sketch_table, save_sketch_table
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    halves = (li.where("l_orderkey % 2 = 0"), li.where("l_orderkey % 2 = 1"))
+    tables = []
+    for i, (half, p_bits) in enumerate(zip(halves, (14, 12))):
+        fac = lambda pb=p_bits: HyperLogLog(pb)  # noqa: E731
+        fine = grouped_sketch_table(half, ["l_returnflag"], ["l_orderkey"], fac)
+        path = str(tmp_path / f"geom_{i}")
+        save_sketch_table(fine, path, keys=["l_returnflag"], factory=fac)
+        tables.append(path)
+
+    # without --fold-to: incompatible, and the error teaches the fix
+    out_plain = str(tmp_path / "coarse_plain")
+    proc = _submit(tmp_path, [
+        "--table", tables[0], "--table", tables[1],
+        "--output", out_plain, "--group-by", "l_returnflag", "--no-fsck"])
+    assert proc.returncode != 0
+    assert "--fold-to" in (proc.stdout + proc.stderr)
+
+    out = str(tmp_path / "coarse_folded")
+    proc = _submit(tmp_path, [
+        "--table", tables[0], "--table", tables[1],
+        "--output", out, "--group-by", "l_returnflag", "--fold-to", "12"])
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    rolled, meta = load_sketch_table(spark, out)
+    direct = grouped_sketch_table(li, ["l_returnflag"], ["l_orderkey"],
+                                  lambda: HyperLogLog(12))
+    got = {r["l_returnflag"]: bytes(r["sketch"]) for r in rolled.collect()}
+    want = {r["l_returnflag"]: bytes(r["sketch"]) for r in direct.collect()}
+    assert got == want
+    # the published meta records the FOLDED geometry
+    assert HyperLogLog.from_bytes(
+        bytes(next(iter(got.values())))).p == 12
+
+    # folding UP fails loudly instead of pretending precision exists
+    proc = _submit(tmp_path, [
+        "--table", tables[0], "--table", tables[1],
+        "--output", str(tmp_path / "coarse_up"),
+        "--group-by", "l_returnflag", "--fold-to", "16", "--no-fsck"])
+    assert proc.returncode != 0
+    assert "fold target" in (proc.stdout + proc.stderr)
