@@ -728,6 +728,96 @@ def theta_grouped_build_jvm(df: DataFrame, keys, cols, k: int = 4096,
 
 
 # --------------------------------------------------------------------------
+# bottom-k sample builds
+# --------------------------------------------------------------------------
+
+def _sample_pack(hf: np.ndarray, pl: np.ndarray, k: int):
+    """Pack (unsigned-order hash, payload) rows into a SampleSketch —
+    shared by the grouped and global builds. Rows need not be sorted."""
+    from .sketches.sample import SampleSketch
+    from .sketches.theta import _THETA_MAX
+    arr = hf.astype(np.int64).view(U64) ^ U64(1 << 63)
+    order = np.argsort(arr)
+    arr, pl = arr[order], pl[order]
+    keep = arr < _THETA_MAX
+    arr, pl = arr[keep], pl[keep]
+    sk = SampleSketch(k)
+    if arr.size > k:
+        sk.theta = arr[k]
+        arr, pl = arr[:k], pl[:k]
+    sk.hashes = arr
+    out = np.empty(arr.size, dtype=object)
+    out[:] = [bytes(x) for x in pl]
+    sk.payloads = out
+    return sk
+
+
+def sample_grouped_build_jvm(df: DataFrame, keys, cols, payload_col,
+                             k: int = 1024,
+                             seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-key bottom-k sample table (keys..., sketch binary) — K uniform
+    example payloads per key over any corpus size, byte-identical per key
+    to the kernel grouped build (sketches/sample.py's eager-trim
+    canonical state). The theta_grouped_build_jvm topology with a payload
+    riding along: min(payload) per distinct (key, hash) collapses
+    duplicates in CODEGEN with map-side partial aggregation, a per-key
+    window rank keeps k+1 rows (WindowGroupLimit: per-partition top-k,
+    never a global sort), and `applyInPandas` only PACKS O(k) rows per
+    key — Python never sees the corpus.
+
+    Kernel-parity details: payloads are compared as unsigned bytes on
+    both sides (Spark's binary/string ordering == python bytes ordering;
+    string payloads are cast to binary = their UTF-8 bytes), and NULL
+    payloads rank as empty bytes (coalesce), matching the kernel's
+    None -> b'' rule."""
+    from pyspark.sql import Window
+    from .sketches.sample import SampleSketch
+    SampleSketch(k)  # validate k
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cs = _cols(cols)
+    hf = hash_col(cs, seed).bitwiseXOR(F.lit(_MIN64))  # unsigned-order key
+    pc = F.coalesce(_cols([payload_col])[0].cast("binary"), F.lit(b""))
+    out_schema = ", ".join(
+        f"{kk} {df.schema[kk].dataType.simpleString()}" for kk in keys
+    ) + ", sketch binary"
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _sample_pack(pdf["__hf"].to_numpy(dtype=np.int64),
+                          pdf["__pl"].to_numpy(dtype=object), k)
+        row = {kk: [pdf[kk].iloc[0]] for kk in keys}
+        row["sketch"] = [sk.to_bytes()]
+        return pd.DataFrame(row)
+
+    d = (df.where(_notnull(cs))
+           .groupBy(*keys, hf.alias("__hf"))
+           .agg(F.min(pc).alias("__pl")))
+    w = Window.partitionBy(*keys).orderBy("__hf")
+    ranked = (d.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= k + 1).drop("__rn"))
+    return ranked.groupBy(*keys).applyInPandas(assemble, schema=out_schema)
+
+
+def sample_build_jvm(df: DataFrame, cols, payload_col, k: int = 1024,
+                     seed: int = DEFAULT_SEED):
+    """Whole-corpus bottom-k sample, JVM-reduced: min(payload) per
+    distinct hash in codegen, then a TakeOrdered of k+1 rows — only O(k)
+    rows reach the driver. Byte-identical to the kernel build."""
+    from .sketches.sample import SampleSketch
+    SampleSketch(k)  # validate k
+    cs = _cols(cols)
+    hf = hash_col(cs, seed).bitwiseXOR(F.lit(_MIN64))
+    pc = F.coalesce(_cols([payload_col])[0].cast("binary"), F.lit(b""))
+    pdf = (df.where(_notnull(cs))
+             .groupBy(hf.alias("__hf"))
+             .agg(F.min(pc).alias("__pl"))
+             .orderBy("__hf")
+             .limit(k + 1)
+             .toPandas())
+    return _sample_pack(pdf["__hf"].to_numpy(dtype=np.int64),
+                        pdf["__pl"].to_numpy(dtype=object), k)
+
+
+# --------------------------------------------------------------------------
 # pre-aggregated quantile builds (KLL / t-digest)
 # --------------------------------------------------------------------------
 

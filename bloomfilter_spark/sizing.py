@@ -221,6 +221,9 @@ def suggest_sketch(kind: str, **targets) -> dict:
       cms    eps=, delta=                  -> width/depth
       kll    rank_error=                   -> k
       theta  rel_std_error=                -> k
+      sample rel_std_error= [, avg_payload_bytes=] -> k (bottom-k sample;
+                                              KMV estimator shares theta's
+                                              inversion)
       mg     eps=                          -> k
       tdigest mid_rank_error=              -> delta
       scalable_bloom total_err_rate= [, tightening=, initial_capacity=]
@@ -249,6 +252,15 @@ def suggest_sketch(kind: str, **targets) -> dict:
         k, err, nbytes = suggest_theta_k(targets["rel_std_error"])
         return {"kind": kind, "params": {"k": k},
                 "predicted_error": err, "state_bytes": nbytes}
+    if kind == "sample":
+        # bottom-k sample: the estimator IS theta's KMV (same retained-set
+        # geometry), so the k-for-RSE inversion is shared; per-entry state
+        # adds the payload bytes (8 + 4 length word + avg payload)
+        k, err, _ = suggest_theta_k(targets["rel_std_error"])
+        avg_payload = int(targets.get("avg_payload_bytes", 0))
+        return {"kind": kind, "params": {"k": k},
+                "predicted_error": err,
+                "state_bytes": k * (12 + avg_payload)}
     if kind == "mg":
         k, nbytes = suggest_mg_k(targets["eps"])
         return {"kind": kind, "params": {"k": k},

@@ -4,6 +4,7 @@ from .cms import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLL
 from .mg import MisraGries
+from .sample import SampleSketch
 from .scalable import ScalableBloomFilter
 from .tdigest import TDigest
 from .theta import ThetaSketch, theta_a_not_b, theta_intersect
@@ -13,7 +14,7 @@ from .theta import ThetaSketch, theta_a_not_b, theta_intersect
 SKETCH_TYPES: dict[int, type] = {
     cls.TYPE_TAG: cls
     for cls in (BloomFilter, HyperLogLog, CountMinSketch, TDigest, KLL,
-                ScalableBloomFilter, ThetaSketch, MisraGries)
+                ScalableBloomFilter, ThetaSketch, MisraGries, SampleSketch)
 }
 
 
@@ -30,6 +31,6 @@ def sketch_from_bytes(buf: bytes) -> Sketch:
 
 __all__ = ["Sketch", "BloomFilter", "HyperLogLog", "CountMinSketch",
            "TDigest", "KLL", "MisraGries", "ScalableBloomFilter",
-           "ThetaSketch",
+           "ThetaSketch", "SampleSketch",
            "theta_intersect", "theta_a_not_b", "SKETCH_TYPES",
            "sketch_from_bytes"]

@@ -383,7 +383,7 @@ def sketch_error_bound(sketch: pd.Series) -> pd.Series:
       Bloom / scalable Bloom  false-positive PROBABILITY at observed fill
                               ((X/m)^k; 1-Π(1-fpp_i) over levels) — grows
                               as inserts exceed the sized capacity
-      HLL / theta             RELATIVE std error of the estimate
+      HLL / theta / sample    RELATIVE std error of the estimate
                               (1.04/√m; 1/√(k−2)) — fixed by geometry
       CMS                     ADDITIVE overcount bound εN = (e/width)·N —
                               grows with stream weight
@@ -396,8 +396,8 @@ def sketch_error_bound(sketch: pd.Series) -> pd.Series:
     kernel tests validate; `sketch_describe` gives the family when a
     column is mixed. NULL blob → NULL."""
     from .sketches import (BloomFilter, CountMinSketch, HyperLogLog, KLL,
-                           MisraGries, ScalableBloomFilter, TDigest,
-                           ThetaSketch)
+                           MisraGries, SampleSketch, ScalableBloomFilter,
+                           TDigest, ThetaSketch)
 
     def bound(b):
         if b is None:
@@ -407,7 +407,7 @@ def sketch_error_bound(sketch: pd.Series) -> pd.Series:
             return float(sk.fpp())
         if isinstance(sk, HyperLogLog):
             return float(sk.rse())
-        if isinstance(sk, ThetaSketch):
+        if isinstance(sk, (ThetaSketch, SampleSketch)):
             return float(sk.rse())
         if isinstance(sk, (CountMinSketch, MisraGries)):
             return float(sk.error_bound())
@@ -503,6 +503,25 @@ def cms_fold(sketch: pd.Series, width: pd.Series, depth: pd.Series) -> pd.Series
                       for b, w, d in zip(sketch, width, depth)])
 
 
+def sample_values(sketch: pd.Series) -> pd.Series:
+    """The payloads of a SampleSketch blob, as array<binary> — K uniform
+    example payloads per key straight from SQL (cast elements to string
+    for text payloads: ``transform(sample_values(s), x -> string(x))``).
+    The sample is uniform over the DISTINCT keys the sketch saw; pair
+    with sketch_estimate for the population size it was drawn from."""
+    from .sketches.sample import SampleSketch
+
+    def vals(b):
+        if b is None:
+            return None
+        sk = _parse(bytes(b))
+        if not isinstance(sk, SampleSketch):
+            raise TypeError(f"sample_values needs a SampleSketch blob, got "
+                            f"{type(sk).__name__}")
+        return sk.sample()
+    return sketch.map(vals)
+
+
 def sketch_merge_pair(a: pd.Series, b: pd.Series) -> pd.Series:
     def m(x, y):
         if x is None:
@@ -579,6 +598,7 @@ SQL_FUNCTIONS = {
     "cms_inner_product": (cms_inner_product, "long"),
     "cms_inner_product_bound": (cms_inner_product_bound, "double"),
     "sketch_merge_pair": (sketch_merge_pair, "binary"),
+    "sample_values": (sample_values, "array<binary>"),
     "sketch_fold": (sketch_fold, "binary"),
     "cms_fold": (cms_fold, "binary"),
     "sketch_merge": (sketch_merge, "binary"),

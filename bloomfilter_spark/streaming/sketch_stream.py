@@ -188,6 +188,64 @@ def stateful_grouped_theta(stream_df: DataFrame, key_col: str,
                                           "update", GroupStateTimeout.NoTimeout))
 
 
+def stateful_grouped_sample(stream_df: DataFrame, key_col: str,
+                            value_col: str, payload_col: str,
+                            k: int = 1024,
+                            seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-key running bottom-k sample over a stream: K uniform example
+    payloads per key, maintained incrementally ("show me current example
+    texts per tool" without ever rescanning history). Emits the MERGEABLE
+    SampleSketch blob alongside the count estimate, so streamed samples
+    merge with batch builds (jvm_build.sample_grouped_build_jvm) and roll
+    up across keys/epochs like every other warehoused family.
+
+    Determinism makes this epoch-replay-safe: the sample is a pure
+    function of the distinct (hash, min-payload) set, so a replayed batch
+    folds in as a no-op. Output: (key, sketch binary, approx_distinct,
+    n_updates) per updated key per batch. NULL payloads rank as empty
+    bytes (the kernel's None -> b'' rule); state per key is O(k * avg
+    payload bytes), independent of stream length."""
+    from ..sketches.sample import SampleSketch
+    SampleSketch(k)  # validate k before any task runs
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("sketch", T.BinaryType()),
+        T.StructField("approx_distinct", T.DoubleType()),
+        T.StructField("n_updates", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("sketch", T.BinaryType()),
+        T.StructField("n_updates", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        n = 0
+        if state.exists:
+            blob, n = state.get
+            sk = SampleSketch.from_bytes(bytes(blob))
+        else:
+            sk = SampleSketch(k)
+        for pdf in pdfs:
+            sk.update(to_u64(pdf["__h"].to_numpy()),
+                      pdf["__pl"].to_numpy(dtype=object))
+            n += len(pdf)
+        blob = sk.to_bytes()
+        state.update((blob, n))
+        yield pd.DataFrame({key_col: [key[0]], "sketch": [blob],
+                            "approx_distinct": [sk.estimate()],
+                            "n_updates": [n]})
+
+    hashed = (stream_df.where(F.col(value_col).isNotNull())
+              .select(F.col(key_col).cast("string").alias(key_col),
+                      F.xxhash64(F.lit(seed).cast("long"),
+                                 F.col(value_col)).alias("__h"),
+                      F.coalesce(F.col(payload_col).cast("binary"),
+                                 F.lit(b"")).alias("__pl")))
+    return (hashed.groupBy(key_col)
+                  .applyInPandasWithState(fn, out_schema, state_schema,
+                                          "update", GroupStateTimeout.NoTimeout))
+
+
 def stateful_grouped_quantile(stream_df: DataFrame, key_col: str,
                               value_col: str,
                               factory: Callable[[], Sketch] = None,

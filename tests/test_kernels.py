@@ -813,7 +813,7 @@ def test_mg_serialization_roundtrip_and_errors(rng):
 
 def test_wire_exhaustive_prefix_and_flip_fuzz(rng):
     """The strongest form of the wire-integrity claim, verified by brute
-    force on small sketches of all 8 families: EVERY strict prefix of a
+    force on small sketches of all 9 families: EVERY strict prefix of a
     blob and EVERY sampled single-byte flip (header bytes exhaustively,
     body positions sampled) raises — nothing parses to silently different
     state. Since v4 the header sits inside the CRC, so tag/plen flips are
@@ -835,6 +835,10 @@ def test_wire_exhaustive_prefix_and_flip_fuzz(rng):
     th = ThetaSketch(k=64); th.update(h); sketches.append(th)
     sb = ScalableBloomFilter(0.01, initial_capacity=128); sb.update(h)
     sketches.append(sb)
+    from bloomfilter_spark.sketches.sample import SampleSketch
+    sp = SampleSketch(k=64)
+    sp.update(h, [f"pl-{i}".encode() for i in range(len(h))])
+    sketches.append(sp)
 
     for sk in sketches:
         cls = type(sk)
