@@ -14,6 +14,10 @@ The engine's flagship usage pattern over the north-rule transcript shape
          (theta_intersect_pair / theta_a_not_b_pair nested inside
          sketch_estimate, plus theta_jaccard_estimate);
        - turn-length drift between first/last day via kll_ks_distance;
+       - K example conv_ids per tool straight from the sample blobs
+         (sample_values over a bottom-k sample table);
+       - a geometry migration: fold the p=12 daily HLLs to p=10 and
+         merge (sketch_fold — byte-exact downgrade);
        - warehouse-column audit via sketch_describe.
 
 At 10^12 turns the step-1 scan is the only corpus pass; the SQL layer
@@ -94,7 +98,32 @@ def main(argv: list[str]) -> int:
         """).first()
     print(f"turn-length KS drift first->last day: {drift['ks']:.4f}")
 
-    # -- 2d. audit what the warehouse column actually stores -------------
+    # -- 2d. K example conv_ids per tool from the sample blobs -----------
+    from bloomfilter_spark.jvm_build import sample_grouped_build_jvm
+    sample_grouped_build_jvm(
+        t.where(F.col("tool").isNotNull()), ["tool"], ["conv_id"],
+        "conv_id", k=16).createOrReplaceTempView("sample_by_tool")
+    examples = spark.sql("""
+        SELECT tool,
+               slice(transform(sample_values(sketch), x -> string(x)),
+                     1, 3) AS example_convs,
+               sketch_estimate(sketch) AS approx_convs
+        FROM sample_by_tool ORDER BY tool LIMIT 3""").collect()
+    for r in examples:
+        print(f"{r['tool']}: e.g. {r['example_convs']} "
+              f"of ~{r['approx_convs']:.0f} convs")
+
+    # -- 2e. geometry migration: fold p=12 daily HLLs to p=10, then merge -
+    folded = spark.sql("""
+        SELECT sketch_estimate(sketch_merge(sketch_fold(sketch, 10)))
+                   AS approx_convs_p10,
+               sketch_error_bound(sketch_merge(sketch_fold(sketch, 10)))
+                   AS rse_p10
+        FROM hll_daily""").first()
+    print(f"all days at folded p=10: ~{folded['approx_convs_p10']:.0f} convs "
+          f"(±{100 * folded['rse_p10']:.2f}% rse)")
+
+    # -- 2f. audit what the warehouse column actually stores -------------
     desc = json.loads(spark.sql(
         "SELECT sketch_describe(sketch) AS d FROM hll_daily LIMIT 1"
     ).first()["d"])
@@ -107,6 +136,14 @@ def main(argv: list[str]) -> int:
     assert pairs and any(r["convs_both"] > 0 for r in pairs)
     assert all(0.0 <= r["jaccard"] <= 1.0 for r in pairs)
     assert 0.0 <= drift["ks"] <= 1.0
+    assert examples and all(r["example_convs"] for r in examples)
+    total = spark.sql("""
+        SELECT sketch_estimate(sketch_merge(sketch)) AS e FROM hll_daily
+        """).first()["e"]
+    # the fold is exact, so the folded estimate is the p=10 estimate of
+    # the same registers — within the coarser rse of the full-p answer
+    assert abs(folded["approx_convs_p10"] - total) <= \
+        5 * folded["rse_p10"] * max(total, 1.0)
     assert desc["family"] == "HyperLogLog"
     print("OK")
     return 0
