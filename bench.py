@@ -97,6 +97,7 @@ def main() -> None:
                                              mg_grouped_build_preagg,
                                              multi_sketch_build_jvm,
                                              quantile_build_preagg,
+                                             sample_grouped_build_jvm,
                                              theta_build_jvm)
     from bloomfilter_spark.operators.dedup import (minhash_signatures,
                                                    simhash_signatures)
@@ -166,6 +167,12 @@ def main() -> None:
         # top-k — the set-expression sketch's JVM-reduced build
         ("build_theta",
          lambda: theta_build_jvm(tr, ["conv_id", "text"], k=4096)),
+        # per-tool bottom-k sample of example conv_ids (9th family):
+        # min(payload) per distinct (key, hash) map-side-combined, then
+        # WindowGroupLimit k+1 — Python only packs O(k) rows per key
+        ("build_sample_grouped",
+         lambda: sample_grouped_build_jvm(tr, ["tool"], ["conv_id"],
+                                          "conv_id", k=256).count()),
         ("build_cms",
          lambda: build_sketch(tr, ["tool"],
                               lambda: CountMinSketch(eps=1e-4, delta=1e-3))),
