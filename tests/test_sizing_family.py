@@ -92,18 +92,26 @@ def test_dispatcher_params_construct_real_sketches():
         "cms": dict(eps=1e-3, delta=0.01),
         "kll": dict(rank_error=0.01),
         "theta": dict(rel_std_error=0.02),
+        "sample": dict(rel_std_error=0.02, avg_payload_bytes=40),
         "mg": dict(eps=0.01),
         "tdigest": dict(mid_rank_error=0.01),
     }
+    from bloomfilter_spark.sketches import SampleSketch
     classes = {"bloom": BloomFilter, "hll": HyperLogLog,
                "cms": CountMinSketch, "kll": KLL, "theta": ThetaSketch,
-               "mg": MisraGries, "tdigest": TDigest}
+               "sample": SampleSketch, "mg": MisraGries,
+               "tdigest": TDigest}
     for kind, targets in cases.items():
         out = suggest_sketch(kind, **targets)
         sk = classes[kind](**out["params"])  # kwargs really construct
         assert out["state_bytes"] > 0
         assert 0 < out["predicted_error"] < 1
         assert sk is not None
+    # sample shares theta's k inversion but budgets payload bytes
+    th = suggest_sketch("theta", rel_std_error=0.02)
+    sp = suggest_sketch("sample", rel_std_error=0.02, avg_payload_bytes=40)
+    assert sp["params"]["k"] == th["params"]["k"]
+    assert sp["state_bytes"] == th["params"]["k"] * (12 + 40)
     with pytest.raises(SizingError):
         suggest_sketch("cuckoo", eps=0.1)
 
