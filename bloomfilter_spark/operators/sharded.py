@@ -205,7 +205,8 @@ def merge_shard_tables(tables, mode: str = "union") -> DataFrame:
             raise ValueError(
                 "merge_shard_tables: inputs were built with different "
                 f"n_shards ({sorted(pdf['n_shards'].unique().tolist())}); "
-                "shard ids are not comparable across shard counts")
+                "shard ids are not comparable across shard counts — fold "
+                "the finer table down first (fold_shard_table)")
         if mode == "intersect" and len(pdf) < n_tables:
             return pd.DataFrame({"shard": pd.Series([], dtype="int32"),
                                  "sketch": pd.Series([], dtype=object),
@@ -224,6 +225,59 @@ def merge_shard_tables(tables, mode: str = "union") -> DataFrame:
                              "n_shards": [int(pdf["n_shards"].iloc[0])]})
 
     return df.groupBy("shard").applyInPandas(merge, schema=SHARD_TABLE_SCHEMA)
+
+
+def fold_shard_table(shard_table: DataFrame, n_shards: int,
+                     num_bits: int | None = None) -> DataFrame:
+    """Shard-count downgrade: re-key a shard table to ``n_shards`` (a
+    power of two <= the build count) by OR-merging each group of
+    adjacent shards — the migration path merge_shard_tables' routing
+    guard points at when two tables were built at different counts.
+
+    EXACT, because routing and probing use disjoint hash bits: shard ids
+    are the top log2(S) bits (so the S'-routing of a key is its
+    S-routing shifted right — old shards [j*r, (j+1)*r) ARE new shard
+    j's key set), while probe positions depend only on (hash, m, k).
+    The folded table is therefore byte-identical to a direct build at
+    n_shards with the SAME per-shard geometry — equivalently, to a
+    direct build at n_shards' own (r*m)-bit geometry folded per shard
+    by BloomFilter.fold(m) (both pinned in tests). Pass ``num_bits`` to
+    also fold each merged filter's bit size (m can only shrink; fpp()
+    reports the resulting fill honestly).
+
+    Scale shape: one shuffle of O(S) filter rows by the new shard id;
+    the corpus is never touched."""
+    if n_shards < 1 or (n_shards & (n_shards - 1)):
+        raise ValueError("n_shards must be a power of two >= 1")
+    new_shard = F.floor(
+        F.col("shard") / (F.col("n_shards") / F.lit(n_shards))).cast("int")
+    df = shard_table.select(new_shard.alias("__new_shard"),
+                            "shard", "sketch", "n_shards")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts = pdf["n_shards"].unique()
+        if len(counts) > 1:
+            raise ValueError(
+                "fold_shard_table: mixed build n_shards "
+                f"({sorted(counts.tolist())}) — fold each table "
+                "separately, then merge_shard_tables")
+        old = int(counts[0])
+        if old < n_shards or old % n_shards:
+            raise ValueError(
+                f"fold target n_shards={n_shards} must divide the build "
+                f"count {old} (top-bits routing only nests downward)")
+        bf = None
+        for buf in pdf["sketch"]:
+            s = BloomFilter.from_bytes(bytes(buf))
+            bf = s if bf is None else bf.merge(s)
+        if num_bits is not None:
+            bf = bf.fold(num_bits)
+        return pd.DataFrame({"shard": [int(pdf["__new_shard"].iloc[0])],
+                             "sketch": [bf.to_bytes()],
+                             "n_shards": [n_shards]})
+
+    return df.groupBy("__new_shard").applyInPandas(
+        fold, schema=SHARD_TABLE_SCHEMA)
 
 
 def sharded_membership(df: DataFrame, shard_table: DataFrame, cols,

@@ -298,3 +298,91 @@ def test_sql_fold_null_passthrough(spark):
         "SELECT sketch_fold(sketch, 8) AS f FROM null_fold_src"
     ).collect()[0]
     assert row["f"] is None
+
+
+# --- shard-table folds (operators/sharded.py) -------------------------------
+
+def _shard_map(tbl):
+    return {r["shard"]: bytes(r["sketch"]) for r in tbl.collect()}
+
+
+def test_fold_shard_table_byte_equal_both_routes(spark, events):
+    """Fold-shards(64->16) == direct 16-shard build bit-folded per shard:
+    routing (top bits) and probing (masked bits) use disjoint hash bits,
+    so the two routes to '16 shards at the 64-build geometry' coincide
+    byte-for-byte."""
+    from bloomfilter_spark.operators.sharded import (build_sharded_bloom,
+                                                     fold_shard_table)
+    cols, cap, fpr = ["event_id"], 60_000, 0.01
+    t64 = build_sharded_bloom(events, cols, capacity=cap, fpr=fpr,
+                              n_shards=64).persist()
+    left = _shard_map(fold_shard_table(t64, 16))
+    m64 = BloomFilter.from_bytes(next(iter(left.values()))).num_bits
+    t16 = build_sharded_bloom(events, cols, capacity=cap, fpr=fpr,
+                              n_shards=16)
+    right = _shard_map(fold_shard_table(t16, 16, num_bits=m64))
+    assert left == right and len(left) > 1
+    # identity fold: same count, no bit fold -> byte-identical table
+    assert _shard_map(fold_shard_table(t64, 64)) == _shard_map(t64)
+    t64.unpersist()
+
+
+def test_fold_shard_table_zero_fn_and_routing(spark, events):
+    from bloomfilter_spark.operators.sharded import (build_sharded_bloom,
+                                                     fold_shard_table,
+                                                     sharded_membership)
+    t = build_sharded_bloom(events, ["event_id"], capacity=60_000,
+                            fpr=0.01, n_shards=32)
+    folded = fold_shard_table(t, 8).persist()
+    assert folded.select("n_shards").distinct().collect()[0][0] == 8
+    probe = events.select("event_id").where(F.col("event_id").isNotNull())
+    res = sharded_membership(probe, folded, ["event_id"])
+    assert res.where(~F.col("is_member")).count() == 0  # zero FN
+    folded.unpersist()
+
+
+def test_fold_shard_table_migration_merge(spark, events):
+    """The guard's migration path, end to end: a 64-shard table and a
+    16-shard table (different builds) refuse a direct merge, but fold
+    both to a common (count, bits) geometry and merge_shard_tables
+    unions them — zero FN over BOTH corpora."""
+    from bloomfilter_spark.operators.sharded import (build_sharded_bloom,
+                                                     fold_shard_table,
+                                                     merge_shard_tables,
+                                                     sharded_membership)
+    half_a = events.where("event_id % 2 = 0")
+    half_b = events.where("event_id % 2 = 1")
+    ta = build_sharded_bloom(half_a, ["event_id"], capacity=30_000,
+                             fpr=0.01, n_shards=64)
+    tb = build_sharded_bloom(half_b, ["event_id"], capacity=30_000,
+                             fpr=0.01, n_shards=16)
+    with pytest.raises(Exception, match="different"):
+        merge_shard_tables([ta, tb]).collect()
+    fa = fold_shard_table(ta, 16).persist()
+    m_common = min(
+        BloomFilter.from_bytes(bytes(fa.first()["sketch"])).num_bits,
+        BloomFilter.from_bytes(bytes(tb.first()["sketch"])).num_bits)
+    fa2 = fold_shard_table(fa, 16, num_bits=m_common)
+    fb = fold_shard_table(tb, 16, num_bits=m_common)
+    merged = merge_shard_tables([fa2, fb]).persist()
+    probe = events.select("event_id").where(F.col("event_id").isNotNull())
+    res = sharded_membership(probe, merged, ["event_id"])
+    assert res.where(~F.col("is_member")).count() == 0
+    fa.unpersist()
+    merged.unpersist()
+
+
+def test_fold_shard_table_guards(spark, events):
+    from bloomfilter_spark.operators.sharded import (build_sharded_bloom,
+                                                     fold_shard_table)
+    t = build_sharded_bloom(events, ["event_id"], capacity=10_000,
+                            fpr=0.01, n_shards=8)
+    with pytest.raises(ValueError, match="power of two"):
+        fold_shard_table(t, 3)
+    with pytest.raises(Exception, match="divide the build count"):
+        fold_shard_table(t, 16).collect()   # upfold
+    # mixed build counts in one input refuse the fold
+    t2 = build_sharded_bloom(events, ["event_id"], capacity=10_000,
+                             fpr=0.01, n_shards=16)
+    with pytest.raises(Exception, match="mixed build n_shards"):
+        fold_shard_table(t.unionByName(t2), 4).collect()
