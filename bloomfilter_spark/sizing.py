@@ -217,6 +217,9 @@ def suggest_sketch(kind: str, **targets) -> dict:
     targets:
 
       bloom  capacity=, err_rate=          -> num_bits/num_hashes
+      counting_bloom capacity=, err_rate=  -> num_cells/num_hashes
+                                              (same math, 4 bytes/cell —
+                                              the price of delete)
       hll    rel_std_error=                -> p
       cms    eps=, delta=                  -> width/depth
       kll    rank_error=                   -> k
@@ -236,6 +239,13 @@ def suggest_sketch(kind: str, **targets) -> dict:
         return {"kind": kind, "params": {"num_bits": bits, "num_hashes": k},
                 "predicted_error": analytic_fpr(bits, k, targets["capacity"]),
                 "state_bytes": bits // 8}
+    if kind == "counting_bloom":
+        # same (m, k) inversion as bloom — membership math is identical;
+        # only the byte budget changes (uint32 cell per bit position)
+        bits, k = safe_suggest_sizing(targets["capacity"], targets["err_rate"])
+        return {"kind": kind, "params": {"num_cells": bits, "num_hashes": k},
+                "predicted_error": analytic_fpr(bits, k, targets["capacity"]),
+                "state_bytes": bits * 4}
     if kind == "hll":
         p, err, nbytes = suggest_hll_precision(targets["rel_std_error"])
         return {"kind": kind, "params": {"p": p},

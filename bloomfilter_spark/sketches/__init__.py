@@ -1,6 +1,7 @@
 from .base import Sketch
 from .bloom import BloomFilter
 from .cms import CountMinSketch
+from .counting import CountingBloomFilter
 from .hll import HyperLogLog
 from .kll import KLL
 from .mg import MisraGries
@@ -14,7 +15,8 @@ from .theta import ThetaSketch, theta_a_not_b, theta_intersect
 SKETCH_TYPES: dict[int, type] = {
     cls.TYPE_TAG: cls
     for cls in (BloomFilter, HyperLogLog, CountMinSketch, TDigest, KLL,
-                ScalableBloomFilter, ThetaSketch, MisraGries, SampleSketch)
+                ScalableBloomFilter, ThetaSketch, MisraGries, SampleSketch,
+                CountingBloomFilter)
 }
 
 
@@ -31,6 +33,6 @@ def sketch_from_bytes(buf: bytes) -> Sketch:
 
 __all__ = ["Sketch", "BloomFilter", "HyperLogLog", "CountMinSketch",
            "TDigest", "KLL", "MisraGries", "ScalableBloomFilter",
-           "ThetaSketch", "SampleSketch",
+           "ThetaSketch", "SampleSketch", "CountingBloomFilter",
            "theta_intersect", "theta_a_not_b", "SKETCH_TYPES",
            "sketch_from_bytes"]

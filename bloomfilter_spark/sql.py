@@ -380,7 +380,8 @@ def sketch_error_bound(sketch: pd.Series) -> pd.Series:
     estimate WITH its trust radius from plain SQL.
 
     Per family (what the number means):
-      Bloom / scalable Bloom  false-positive PROBABILITY at observed fill
+      Bloom / scalable Bloom / counting Bloom
+                              false-positive PROBABILITY at observed fill
                               ((X/m)^k; 1-Π(1-fpp_i) over levels) — grows
                               as inserts exceed the sized capacity
       HLL / theta / sample    RELATIVE std error of the estimate
@@ -395,15 +396,16 @@ def sketch_error_bound(sketch: pd.Series) -> pd.Series:
     Units differ by family on purpose — each is the bound that family's
     kernel tests validate; `sketch_describe` gives the family when a
     column is mixed. NULL blob → NULL."""
-    from .sketches import (BloomFilter, CountMinSketch, HyperLogLog, KLL,
-                           MisraGries, SampleSketch, ScalableBloomFilter,
-                           TDigest, ThetaSketch)
+    from .sketches import (BloomFilter, CountingBloomFilter, CountMinSketch,
+                           HyperLogLog, KLL, MisraGries, SampleSketch,
+                           ScalableBloomFilter, TDigest, ThetaSketch)
 
     def bound(b):
         if b is None:
             return None
         sk = _parse(bytes(b))
-        if isinstance(sk, (BloomFilter, ScalableBloomFilter)):
+        if isinstance(sk, (BloomFilter, ScalableBloomFilter,
+                           CountingBloomFilter)):
             return float(sk.fpp())
         if isinstance(sk, HyperLogLog):
             return float(sk.rse())

@@ -216,9 +216,11 @@ def test_fold_up_and_invalid_targets_raise(hashes):
 # --- SQL surface -----------------------------------------------------------
 
 def test_sql_sketch_fold_all_families(spark, hashes):
+    from bloomfilter_spark.sketches.counting import CountingBloomFilter
     rows = [
         ("hll", HyperLogLog(14), 10),
         ("bloom", BloomFilter(1 << 16, 5), 1 << 12),
+        ("counting_bloom", CountingBloomFilter(1 << 16, 5), 1 << 12),
         ("cms", CountMinSketch(width=1024, depth=4), 256),
         ("theta", ThetaSketch(1024), 64),
         ("mg", MisraGries(256), 32),

@@ -436,7 +436,8 @@ def test_sql_sketch_describe_all_families(spark, lineitem, events):
     family name, state size, and the family's defining parameters."""
     import json
 
-    from bloomfilter_spark.sketches import MisraGries, TDigest
+    from bloomfilter_spark.sketches import (CountingBloomFilter, MisraGries,
+                                            TDigest)
 
     ev = events.where(F.col("user_id").isNotNull())
     vals = lineitem.select(F.col("l_quantity").alias("v"))
@@ -452,6 +453,8 @@ def test_sql_sketch_describe_all_families(spark, lineitem, events):
         "BloomFilter": build_sketch(ev, ["user_id"],
                                     lambda: BloomFilter.for_capacity(
                                         10_000, 0.01)),
+        "CountingBloomFilter": build_sketch(
+            ev, ["user_id"], lambda: CountingBloomFilter(1 << 14, 5)),
     }
     spark.createDataFrame([(fam, b.to_bytes()) for fam, b in blobs.items()],
                           "fam string, sketch binary") \
@@ -528,8 +531,8 @@ def test_sql_error_bound_all_families(spark, lineitem, events):
     (suggested params -> build -> sketch_error_bound == predicted)."""
     import math
 
-    from bloomfilter_spark.sketches import MisraGries, ScalableBloomFilter, \
-        TDigest
+    from bloomfilter_spark.sketches import (CountingBloomFilter, MisraGries,
+                                            ScalableBloomFilter, TDigest)
 
     ev = events.where(F.col("user_id").isNotNull())
     vals = lineitem.select(F.col("l_quantity").alias("v"))
@@ -548,6 +551,8 @@ def test_sql_error_bound_all_families(spark, lineitem, events):
                                     lambda: BloomFilter.for_capacity(
                                         10_000, 0.01)),
         "ScalableBloomFilter": sbf,
+        "CountingBloomFilter": build_sketch(
+            ev, ["user_id"], lambda: CountingBloomFilter(1 << 14, 5)),
     }
     spark.createDataFrame([(fam, b.to_bytes()) for fam, b in blobs.items()],
                           "fam string, sketch binary") \
@@ -564,6 +569,7 @@ def test_sql_error_bound_all_families(spark, lineitem, events):
     assert got["TDigest"] == math.pi / (2 * 100)
     assert got["BloomFilter"] == blobs["BloomFilter"].fpp()
     assert got["ScalableBloomFilter"] == sbf.fpp()
+    assert got["CountingBloomFilter"] == blobs["CountingBloomFilter"].fpp()
     # sizing round-trip: suggested params produce exactly the predicted bound
     from bloomfilter_spark.sizing import suggest_hll_precision, suggest_kll_k
     p, predicted, _ = suggest_hll_precision(0.02)

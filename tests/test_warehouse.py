@@ -459,6 +459,7 @@ def test_verify_sketch_table_all_families(spark, tmp_path):
     import numpy as np
 
     from bloomfilter_spark.sketches import CountMinSketch, TDigest
+    from bloomfilter_spark.sketches.counting import CountingBloomFilter
     from bloomfilter_spark.sketches.kll import KLL as KLLSketch
     from bloomfilter_spark.sketches.mg import MisraGries
     from bloomfilter_spark.sketches.scalable import ScalableBloomFilter
@@ -478,6 +479,7 @@ def test_verify_sketch_table_all_families(spark, tmp_path):
         "mg": lambda: MisraGries(8),
         "theta": lambda: ThetaSketch(64),
         "scalable": lambda: ScalableBloomFilter(0.01, initial_capacity=128),
+        "counting_bloom": lambda: CountingBloomFilter(1 << 12, 5),
     }
     for name, fac in factories.items():
         rows = []
