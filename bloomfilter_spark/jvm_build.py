@@ -818,6 +818,127 @@ def sample_build_jvm(df: DataFrame, cols, payload_col, k: int = 1024,
 
 
 # --------------------------------------------------------------------------
+# weighted bottom-k sample builds (exponential-rank / ppswor)
+# --------------------------------------------------------------------------
+
+def _wsample_rank_col(hf_col: Column, w_col: Column) -> Column:
+    """Exponential rank -ln(u)/w as a codegen expression over the
+    XOR-shifted signed hash, term-for-term the kernel's wsample._rank
+    (flipped int64 -> double, + 2^63, * 2^-64, floored at 2^-64). Only
+    the ORDERING of this column is consumed JVM-side — the packer
+    recomputes ranks in numpy from the exact (hash, weight) pairs, so
+    a <=1-ulp libm divergence between Math.log and numpy cannot reach
+    the serialized state."""
+    u = F.greatest((hf_col.cast("double") + F.lit(float(1 << 63)))
+                   * F.lit(2.0 ** -64), F.lit(2.0 ** -64))
+    return -F.log(u) / w_col
+
+
+def _wsample_pack(hf: np.ndarray, wt: np.ndarray, pl: np.ndarray, k: int):
+    """Pack (XOR-shifted hash, weight, payload) rows into a
+    WeightedSampleSketch — shared by the grouped and global builds.
+    Rows need not be sorted; ranks are recomputed in numpy (kernel
+    arithmetic) so the blob is byte-identical to a kernel build."""
+    from .sketches.wsample import WeightedSampleSketch, _rank
+    arr = hf.astype(np.int64).view(U64) ^ U64(1 << 63)
+    wt = wt.astype(np.float64)
+    r = _rank(arr, wt)
+    order = np.lexsort((arr, r))
+    arr, wt, pl, r = arr[order], wt[order], pl[order], r[order]
+    sk = WeightedSampleSketch(k)
+    if arr.size > k:
+        sk.tau = float(r[k])
+        keep = r < sk.tau
+        arr, wt, pl = arr[keep], wt[keep], pl[keep]
+    sk.hashes = arr
+    sk.weights = wt
+    out = np.empty(arr.size, dtype=object)
+    out[:] = [bytes(x) for x in pl]
+    sk.payloads = out
+    return sk
+
+
+def _wsample_dedup(df: DataFrame, keys, cs, weight_col, payload_col,
+                   seed: int):
+    """Shared head of the weighted-sample builds: one codegen groupBy
+    collapses duplicate (keys..., hash) occurrences to the kernel's
+    canonical entry — MAX weight, then MIN payload (min over the
+    (-weight, payload) struct; Spark struct/binary ordering == python
+    tuple/bytes ordering) — with map-side partial aggregation, so the
+    shuffle carries distinct keys, not occurrences. Rows with NULL key
+    columns or NULL/NaN/<=0 weight are excluded (the kernel's rule)."""
+    wc = _cols([weight_col])[0].cast("double")
+    pc = F.coalesce(_cols([payload_col])[0].cast("binary"), F.lit(b""))
+    hf = hash_col(cs, seed).bitwiseXOR(F.lit(_MIN64))  # unsigned-order key
+    return (df.where(_notnull(cs) & wc.isNotNull()
+                     & ~F.isnan(wc) & (wc > 0))
+              .groupBy(*keys, hf.alias("__hf"))
+              .agg(F.min(F.struct((-wc).alias("nw"),
+                                  pc.alias("pl"))).alias("__mx"))
+              .select(*keys, "__hf",
+                      (-F.col("__mx.nw")).alias("__w"),
+                      F.col("__mx.pl").alias("__pl")))
+
+
+def wsample_grouped_build_jvm(df: DataFrame, keys, cols, weight_col,
+                              payload_col, k: int = 1024,
+                              seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-key WEIGHTED bottom-k sample table (keys..., sketch binary):
+    K example payloads per key, inclusion probability proportional to
+    ``weight_col`` (ppswor — sketches/wsample.py), plus the
+    rank-conditioned total-weight estimator over the same retained set.
+    Byte-identical per key to the kernel grouped build.
+
+    Plan (the sample_grouped_build_jvm topology with the rank riding
+    along): codegen dedup to canonical (key, hash, max-weight,
+    min-payload) entries -> exponential rank as a codegen expression ->
+    per-key window rank keeps k+1 rows (WindowGroupLimit: per-partition
+    top-k, never a global sort) -> `applyInPandas` packs O(k) rows per
+    key. Python never sees the corpus, and the only shuffle rows are
+    distinct (key, hash) pairs."""
+    from pyspark.sql import Window
+    from .sketches.wsample import WeightedSampleSketch
+    WeightedSampleSketch(k)  # validate k
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cs = _cols(cols)
+    out_schema = ", ".join(
+        f"{kk} {df.schema[kk].dataType.simpleString()}" for kk in keys
+    ) + ", sketch binary"
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _wsample_pack(pdf["__hf"].to_numpy(dtype=np.int64),
+                           pdf["__w"].to_numpy(dtype=np.float64),
+                           pdf["__pl"].to_numpy(dtype=object), k)
+        row = {kk: [pdf[kk].iloc[0]] for kk in keys}
+        row["sketch"] = [sk.to_bytes()]
+        return pd.DataFrame(row)
+
+    d = _wsample_dedup(df, keys, cs, weight_col, payload_col, seed)
+    d = d.withColumn("__r", _wsample_rank_col(F.col("__hf"), F.col("__w")))
+    w = Window.partitionBy(*keys).orderBy("__r", "__hf")
+    ranked = (d.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= k + 1).drop("__rn", "__r"))
+    return ranked.groupBy(*keys).applyInPandas(assemble, schema=out_schema)
+
+
+def wsample_build_jvm(df: DataFrame, cols, weight_col, payload_col,
+                      k: int = 1024, seed: int = DEFAULT_SEED):
+    """Whole-corpus weighted bottom-k sample, JVM-reduced: canonical
+    per-hash entry in codegen, exponential rank in codegen, then a
+    TakeOrdered of k+1 rows — only O(k) rows reach the driver.
+    Byte-identical to the kernel build."""
+    from .sketches.wsample import WeightedSampleSketch
+    WeightedSampleSketch(k)  # validate k
+    cs = _cols(cols)
+    d = _wsample_dedup(df, [], cs, weight_col, payload_col, seed)
+    d = d.withColumn("__r", _wsample_rank_col(F.col("__hf"), F.col("__w")))
+    pdf = d.orderBy("__r", "__hf").limit(k + 1).toPandas()
+    return _wsample_pack(pdf["__hf"].to_numpy(dtype=np.int64),
+                         pdf["__w"].to_numpy(dtype=np.float64),
+                         pdf["__pl"].to_numpy(dtype=object), k)
+
+
+# --------------------------------------------------------------------------
 # pre-aggregated quantile builds (KLL / t-digest)
 # --------------------------------------------------------------------------
 

@@ -227,6 +227,13 @@ def suggest_sketch(kind: str, **targets) -> dict:
       sample rel_std_error= [, avg_payload_bytes=] -> k (bottom-k sample;
                                               KMV estimator shares theta's
                                               inversion)
+      weighted_sample rel_std_error= [, avg_payload_bytes=] -> k
+                                              (ppswor bottom-k: the
+                                              Cohen–Kaplan CV bound
+                                              1/sqrt(k-2) is theta's, so
+                                              the inversion is shared;
+                                              +8 bytes/entry for the
+                                              weight)
       mg     eps=                          -> k
       tdigest mid_rank_error=              -> delta
       scalable_bloom total_err_rate= [, tightening=, initial_capacity=]
@@ -271,6 +278,15 @@ def suggest_sketch(kind: str, **targets) -> dict:
         return {"kind": kind, "params": {"k": k},
                 "predicted_error": err,
                 "state_bytes": k * (12 + avg_payload)}
+    if kind == "weighted_sample":
+        # ppswor bottom-k (wsample.py): CV <= 1/sqrt(k-2) — the same
+        # bound as theta/sample, so the k inversion is shared; per-entry
+        # state adds an 8-byte weight to sample's layout
+        k, err, _ = suggest_theta_k(targets["rel_std_error"])
+        avg_payload = int(targets.get("avg_payload_bytes", 0))
+        return {"kind": kind, "params": {"k": k},
+                "predicted_error": err,
+                "state_bytes": k * (20 + avg_payload)}
     if kind == "mg":
         k, nbytes = suggest_mg_k(targets["eps"])
         return {"kind": kind, "params": {"k": k},

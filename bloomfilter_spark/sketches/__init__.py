@@ -9,6 +9,7 @@ from .sample import SampleSketch
 from .scalable import ScalableBloomFilter
 from .tdigest import TDigest
 from .theta import ThetaSketch, theta_a_not_b, theta_intersect
+from .wsample import WeightedSampleSketch
 
 #: TYPE_TAG -> class, for parsing a sketch of unknown type (SQL surface,
 #: mixed sketch tables). Tags are part of the serialization contract.
@@ -16,7 +17,7 @@ SKETCH_TYPES: dict[int, type] = {
     cls.TYPE_TAG: cls
     for cls in (BloomFilter, HyperLogLog, CountMinSketch, TDigest, KLL,
                 ScalableBloomFilter, ThetaSketch, MisraGries, SampleSketch,
-                CountingBloomFilter)
+                CountingBloomFilter, WeightedSampleSketch)
 }
 
 
@@ -34,5 +35,5 @@ def sketch_from_bytes(buf: bytes) -> Sketch:
 __all__ = ["Sketch", "BloomFilter", "HyperLogLog", "CountMinSketch",
            "TDigest", "KLL", "MisraGries", "ScalableBloomFilter",
            "ThetaSketch", "SampleSketch", "CountingBloomFilter",
-           "theta_intersect", "theta_a_not_b", "SKETCH_TYPES",
-           "sketch_from_bytes"]
+           "WeightedSampleSketch", "theta_intersect", "theta_a_not_b",
+           "SKETCH_TYPES", "sketch_from_bytes"]

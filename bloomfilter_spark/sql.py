@@ -98,11 +98,14 @@ def _parse(buf) -> Sketch:
 
 
 def sketch_estimate(sketch: pd.Series) -> pd.Series:
-    """Distinct-count estimate of a blob: HLL/theta native estimators,
-    Bloom/scalable-Bloom via the Swamidass–Baldi fill-ratio inversion.
-    Frequency/quantile families (CMS, KLL, t-digest, MG) carry a total
-    weight `n`, not a distinct count — querying one raises with the
-    family name instead of returning a number with the wrong meaning
+    """Population estimate of a blob: distinct count for HLL/theta/
+    sample (native estimators) and Bloom/scalable-Bloom (the
+    Swamidass–Baldi fill-ratio inversion); for a WEIGHTED sample blob
+    the estimate is the population's total WEIGHT (rank-conditioned
+    Horvitz-Thompson — sketches/wsample.py). Frequency/quantile
+    families (CMS, KLL, t-digest, MG) carry a total weight `n`, not a
+    population estimate — querying one raises with the family name
+    instead of returning a number with the wrong meaning
     (`sketch_describe` exposes their `n`)."""
     def one(b):
         if b is None:
@@ -384,7 +387,8 @@ def sketch_error_bound(sketch: pd.Series) -> pd.Series:
                               false-positive PROBABILITY at observed fill
                               ((X/m)^k; 1-Π(1-fpp_i) over levels) — grows
                               as inserts exceed the sized capacity
-      HLL / theta / sample    RELATIVE std error of the estimate
+      HLL / theta / sample /
+      weighted sample         RELATIVE std error of the estimate
                               (1.04/√m; 1/√(k−2)) — fixed by geometry
       CMS                     ADDITIVE overcount bound εN = (e/width)·N —
                               grows with stream weight
@@ -398,7 +402,8 @@ def sketch_error_bound(sketch: pd.Series) -> pd.Series:
     column is mixed. NULL blob → NULL."""
     from .sketches import (BloomFilter, CountingBloomFilter, CountMinSketch,
                            HyperLogLog, KLL, MisraGries, SampleSketch,
-                           ScalableBloomFilter, TDigest, ThetaSketch)
+                           ScalableBloomFilter, TDigest, ThetaSketch,
+                           WeightedSampleSketch)
 
     def bound(b):
         if b is None:
@@ -409,7 +414,7 @@ def sketch_error_bound(sketch: pd.Series) -> pd.Series:
             return float(sk.fpp())
         if isinstance(sk, HyperLogLog):
             return float(sk.rse())
-        if isinstance(sk, (ThetaSketch, SampleSketch)):
+        if isinstance(sk, (ThetaSketch, SampleSketch, WeightedSampleSketch)):
             return float(sk.rse())
         if isinstance(sk, (CountMinSketch, MisraGries)):
             return float(sk.error_bound())
@@ -506,21 +511,44 @@ def cms_fold(sketch: pd.Series, width: pd.Series, depth: pd.Series) -> pd.Series
 
 
 def sample_values(sketch: pd.Series) -> pd.Series:
-    """The payloads of a SampleSketch blob, as array<binary> — K uniform
-    example payloads per key straight from SQL (cast elements to string
-    for text payloads: ``transform(sample_values(s), x -> string(x))``).
-    The sample is uniform over the DISTINCT keys the sketch saw; pair
-    with sketch_estimate for the population size it was drawn from."""
+    """The payloads of a sample-family blob, as array<binary> — K example
+    payloads per key straight from SQL (cast elements to string for text
+    payloads: ``transform(sample_values(s), x -> string(x))``). For a
+    SampleSketch the sample is UNIFORM over the distinct keys the sketch
+    saw; for a WeightedSampleSketch inclusion probability is proportional
+    to each key's weight (``sample_weights`` gives the aligned weights).
+    Pair with sketch_estimate for the population size/weight it was
+    drawn from."""
     from .sketches.sample import SampleSketch
+    from .sketches.wsample import WeightedSampleSketch
 
     def vals(b):
         if b is None:
             return None
         sk = _parse(bytes(b))
-        if not isinstance(sk, SampleSketch):
-            raise TypeError(f"sample_values needs a SampleSketch blob, got "
+        if not isinstance(sk, (SampleSketch, WeightedSampleSketch)):
+            raise TypeError(f"sample_values needs a sample-family blob, got "
                             f"{type(sk).__name__}")
         return sk.sample()
+    return sketch.map(vals)
+
+
+def sample_weights(sketch: pd.Series) -> pd.Series:
+    """The weights of a WeightedSampleSketch blob, as array<double>,
+    aligned element-for-element with sample_values(sketch) — e.g.
+    ``arrays_zip(transform(sample_values(s), x -> string(x)),
+    sample_weights(s))`` rebuilds the (payload, weight) sample table
+    from SQL."""
+    from .sketches.wsample import WeightedSampleSketch
+
+    def vals(b):
+        if b is None:
+            return None
+        sk = _parse(bytes(b))
+        if not isinstance(sk, WeightedSampleSketch):
+            raise TypeError(f"sample_weights needs a WeightedSampleSketch "
+                            f"blob, got {type(sk).__name__}")
+        return sk.sample_weights()
     return sketch.map(vals)
 
 
@@ -601,6 +629,7 @@ SQL_FUNCTIONS = {
     "cms_inner_product_bound": (cms_inner_product_bound, "double"),
     "sketch_merge_pair": (sketch_merge_pair, "binary"),
     "sample_values": (sample_values, "array<binary>"),
+    "sample_weights": (sample_weights, "array<double>"),
     "sketch_fold": (sketch_fold, "binary"),
     "cms_fold": (cms_fold, "binary"),
     "sketch_merge": (sketch_merge, "binary"),

@@ -29,6 +29,7 @@ import math
 import os
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -239,6 +240,69 @@ def stateful_grouped_sample(stream_df: DataFrame, key_col: str,
               .select(F.col(key_col).cast("string").alias(key_col),
                       F.xxhash64(F.lit(seed).cast("long"),
                                  F.col(value_col)).alias("__h"),
+                      F.coalesce(F.col(payload_col).cast("binary"),
+                                 F.lit(b"")).alias("__pl")))
+    return (hashed.groupBy(key_col)
+                  .applyInPandasWithState(fn, out_schema, state_schema,
+                                          "update", GroupStateTimeout.NoTimeout))
+
+
+def stateful_grouped_weighted_sample(stream_df: DataFrame, key_col: str,
+                                     value_col: str, weight_col: str,
+                                     payload_col: str, k: int = 1024,
+                                     seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-key running WEIGHTED bottom-k sample over a stream (ppswor —
+    sketches/wsample.py): K example payloads per key with inclusion
+    probability proportional to ``weight_col``, plus the running
+    total-weight estimate, maintained incrementally. Emits the MERGEABLE
+    WeightedSampleSketch blob, so streamed samples merge with batch
+    builds (jvm_build.wsample_grouped_build_jvm) and roll up across
+    keys/epochs like every other warehoused family.
+
+    Determinism makes this epoch-replay-safe: the state is a pure
+    function of the item SET (per-hash max-weight/min-payload
+    canonicalization), so a replayed batch folds in as a no-op. Rows
+    with NULL/NaN/<=0 weight are excluded, exactly as NULL keys are
+    (the kernel's rule). Output: (key, sketch binary,
+    approx_total_weight, n_updates) per updated key per batch; state
+    per key is O(k * avg payload bytes), independent of stream length
+    AND of the weight distribution."""
+    from ..sketches.wsample import WeightedSampleSketch
+    WeightedSampleSketch(k)  # validate k before any task runs
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("sketch", T.BinaryType()),
+        T.StructField("approx_total_weight", T.DoubleType()),
+        T.StructField("n_updates", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("sketch", T.BinaryType()),
+        T.StructField("n_updates", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        n = 0
+        if state.exists:
+            blob, n = state.get
+            sk = WeightedSampleSketch.from_bytes(bytes(blob))
+        else:
+            sk = WeightedSampleSketch(k)
+        for pdf in pdfs:
+            sk.update(to_u64(pdf["__h"].to_numpy()),
+                      pdf["__w"].to_numpy(dtype=np.float64),
+                      pdf["__pl"].to_numpy(dtype=object))
+            n += len(pdf)
+        blob = sk.to_bytes()
+        state.update((blob, n))
+        yield pd.DataFrame({key_col: [key[0]], "sketch": [blob],
+                            "approx_total_weight": [sk.estimate()],
+                            "n_updates": [n]})
+
+    hashed = (stream_df.where(F.col(value_col).isNotNull())
+              .select(F.col(key_col).cast("string").alias(key_col),
+                      F.xxhash64(F.lit(seed).cast("long"),
+                                 F.col(value_col)).alias("__h"),
+                      F.col(weight_col).cast("double").alias("__w"),
                       F.coalesce(F.col(payload_col).cast("binary"),
                                  F.lit(b"")).alias("__pl")))
     return (hashed.groupBy(key_col)

@@ -235,6 +235,14 @@ def test_sql_sketch_fold_all_families(spark, hashes):
     td = TDigest(400)
     td.update(hashes.astype(np.float64))
     data.append(("tdigest", td.to_bytes(), 100))
+    from bloomfilter_spark.sketches import SampleSketch, WeightedSampleSketch
+    sp = SampleSketch(256)
+    sp.update(hashes, [f"p{i}".encode() for i in range(len(hashes))])
+    data.append(("sample", sp.to_bytes(), 64))
+    ws = WeightedSampleSketch(256)
+    ws.update(hashes, (hashes % np.uint64(97)).astype(np.float64) + 1.0,
+              [f"p{i}".encode() for i in range(len(hashes))])
+    data.append(("weighted_sample", ws.to_bytes(), 64))
     spark.createDataFrame(data, "family string, sketch binary, target int") \
          .createOrReplaceTempView("fold_src")
     got = {r["family"]: bytes(r["folded"]) for r in spark.sql(

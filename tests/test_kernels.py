@@ -813,7 +813,7 @@ def test_mg_serialization_roundtrip_and_errors(rng):
 
 def test_wire_exhaustive_prefix_and_flip_fuzz(rng):
     """The strongest form of the wire-integrity claim, verified by brute
-    force on small sketches of all 10 families: EVERY strict prefix of a
+    force on small sketches of all 11 families: EVERY strict prefix of a
     blob and EVERY sampled single-byte flip (header bytes exhaustively,
     body positions sampled) raises — nothing parses to silently different
     state. Since v4 the header sits inside the CRC, so tag/plen flips are
@@ -844,6 +844,11 @@ def test_wire_exhaustive_prefix_and_flip_fuzz(rng):
     sketches.append(cb)
     cb2 = CountingBloomFilter(64, 2); cb2.update(h)  # dense
     sketches.append(cb2)
+    from bloomfilter_spark.sketches.wsample import WeightedSampleSketch
+    ws = WeightedSampleSketch(k=64)
+    ws.update(h, (h % np.uint64(97)).astype(np.float64) + 1.0,
+              [f"pl-{i}".encode() for i in range(len(h))])
+    sketches.append(ws)
 
     for sk in sketches:
         cls = type(sk)

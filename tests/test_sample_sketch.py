@@ -245,7 +245,7 @@ def test_sql_sample_values_estimate_bound_fold(spark, events):
     hll = HyperLogLog(10)
     spark.createDataFrame([(hll.to_bytes(),)], "sketch binary") \
          .createOrReplaceTempView("not_sample")
-    with pytest.raises(Exception, match="SampleSketch"):
+    with pytest.raises(Exception, match="sample-family"):
         spark.sql("SELECT sample_values(sketch) FROM not_sample").collect()
 
 

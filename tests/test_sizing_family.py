@@ -93,14 +93,15 @@ def test_dispatcher_params_construct_real_sketches():
         "kll": dict(rank_error=0.01),
         "theta": dict(rel_std_error=0.02),
         "sample": dict(rel_std_error=0.02, avg_payload_bytes=40),
+        "weighted_sample": dict(rel_std_error=0.02, avg_payload_bytes=40),
         "mg": dict(eps=0.01),
         "tdigest": dict(mid_rank_error=0.01),
     }
-    from bloomfilter_spark.sketches import SampleSketch
+    from bloomfilter_spark.sketches import SampleSketch, WeightedSampleSketch
     classes = {"bloom": BloomFilter, "hll": HyperLogLog,
                "cms": CountMinSketch, "kll": KLL, "theta": ThetaSketch,
-               "sample": SampleSketch, "mg": MisraGries,
-               "tdigest": TDigest}
+               "sample": SampleSketch, "weighted_sample": WeightedSampleSketch,
+               "mg": MisraGries, "tdigest": TDigest}
     for kind, targets in cases.items():
         out = suggest_sketch(kind, **targets)
         sk = classes[kind](**out["params"])  # kwargs really construct
@@ -112,6 +113,11 @@ def test_dispatcher_params_construct_real_sketches():
     sp = suggest_sketch("sample", rel_std_error=0.02, avg_payload_bytes=40)
     assert sp["params"]["k"] == th["params"]["k"]
     assert sp["state_bytes"] == th["params"]["k"] * (12 + 40)
+    # weighted sample: same CV inversion, +8 bytes/entry for the weight
+    ws = suggest_sketch("weighted_sample", rel_std_error=0.02,
+                        avg_payload_bytes=40)
+    assert ws["params"]["k"] == th["params"]["k"]
+    assert ws["state_bytes"] == th["params"]["k"] * (20 + 40)
     with pytest.raises(SizingError):
         suggest_sketch("cuckoo", eps=0.1)
 

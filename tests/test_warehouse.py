@@ -465,6 +465,8 @@ def test_verify_sketch_table_all_families(spark, tmp_path):
     from bloomfilter_spark.sketches.scalable import ScalableBloomFilter
     from bloomfilter_spark.sketches.theta import ThetaSketch
     from bloomfilter_spark.sketches.bloom import BloomFilter
+    from bloomfilter_spark.sketches.sample import SampleSketch
+    from bloomfilter_spark.sketches.wsample import WeightedSampleSketch
     from bloomfilter_spark.warehouse import verify_sketch_table
 
     rng = np.random.default_rng(5)
@@ -480,12 +482,19 @@ def test_verify_sketch_table_all_families(spark, tmp_path):
         "theta": lambda: ThetaSketch(64),
         "scalable": lambda: ScalableBloomFilter(0.01, initial_capacity=128),
         "counting_bloom": lambda: CountingBloomFilter(1 << 12, 5),
+        "sample": lambda: SampleSketch(32),
+        "weighted_sample": lambda: WeightedSampleSketch(32),
     }
     for name, fac in factories.items():
         rows = []
         for i in range(4):
             sk = fac()
-            sk.update(v[i::4] if not sk.HASH_KEYED else h[i::4])
+            hh = h[i::4]
+            if name == "weighted_sample":
+                sk.update(hh, (hh % np.uint64(31)).astype(np.float64) + 1.0,
+                          [b"x"] * len(hh))
+            else:
+                sk.update(v[i::4] if not sk.HASH_KEYED else hh)
             rows.append((f"k{i}", sk.to_bytes()))
         tbl = spark.createDataFrame(rows, "k string, sketch binary")
         path = str(tmp_path / name)
