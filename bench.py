@@ -98,7 +98,8 @@ def main() -> None:
                                              multi_sketch_build_jvm,
                                              quantile_build_preagg,
                                              sample_grouped_build_jvm,
-                                             theta_build_jvm)
+                                             theta_build_jvm,
+                                             wsample_grouped_build_jvm)
     from bloomfilter_spark.operators.dedup import (minhash_signatures,
                                                    simhash_signatures)
     from bloomfilter_spark.operators.file_index import (build_file_bloom_index,
@@ -173,6 +174,12 @@ def main() -> None:
         ("build_sample_grouped",
          lambda: sample_grouped_build_jvm(tr, ["tool"], ["conv_id"],
                                           "conv_id", k=256).count()),
+        # per-tool WEIGHTED sample, inclusion proportional to text length
+        # (11th family): the sample topology + one codegen rank expression
+        ("build_wsample_grouped",
+         lambda: wsample_grouped_build_jvm(
+             tr.withColumn("__wt", F.length("text").cast("double") + 1.0),
+             ["tool"], ["conv_id"], "__wt", "conv_id", k=256).count()),
         ("build_cms",
          lambda: build_sketch(tr, ["tool"],
                               lambda: CountMinSketch(eps=1e-4, delta=1e-3))),

@@ -16,6 +16,9 @@ The engine's flagship usage pattern over the north-rule transcript shape
        - turn-length drift between first/last day via kll_ks_distance;
        - K example conv_ids per tool straight from the sample blobs
          (sample_values over a bottom-k sample table);
+       - K LENGTH-WEIGHTED example conv_ids per tool with their weights
+         and the total-mass estimate (sample_values + sample_weights +
+         sketch_estimate over a weighted bottom-k sample table);
        - a geometry migration: fold the p=12 daily HLLs to p=10 and
          merge (sketch_fold — byte-exact downgrade);
        - warehouse-column audit via sketch_describe.
@@ -113,6 +116,27 @@ def main(argv: list[str]) -> int:
         print(f"{r['tool']}: e.g. {r['example_convs']} "
               f"of ~{r['approx_convs']:.0f} convs")
 
+    # -- 2d'. K example conv_ids per tool WEIGHTED by turn length --------
+    # (ppswor: long conversations surface first — sample where the token
+    # mass is, with the total mass estimate riding along)
+    from bloomfilter_spark.jvm_build import wsample_grouped_build_jvm
+    wsample_grouped_build_jvm(
+        t.where(F.col("tool").isNotNull())
+         .withColumn("wt", F.length("text").cast("double") + 1.0),
+        ["tool"], ["conv_id"], "wt", "conv_id",
+        k=16).createOrReplaceTempView("wsample_by_tool")
+    wexamples = spark.sql("""
+        SELECT tool,
+               slice(transform(sample_values(sketch), x -> string(x)),
+                     1, 3) AS heavy_convs,
+               slice(sample_weights(sketch), 1, 3) AS their_weights,
+               sketch_estimate(sketch) AS approx_total_len
+        FROM wsample_by_tool ORDER BY tool LIMIT 3""").collect()
+    for r in wexamples:
+        print(f"{r['tool']}: length-weighted e.g. {r['heavy_convs']} "
+              f"(w {[round(x, 1) for x in r['their_weights']]}) of "
+              f"~{r['approx_total_len']:.0f} total turn chars")
+
     # -- 2e. geometry migration: fold p=12 daily HLLs to p=10, then merge -
     folded = spark.sql("""
         SELECT sketch_estimate(sketch_merge(sketch_fold(sketch, 10)))
@@ -137,6 +161,10 @@ def main(argv: list[str]) -> int:
     assert all(0.0 <= r["jaccard"] <= 1.0 for r in pairs)
     assert 0.0 <= drift["ks"] <= 1.0
     assert examples and all(r["example_convs"] for r in examples)
+    assert wexamples and all(r["heavy_convs"] and
+                             all(w > 0 for w in r["their_weights"])
+                             and r["approx_total_len"] > 0
+                             for r in wexamples)
     total = spark.sql("""
         SELECT sketch_estimate(sketch_merge(sketch)) AS e FROM hll_daily
         """).first()["e"]
