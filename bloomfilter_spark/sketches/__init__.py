@@ -3,6 +3,7 @@ from .bloom import BloomFilter
 from .cms import CountMinSketch
 from .counting import CountingBloomFilter
 from .hll import HyperLogLog
+from .iblt import IBLT
 from .kll import KLL
 from .mg import MisraGries
 from .sample import SampleSketch
@@ -17,7 +18,7 @@ SKETCH_TYPES: dict[int, type] = {
     cls.TYPE_TAG: cls
     for cls in (BloomFilter, HyperLogLog, CountMinSketch, TDigest, KLL,
                 ScalableBloomFilter, ThetaSketch, MisraGries, SampleSketch,
-                CountingBloomFilter, WeightedSampleSketch)
+                CountingBloomFilter, WeightedSampleSketch, IBLT)
 }
 
 
@@ -35,5 +36,5 @@ def sketch_from_bytes(buf: bytes) -> Sketch:
 __all__ = ["Sketch", "BloomFilter", "HyperLogLog", "CountMinSketch",
            "TDigest", "KLL", "MisraGries", "ScalableBloomFilter",
            "ThetaSketch", "SampleSketch", "CountingBloomFilter",
-           "WeightedSampleSketch", "theta_intersect", "theta_a_not_b",
-           "SKETCH_TYPES", "sketch_from_bytes"]
+           "WeightedSampleSketch", "IBLT", "theta_intersect",
+           "theta_a_not_b", "SKETCH_TYPES", "sketch_from_bytes"]

@@ -243,6 +243,10 @@ def test_sql_sketch_fold_all_families(spark, hashes):
     ws.update(hashes, (hashes % np.uint64(97)).astype(np.float64) + 1.0,
               [f"p{i}".encode() for i in range(len(hashes))])
     data.append(("weighted_sample", ws.to_bytes(), 64))
+    from bloomfilter_spark.sketches import IBLT
+    ib = IBLT(1 << 12, 4)
+    ib.update(np.unique(hashes))
+    data.append(("iblt", ib.to_bytes(), 1 << 10))
     spark.createDataFrame(data, "family string, sketch binary, target int") \
          .createOrReplaceTempView("fold_src")
     got = {r["family"]: bytes(r["folded"]) for r in spark.sql(

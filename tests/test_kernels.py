@@ -813,7 +813,7 @@ def test_mg_serialization_roundtrip_and_errors(rng):
 
 def test_wire_exhaustive_prefix_and_flip_fuzz(rng):
     """The strongest form of the wire-integrity claim, verified by brute
-    force on small sketches of all 11 families: EVERY strict prefix of a
+    force on small sketches of all 12 families: EVERY strict prefix of a
     blob and EVERY sampled single-byte flip (header bytes exhaustively,
     body positions sampled) raises — nothing parses to silently different
     state. Since v4 the header sits inside the CRC, so tag/plen flips are
@@ -849,6 +849,10 @@ def test_wire_exhaustive_prefix_and_flip_fuzz(rng):
     ws.update(h, (h % np.uint64(97)).astype(np.float64) + 1.0,
               [f"pl-{i}".encode() for i in range(len(h))])
     sketches.append(ws)
+    from bloomfilter_spark.sketches.iblt import IBLT
+    ib = IBLT(1 << 12, 4); ib.update(h[:40]); sketches.append(ib)  # sparse
+    ib2 = IBLT(128, 4); ib2.update(h); ib2.delete(h[:500])
+    sketches.append(ib2)  # dense, mixed-sign cells
 
     for sk in sketches:
         cls = type(sk)

@@ -436,8 +436,8 @@ def test_sql_sketch_describe_all_families(spark, lineitem, events):
     family name, state size, and the family's defining parameters."""
     import json
 
-    from bloomfilter_spark.sketches import (CountingBloomFilter, MisraGries,
-                                            TDigest)
+    from bloomfilter_spark.sketches import (IBLT, CountingBloomFilter,
+                                            MisraGries, TDigest)
 
     ev = events.where(F.col("user_id").isNotNull())
     vals = lineitem.select(F.col("l_quantity").alias("v"))
@@ -455,6 +455,8 @@ def test_sql_sketch_describe_all_families(spark, lineitem, events):
                                         10_000, 0.01)),
         "CountingBloomFilter": build_sketch(
             ev, ["user_id"], lambda: CountingBloomFilter(1 << 14, 5)),
+        "IBLT": build_sketch(ev.select("user_id").distinct(), ["user_id"],
+                             lambda: IBLT(1 << 12, 4)),
     }
     spark.createDataFrame([(fam, b.to_bytes()) for fam, b in blobs.items()],
                           "fam string, sketch binary") \

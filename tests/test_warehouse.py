@@ -465,6 +465,7 @@ def test_verify_sketch_table_all_families(spark, tmp_path):
     from bloomfilter_spark.sketches.scalable import ScalableBloomFilter
     from bloomfilter_spark.sketches.theta import ThetaSketch
     from bloomfilter_spark.sketches.bloom import BloomFilter
+    from bloomfilter_spark.sketches.iblt import IBLT
     from bloomfilter_spark.sketches.sample import SampleSketch
     from bloomfilter_spark.sketches.wsample import WeightedSampleSketch
     from bloomfilter_spark.warehouse import verify_sketch_table
@@ -484,6 +485,7 @@ def test_verify_sketch_table_all_families(spark, tmp_path):
         "counting_bloom": lambda: CountingBloomFilter(1 << 12, 5),
         "sample": lambda: SampleSketch(32),
         "weighted_sample": lambda: WeightedSampleSketch(32),
+        "iblt": lambda: IBLT(256, 4),
     }
     for name, fac in factories.items():
         rows = []
