@@ -939,6 +939,142 @@ def wsample_build_jvm(df: DataFrame, cols, weight_col, payload_col,
 
 
 # --------------------------------------------------------------------------
+# IBLT (set-reconciliation) builds
+# --------------------------------------------------------------------------
+
+def _iblt_cell_cols(h: Column, num_hashes: int, sub: int) -> list[Column]:
+    """Cell index of probe i as codegen expressions — term-for-term the
+    kernel's partitioned addressing (sketches/iblt.py:_probe_matrix):
+    cell_i = i*sub + (splitmix64(h ^ PROBE_SALTS[i]) & (sub-1)). Wrap
+    arithmetic must be active (splitmix64 multiplies)."""
+    from .sketches.iblt import PROBE_SALTS
+    out = []
+    for i in range(num_hashes):
+        salted = h.bitwiseXOR(F.lit(_signed(int(PROBE_SALTS[i]))))
+        slot = _splitmix64_col(salted).bitwiseAND(F.lit(sub - 1))
+        out.append(slot + F.lit(i * sub))
+    return out
+
+
+def _iblt_check_col(h: Column) -> Column:
+    """check(h) = splitmix64(h ^ CHECK_SALT) — the kernel's _check as a
+    codegen expression (wire contract; sketches/iblt.py)."""
+    from .sketches.iblt import CHECK_SALT
+    return _splitmix64_col(h.bitwiseXOR(F.lit(_signed(CHECK_SALT))))
+
+
+def _iblt_scatter(proto, cells: np.ndarray, cnts: np.ndarray,
+                  kxs: np.ndarray, cxs: np.ndarray):
+    """Scatter aggregated (cell, count, key_xor, check_xor) rows into a
+    zero table of ``proto``'s geometry. XOR aggregates arrive as the
+    int64 bit patterns Spark's bit_xor produces; view them back."""
+    proto.counts[cells] = cnts
+    proto.key_xor[cells] = kxs.astype(np.int64).view(U64)
+    proto.check_xor[cells] = cxs.astype(np.int64).view(U64)
+    return proto
+
+
+def _iblt_updates(df: DataFrame, cs, num_hashes: int, sub: int,
+                  seed: int, extra: Sequence[str] = ()) -> DataFrame:
+    """(extra..., cell, count, key_xor, check_xor) aggregate table — the
+    whole per-row sketch arithmetic in codegen. Rows are deduped to
+    DISTINCT keys first (reconciliation semantics: each side contributes
+    each key once), then each key explodes into its k (cell, key, check)
+    entries and groupBy(cell) folds them with count/bit_xor — map-side
+    partial aggregation bounds shuffle volume by cells-touched-per-task,
+    and at most min(k·d, m) rows cross into Python, whatever n is."""
+    h = hash_col(cs, seed)
+    d = (df.where(_notnull(cs))
+           .select(*extra, h.alias("__h"))
+           .distinct())
+    chk = _iblt_check_col(F.col("__h"))
+    entries = [F.struct(c.alias("c"), F.col("__h").alias("k"),
+                        chk.alias("x"))
+               for c in _iblt_cell_cols(F.col("__h"), num_hashes, sub)]
+    exploded = (d.select(*extra, F.explode(F.array(*entries)).alias("e"))
+                  .select(*extra, F.col("e.c").alias("cell"),
+                          F.col("e.k").alias("k"), F.col("e.x").alias("x")))
+    return exploded.groupBy(*extra, "cell").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.bit_xor("k").alias("kx"),
+        F.bit_xor("x").alias("cx"))
+
+
+def iblt_build_jvm(df: DataFrame, cols, max_diff: int | None = None,
+                   num_cells: int | None = None, num_hashes: int = 4,
+                   seed: int = DEFAULT_SEED):
+    """Build an IBLT over the DISTINCT keys of ``cols`` entirely
+    JVM-side; byte-identical to the kernel build over np.unique'd hashes
+    (tested). Size with ``max_diff`` (expected symmetric-difference
+    budget, the reconciliation sizing — IBLT.for_diff) or an explicit
+    ``num_cells``. Python materializes at most min(k·d, m) aggregated
+    cell rows — never the corpus."""
+    from .sketches.iblt import IBLT
+    if (max_diff is None) == (num_cells is None):
+        raise ValueError("size with exactly one of max_diff= / num_cells=")
+    proto = (IBLT.for_diff(max_diff, num_hashes) if max_diff is not None
+             else IBLT(num_cells, num_hashes))
+    cs = _cols(cols)
+    with _wrap_arithmetic(df.sparkSession):
+        pdf = _iblt_updates(df, cs, proto.num_hashes, proto.sub,
+                            seed).toPandas()
+    if len(pdf):
+        _iblt_scatter(proto,
+                      pdf["cell"].to_numpy(dtype=np.int64),
+                      pdf["cnt"].to_numpy(dtype=np.int64),
+                      pdf["kx"].to_numpy(dtype=np.int64),
+                      pdf["cx"].to_numpy(dtype=np.int64))
+    return proto
+
+
+def iblt_grouped_build_jvm(df: DataFrame, keys, cols,
+                           max_diff: int | None = None,
+                           num_cells: int | None = None,
+                           num_hashes: int = 4,
+                           seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-key IBLT table (keys..., sketch binary) — one reconciliation
+    digest per key (e.g. per ingest day / per shard), byte-identical per
+    key to the kernel build over that key's distinct hashes. Same
+    topology as the global build with the group keys riding through the
+    codegen aggregation; `applyInPandas` only SCATTERS O(cells) rows per
+    key into the blob — Python never sees the corpus. Blobs subtract/
+    decode against any same-geometry build (kernel, global JVM, or
+    another grouped row)."""
+    from .sketches.iblt import IBLT
+    if (max_diff is None) == (num_cells is None):
+        raise ValueError("size with exactly one of max_diff= / num_cells=")
+    proto = (IBLT.for_diff(max_diff, num_hashes) if max_diff is not None
+             else IBLT(num_cells, num_hashes))
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cs = _cols(cols)
+    out_schema = ", ".join(
+        f"{kk} {df.schema[kk].dataType.simpleString()}" for kk in keys
+    ) + ", sketch binary"
+    m, k = proto.num_cells, proto.num_hashes
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _iblt_scatter(IBLT(m, k),
+                           pdf["cell"].to_numpy(dtype=np.int64),
+                           pdf["cnt"].to_numpy(dtype=np.int64),
+                           pdf["kx"].to_numpy(dtype=np.int64),
+                           pdf["cx"].to_numpy(dtype=np.int64))
+        row = {kk: [pdf[kk].iloc[0]] for kk in keys}
+        row["sketch"] = [sk.to_bytes()]
+        return pd.DataFrame(row)
+
+    with _wrap_arithmetic(df.sparkSession):
+        updates = _iblt_updates(df, cs, k, proto.sub, seed, extra=keys)
+        out = updates.groupBy(*keys).applyInPandas(assemble,
+                                                   schema=out_schema)
+        # materialize inside the wrap window so the executed plan carries
+        # the non-ANSI evaluation mode it was built with (same discipline
+        # as bloom_grouped_build_jvm)
+        out = out.cache()
+        out.count()
+    return out
+
+
+# --------------------------------------------------------------------------
 # pre-aggregated quantile builds (KLL / t-digest)
 # --------------------------------------------------------------------------
 

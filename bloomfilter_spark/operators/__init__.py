@@ -24,6 +24,7 @@ from .quantiles import (extreme_quantiles, filter_outliers,
                         grouped_extreme_quantiles,
                         grouped_quantiles, quantiles,
                         robust_bounds)
+from .reconcile import ReconcileResult, reconcile, reconcile_digests
 from .sampling import (grouped_weighted_sample, hash_sample,
                        sample_to_budget, sample_uniform_col,
                        split_train_holdout, stratified_sample,

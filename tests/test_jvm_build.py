@@ -468,3 +468,84 @@ def test_mg_grouped_build_large_k_engages_window_group_limit(spark, events):
             for r in mg_grouped_build_preagg(
                 events, ["event_type"], ["user_id"], k=16).collect()}
     assert got == want
+
+
+def test_iblt_build_jvm_byte_identical_and_dedup(spark, events):
+    """Global JVM IBLT build == kernel build over the np.unique'd hash
+    set (codegen distinct = the kernel caller's dedup contract), at two
+    partitionings; duplicate rows count once."""
+    from bloomfilter_spark.agg import hash_col
+    from bloomfilter_spark.config import DEFAULT_SEED
+    from bloomfilter_spark.jvm_build import iblt_build_jvm
+    from bloomfilter_spark.sketches import IBLT
+    from bloomfilter_spark.util import U64
+
+    ev = events.where(F.col("user_id").isNotNull())
+    h = np.unique(np.array(
+        [r["h"] for r in ev.select(
+            hash_col([F.col("user_id")], DEFAULT_SEED).alias("h")).collect()],
+        dtype=np.int64).view(U64))
+    kern = IBLT.for_diff(5000)
+    kern.update(h)
+    jvm = iblt_build_jvm(ev, ["user_id"], max_diff=5000)
+    assert jvm.to_bytes() == kern.to_bytes()
+    # duplicates collapse in codegen: doubling the corpus changes nothing
+    jvm_dup = iblt_build_jvm(ev.union(ev).repartition(7), ["user_id"],
+                             max_diff=5000)
+    assert jvm_dup.to_bytes() == kern.to_bytes()
+    # and the table actually decodes its own content
+    pos, neg, complete = jvm.decode()
+    assert complete and neg.size == 0
+    assert set(pos.tolist()) == set(h.tolist())
+
+
+def test_iblt_build_jvm_sizing_args(spark, events):
+    from bloomfilter_spark.jvm_build import iblt_build_jvm
+    import pytest
+    with pytest.raises(ValueError):
+        iblt_build_jvm(events, ["user_id"])
+    with pytest.raises(ValueError):
+        iblt_build_jvm(events, ["user_id"], max_diff=10, num_cells=64)
+
+
+def test_iblt_grouped_build_jvm_byte_identical(spark, events):
+    """Per-key JVM IBLT blobs == kernel builds over each key's distinct
+    hashes; partition-invariant; NULL keys/cols skipped like every other
+    grouped builder."""
+    from bloomfilter_spark.agg import hash_col
+    from bloomfilter_spark.config import DEFAULT_SEED
+    from bloomfilter_spark.jvm_build import iblt_grouped_build_jvm
+    from bloomfilter_spark.sketches import IBLT
+    from bloomfilter_spark.util import U64
+
+    ev = events.where(F.col("user_id").isNotNull())
+    per_key = {}
+    for r in ev.select("event_type",
+                       hash_col([F.col("user_id")], DEFAULT_SEED).alias("h")
+                       ).collect():
+        per_key.setdefault(r["event_type"], set()).add(r["h"])
+    kern = {}
+    for kk, hs in per_key.items():
+        t = IBLT(num_cells=2048, num_hashes=4)
+        t.update(np.unique(np.array(sorted(hs), dtype=np.int64).view(U64)))
+        kern[kk] = t.to_bytes()
+    jvm = {r["event_type"]: bytes(r["sketch"]) for r in
+           iblt_grouped_build_jvm(ev, ["event_type"], ["user_id"],
+                                  num_cells=2048).collect()}
+    assert jvm == kern and len(jvm) > 1
+    jvm2 = {r["event_type"]: bytes(r["sketch"]) for r in
+            iblt_grouped_build_jvm(ev.repartition(5), ["event_type"],
+                                   ["user_id"], num_cells=2048).collect()}
+    assert jvm == jvm2
+    # grouped blobs subtract/decode against each other: diff two keys
+    ks = sorted(jvm)
+    a = IBLT.from_bytes(jvm[ks[0]])
+    b = IBLT.from_bytes(jvm[ks[1]])
+    pos, neg, complete = a.subtract(b).decode()
+    assert complete
+    assert set(int(x) for x in pos) == set(
+        np.array(sorted(per_key[ks[0]] - per_key[ks[1]]),
+                 dtype=np.int64).view(U64).tolist())
+    assert set(int(x) for x in neg) == set(
+        np.array(sorted(per_key[ks[1]] - per_key[ks[0]]),
+                 dtype=np.int64).view(U64).tolist())
