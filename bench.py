@@ -93,6 +93,7 @@ def main() -> None:
     from bloomfilter_spark.agg import build_sketch, multi_sketch_build
     from bloomfilter_spark.config import get_spark
     from bloomfilter_spark.jvm_build import (cms_build_jvm, hll_build_jvm,
+                                             iblt_build_jvm,
                                              mg_build_preagg,
                                              mg_grouped_build_preagg,
                                              multi_sketch_build_jvm,
@@ -168,6 +169,12 @@ def main() -> None:
         # top-k — the set-expression sketch's JVM-reduced build
         ("build_theta",
          lambda: theta_build_jvm(tr, ["conv_id", "text"], k=4096)),
+        # reconciliation digest over the per-turn key (12th family): one
+        # scan -> codegen distinct -> k exploded (cell,xor) entries ->
+        # map-side-combined groupBy(cell); O(cells) rows cross the pipe.
+        # The snapshot-diff cost is two of these + an O(d) driver peel.
+        ("build_iblt_digest",
+         lambda: iblt_build_jvm(tr, ["conv_id", "text"], max_diff=4096)),
         # per-tool bottom-k sample of example conv_ids (9th family):
         # min(payload) per distinct (key, hash) map-side-combined, then
         # WindowGroupLimit k+1 — Python only packs O(k) rows per key

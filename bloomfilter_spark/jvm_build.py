@@ -975,18 +975,29 @@ def _iblt_scatter(proto, cells: np.ndarray, cnts: np.ndarray,
 
 
 def _iblt_updates(df: DataFrame, cs, num_hashes: int, sub: int,
-                  seed: int, extra: Sequence[str] = ()) -> DataFrame:
+                  seed: int, extra: Sequence[str] = (),
+                  assume_distinct: bool = False) -> DataFrame:
     """(extra..., cell, count, key_xor, check_xor) aggregate table — the
     whole per-row sketch arithmetic in codegen. Rows are deduped to
     DISTINCT keys first (reconciliation semantics: each side contributes
     each key once), then each key explodes into its k (cell, key, check)
     entries and groupBy(cell) folds them with count/bit_xor — map-side
     partial aggregation bounds shuffle volume by cells-touched-per-task,
-    and at most min(k·d, m) rows cross into Python, whatever n is."""
+    and at most min(k·d, m) rows cross into Python, whatever n is.
+
+    ``assume_distinct``: skip the dedup when the key IS the corpus's
+    primary key (e.g. (conv_id, turn_idx) on transcripts) — the distinct
+    is the only stage whose shuffle scales with the KEY count (8 B/key =
+    terabytes at 10^12 keys); without it the only exchange left carries
+    map-side-combined cell partials, O(num_cells · tasks) regardless of
+    corpus size. Caller's contract: with duplicates present the digest
+    represents the multiset (duplicate multiplicities that MATCH across
+    two snapshots still cancel in subtract, but a key whose multiplicity
+    differs decodes only if the net is ±1 — pass False when unsure)."""
     h = hash_col(cs, seed)
-    d = (df.where(_notnull(cs))
-           .select(*extra, h.alias("__h"))
-           .distinct())
+    d = df.where(_notnull(cs)).select(*extra, h.alias("__h"))
+    if not assume_distinct:
+        d = d.distinct()
     chk = _iblt_check_col(F.col("__h"))
     entries = [F.struct(c.alias("c"), F.col("__h").alias("k"),
                         chk.alias("x"))
@@ -1002,13 +1013,15 @@ def _iblt_updates(df: DataFrame, cs, num_hashes: int, sub: int,
 
 def iblt_build_jvm(df: DataFrame, cols, max_diff: int | None = None,
                    num_cells: int | None = None, num_hashes: int = 4,
-                   seed: int = DEFAULT_SEED):
+                   seed: int = DEFAULT_SEED, assume_distinct: bool = False):
     """Build an IBLT over the DISTINCT keys of ``cols`` entirely
     JVM-side; byte-identical to the kernel build over np.unique'd hashes
     (tested). Size with ``max_diff`` (expected symmetric-difference
     budget, the reconciliation sizing — IBLT.for_diff) or an explicit
     ``num_cells``. Python materializes at most min(k·d, m) aggregated
-    cell rows — never the corpus."""
+    cell rows — never the corpus. ``assume_distinct=True`` skips the
+    dedup shuffle when ``cols`` is the corpus's primary key (the 100 TB
+    fast path — see _iblt_updates for the contract)."""
     from .sketches.iblt import IBLT
     if (max_diff is None) == (num_cells is None):
         raise ValueError("size with exactly one of max_diff= / num_cells=")
@@ -1016,8 +1029,8 @@ def iblt_build_jvm(df: DataFrame, cols, max_diff: int | None = None,
              else IBLT(num_cells, num_hashes))
     cs = _cols(cols)
     with _wrap_arithmetic(df.sparkSession):
-        pdf = _iblt_updates(df, cs, proto.num_hashes, proto.sub,
-                            seed).toPandas()
+        pdf = _iblt_updates(df, cs, proto.num_hashes, proto.sub, seed,
+                            assume_distinct=assume_distinct).toPandas()
     if len(pdf):
         _iblt_scatter(proto,
                       pdf["cell"].to_numpy(dtype=np.int64),

@@ -69,7 +69,8 @@ def _rows_for(df: DataFrame, cs, seed: int, hashes: np.ndarray) -> DataFrame:
 def reconcile(left: DataFrame, right: DataFrame, cols,
               max_diff: int, num_hashes: int = 4,
               seed: int = DEFAULT_SEED,
-              on_incomplete: str = "raise") -> ReconcileResult:
+              on_incomplete: str = "raise",
+              assume_distinct: bool = False) -> ReconcileResult:
     """Diff two corpora on the DISTINCT keys of ``cols``; see module doc.
 
     ``max_diff`` sizes the digests (IBLT.for_diff — the expected upper
@@ -78,15 +79,20 @@ def reconcile(left: DataFrame, right: DataFrame, cols,
     raises ValueError when the true difference exceeded the sized
     capacity; 'partial' returns the verified subset with
     ``complete=False`` (listed keys are still guaranteed correct — the
-    peel never emits unverified keys)."""
+    peel never emits unverified keys). ``assume_distinct=True`` skips
+    both digests' dedup shuffles when ``cols`` is the snapshots' primary
+    key — the remaining exchanges are O(cells · tasks) whatever the
+    corpus size (jvm_build._iblt_updates has the exact contract)."""
     from ..jvm_build import iblt_build_jvm  # lazy: operators <-> jvm_build
     if on_incomplete not in ("raise", "partial"):
         raise ValueError("on_incomplete must be 'raise' or 'partial'")
     cs = _cols(cols)
     dl = iblt_build_jvm(left, cols, max_diff=max_diff,
-                        num_hashes=num_hashes, seed=seed)
+                        num_hashes=num_hashes, seed=seed,
+                        assume_distinct=assume_distinct)
     dr = iblt_build_jvm(right, cols, max_diff=max_diff,
-                        num_hashes=num_hashes, seed=seed)
+                        num_hashes=num_hashes, seed=seed,
+                        assume_distinct=assume_distinct)
     return reconcile_digests(dl, dr, left=left, right=right, cols=cols,
                              seed=seed, on_incomplete=on_incomplete)
 

@@ -209,6 +209,26 @@ def suggest_scalable_bloom(total_err_rate: float, tightening: float = 0.5,
     return err0, total_err_rate, bits // 8
 
 
+def suggest_iblt(max_diff: int, num_hashes: int = 4) -> tuple[int, float, int]:
+    """IBLT cells for decoding a symmetric difference of up to
+    ``max_diff`` keys w.h.p.: the Goodrich–Mitzenmacher c_k space rate
+    with the kernel's finite-size hedge (sketches/iblt.py:for_diff —
+    this helper and the constructor share the rounding, so the returned
+    numbers describe exactly the table for_diff builds).
+
+    Returns (num_cells, decode_capacity, state_bytes). decode_capacity
+    is the capacity the BUILT table reports (≥ max_diff after rounding);
+    state is 24 bytes/cell (count + key XOR + check XOR). Unlike every
+    other family the accuracy axis is not an error magnitude — decode is
+    exact-or-detected — so the "predicted error" dual is the capacity
+    margin, not a bound."""
+    from .sketches.iblt import IBLT
+    if max_diff < 1:
+        raise SizingError("max_diff must be >= 1")
+    proto = IBLT.for_diff(max_diff, num_hashes)   # validates num_hashes
+    return proto.num_cells, proto.decode_capacity(), proto.state_nbytes
+
+
 def suggest_sketch(kind: str, **targets) -> dict:
     """One-call dispatcher: target accuracy -> constructor kwargs + budget.
 
@@ -239,6 +259,12 @@ def suggest_sketch(kind: str, **targets) -> dict:
       scalable_bloom total_err_rate= [, tightening=, initial_capacity=]
                                            -> err_rate/tightening/
                                               initial_capacity
+      iblt   max_diff= [, num_hashes=]     -> num_cells/num_hashes
+                                              (set reconciliation: decode
+                                              is exact-or-detected, so the
+                                              result carries
+                                              decode_capacity instead of
+                                              an error bound)
     """
     kind = kind.lower()
     if kind == "bloom":
@@ -295,6 +321,15 @@ def suggest_sketch(kind: str, **targets) -> dict:
         delta, err, nbytes = suggest_tdigest_delta(targets["mid_rank_error"])
         return {"kind": kind, "params": {"delta": delta},
                 "predicted_error": err, "state_bytes": nbytes}
+    if kind == "iblt":
+        kh = targets.get("num_hashes", 4)
+        cells, cap_keys, nbytes = suggest_iblt(targets["max_diff"], kh)
+        return {"kind": kind,
+                "params": {"num_cells": cells, "num_hashes": kh},
+                # decode is exact-or-detected; the dual of "error" is the
+                # decode capacity the sized table actually carries
+                "predicted_error": 0.0, "decode_capacity": cap_keys,
+                "state_bytes": nbytes}
     if kind == "scalable_bloom":
         t = targets.get("tightening", 0.5)
         cap = targets.get("initial_capacity", 1024)

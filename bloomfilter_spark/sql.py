@@ -587,6 +587,59 @@ def mg_error_bound(sketch: pd.Series) -> pd.Series:
     return sketch.map(dec)
 
 
+def iblt_subtract_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Difference digest of two IBLT blobs (a minus b), blob-returning —
+    per-key snapshot reconciliation composes entirely inside one SQL
+    projection over two grouped sketch tables (iblt_grouped_build_jvm):
+    decode with iblt_decode_json, or take sketch_estimate for the exact
+    net count without peeling. NULL if either side is NULL (no digest to
+    diff against). Neither input is mutated."""
+    from .sketches.iblt import IBLT
+
+    def sub(x, y):
+        if x is None or y is None:
+            return None
+        sa, sb = _parse(bytes(x)), _parse(bytes(y))
+        if not isinstance(sa, IBLT) or not isinstance(sb, IBLT):
+            raise TypeError(
+                f"iblt_subtract_pair needs two IBLT blobs, got "
+                f"{type(sa).__name__}/{type(sb).__name__}")
+        return IBLT.from_bytes(bytes(x)).subtract(sb).to_bytes()
+    return pd.Series([sub(x, y) for x, y in zip(a, b)])
+
+
+def iblt_decode_json(sketch: pd.Series) -> pd.Series:
+    """Peel an IBLT blob: one JSON string per row —
+    {"pos": [...], "neg": [...], "complete": bool, "net": float} — with
+    the recovered key hashes as SIGNED int64 (the bit patterns hash_col
+    / xxhash64 produce, directly joinable against a hashed key column in
+    SQL). On a difference digest, pos lists keys only in the minuend and
+    neg keys only in the subtrahend; complete=false means the difference
+    exceeded the sized capacity and only the verified subset is listed
+    (never garbage — sketches/iblt.py decode contract). O(d) work per
+    row; digests are O(max_diff) cells by construction."""
+    import json
+
+    from .sketches.iblt import IBLT
+
+    def dec(b):
+        if b is None:
+            return None
+        sk = _parse(bytes(b))
+        if not isinstance(sk, IBLT):
+            raise TypeError(
+                f"iblt_decode_json needs an IBLT blob, got "
+                f"{type(sk).__name__}")
+        pos, neg, complete = sk.decode()
+        return json.dumps({
+            "pos": pos.astype(np.int64).tolist(),
+            "neg": neg.astype(np.int64).tolist(),
+            "complete": bool(complete),
+            "net": sk.estimate(),
+        })
+    return sketch.map(dec)
+
+
 def sketch_merge(sketch: pd.Series) -> bytes:
     """GROUP BY aggregate: merge every non-NULL sketch blob of the group
     (same type/params, as the builders guarantee per table). The
@@ -632,6 +685,8 @@ SQL_FUNCTIONS = {
     "sample_weights": (sample_weights, "array<double>"),
     "sketch_fold": (sketch_fold, "binary"),
     "cms_fold": (cms_fold, "binary"),
+    "iblt_subtract_pair": (iblt_subtract_pair, "binary"),
+    "iblt_decode_json": (iblt_decode_json, "string"),
     "sketch_merge": (sketch_merge, "binary"),
 }
 

@@ -6,6 +6,7 @@ from .sketch_stream import (SketchAccumulator,
                             stateful_grouped_cms,
                             stateful_grouped_heavy_hitters,
                             stateful_grouped_hll,
+                            stateful_grouped_iblt,
                             stateful_grouped_mg,
                             stateful_grouped_quantile,
                             stateful_grouped_sample,
@@ -18,4 +19,5 @@ __all__ = ["BloomDedupStream", "ScalableBloomDedupStream",
            "stateful_grouped_quantile", "stateful_grouped_heavy_hitters",
            "stateful_grouped_mg", "stateful_grouped_theta",
            "stateful_grouped_sample", "stateful_grouped_weighted_sample",
+           "stateful_grouped_iblt",
            "stateful_decayed_heavy_hitters", "stateful_decayed_quantile"]

@@ -516,6 +516,68 @@ def stateful_grouped_cms(stream_df: DataFrame, key_col: str, item_col: str,
                                           "update", GroupStateTimeout.NoTimeout))
 
 
+def stateful_grouped_iblt(stream_df: DataFrame, key_col: str, item_col: str,
+                          max_diff: int = 1024, num_hashes: int = 4,
+                          seed: int = DEFAULT_SEED) -> DataFrame:
+    """Per-key incrementally-maintained reconciliation digest
+    (sketches/iblt.py): each micro-batch's rows fold into the key's IBLT
+    in the state store, and the blob is emitted per update — so every
+    epoch leaves a reconcile-ready digest of the stream-so-far that
+    `operators.reconcile.reconcile_digests` (or the SQL surface's
+    iblt_subtract_pair + iblt_decode_json) can diff against a batch
+    build, a warehoused snapshot, or the same stream on another cluster,
+    WITHOUT rescanning anything.
+
+    Semantics match the batch fast path (`iblt_build_jvm(...,
+    assume_distinct=True)`): every arriving row inserts once, NO dedup —
+    byte-identical to that batch build over the same rows (cell algebra
+    is linear, so chunking/order are invisible; asserted by a
+    to_bytes-equality test). Feed it a stream whose (key, item) is the
+    append-only primary key (e.g. turn ids per ingest shard); matched
+    duplicate multiplicities still cancel between two digests of the
+    same feed. State per key is O(num_cells) = O(max_diff) FOREVER —
+    nothing grows with the stream.
+
+    Output per updated key per batch: (key, sketch binary,
+    net_keys = exact signed multiset size, occupied_cells)."""
+    from ..sketches.iblt import IBLT
+
+    proto = IBLT.for_diff(max_diff, num_hashes)   # validates params
+    m, k_ = proto.num_cells, proto.num_hashes
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("sketch", T.BinaryType()),
+        T.StructField("net_keys", T.DoubleType()),
+        T.StructField("occupied_cells", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("iblt", T.BinaryType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            sk = IBLT.from_bytes(bytes(blob))
+        else:
+            sk = IBLT(m, k_)
+        for pdf in pdfs:
+            sk.update(to_u64(pdf["__h"].to_numpy(dtype=np.int64)))
+        blob = sk.to_bytes()
+        state.update((blob,))
+        yield pd.DataFrame({key_col: [key[0]], "sketch": [blob],
+                            "net_keys": [sk.estimate()],
+                            "occupied_cells": [sk.occupied_count()]})
+
+    hashed = (stream_df.where(F.col(item_col).isNotNull())
+              .select(F.col(key_col).cast("string").alias(key_col),
+                      F.xxhash64(F.lit(seed).cast("long"),
+                                 F.col(item_col)).alias("__h")))
+    return (hashed.groupBy(key_col)
+                  .applyInPandasWithState(fn, out_schema, state_schema,
+                                          "update",
+                                          GroupStateTimeout.NoTimeout))
+
+
 def stateful_grouped_mg(stream_df: DataFrame, key_col: str, item_col: str,
                         k: int = 64, emit_k: int = 10,
                         seed: int = DEFAULT_SEED) -> DataFrame:

@@ -549,3 +549,35 @@ def test_iblt_grouped_build_jvm_byte_identical(spark, events):
     assert set(int(x) for x in neg) == set(
         np.array(sorted(per_key[ks[1]] - per_key[ks[0]]),
                  dtype=np.int64).view(U64).tolist())
+
+
+def test_iblt_build_jvm_assume_distinct_parity_and_pk_reconcile(spark,
+                                                                events):
+    """assume_distinct=True (the 100 TB fast path: no dedup shuffle) is
+    byte-identical to the default build when the key IS unique, and a
+    PK-keyed reconcile decodes exactly. event_id is unique per row."""
+    from bloomfilter_spark.jvm_build import iblt_build_jvm
+
+    fast = iblt_build_jvm(events, ["event_id"], max_diff=2000,
+                          assume_distinct=True)
+    slow = iblt_build_jvm(events, ["event_id"], max_diff=2000)
+    assert fast.to_bytes() == slow.to_bytes()
+    # fast-path plan: exactly ONE exchange (cell partials) — the
+    # key-count-scaled distinct shuffle is gone
+    from bloomfilter_spark.agg import _cols
+    from bloomfilter_spark.jvm_build import _iblt_updates, _wrap_arithmetic
+    with _wrap_arithmetic(spark):
+        fast_plan = _iblt_updates(events, _cols(["event_id"]), 4, fast.sub,
+                                  42, assume_distinct=True) \
+            ._jdf.queryExecution().executedPlan().toString()
+        slow_plan = _iblt_updates(events, _cols(["event_id"]), 4, fast.sub,
+                                  42) \
+            ._jdf.queryExecution().executedPlan().toString()
+    assert fast_plan.count("Exchange") == 1
+    assert slow_plan.count("Exchange") == 2
+    dropped = events.orderBy("event_id").limit(25)
+    snap_b = events.join(dropped, "event_id", "left_anti")
+    fb = iblt_build_jvm(snap_b, ["event_id"], max_diff=2000,
+                        assume_distinct=True)
+    pos, neg, complete = fast.subtract(fb).decode()
+    assert complete and neg.size == 0 and pos.size == 25

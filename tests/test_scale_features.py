@@ -1008,3 +1008,61 @@ def test_decayed_operators_drop_nan_timestamps(spark, tmp_path):
     assert abs(pdf["decayed_count"].iloc[0]
                - max(math.exp(-lam * (6.0 - (v % 7)))
                      for v in range(1, 101))) < 1e-9
+
+
+def test_stateful_grouped_iblt_stream(spark, tmp_path, events):
+    """Per-key streaming reconciliation digests: the final streamed state
+    is BYTE-IDENTICAL to the batch fast-path build over the same slice
+    (IBLT cell algebra is linear, so micro-batch boundaries are
+    invisible), and a streamed digest reconciles against a batch digest
+    of a DRIFTED snapshot, listing exactly the differing event_ids."""
+    import numpy as np
+
+    from bloomfilter_spark.config import DEFAULT_SEED
+    from bloomfilter_spark.jvm_build import iblt_build_jvm
+    from bloomfilter_spark.sketches import IBLT
+    from bloomfilter_spark.streaming import stateful_grouped_iblt
+
+    src = str(tmp_path / "iblt_src")
+    events.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful_grouped_iblt(stream, "event_type", "event_id",
+                                max_diff=2000)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("iblt_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    final = {r["event_type"]: r for r in spark.sql("""
+        SELECT event_type, sketch, net_keys FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY net_keys DESC) AS rk
+          FROM iblt_stream) WHERE rk = 1""").collect()}
+
+    nn = events.where(F.col("event_id").isNotNull())
+    counts = {r["event_type"]: r["n"] for r in
+              nn.groupBy("event_type").agg(F.count("*").alias("n"))
+                .collect()}
+    assert set(final) == set(counts)
+    for et, row in final.items():
+        # streaming state == batch assume_distinct JVM build, byte for byte
+        batch = iblt_build_jvm(nn.where(F.col("event_type") == et),
+                               ["event_id"], max_diff=2000,
+                               assume_distinct=True)
+        assert bytes(row["sketch"]) == batch.to_bytes()
+        assert row["net_keys"] == float(counts[et])  # event_id is a PK
+
+    # reconcile a streamed digest against a batch digest of a drifted
+    # snapshot of the same key: the 25 removed event_ids peel out exactly
+    et = sorted(final)[0]
+    slice_et = nn.where(F.col("event_type") == et)
+    removed = slice_et.orderBy("event_id").limit(25)
+    drifted = slice_et.join(removed, "event_id", "left_anti")
+    d_drift = iblt_build_jvm(drifted, ["event_id"], max_diff=2000,
+                             assume_distinct=True)
+    diff = IBLT.from_bytes(bytes(final[et]["sketch"])).subtract(d_drift)
+    pos, neg, complete = diff.decode()
+    assert complete and neg.size == 0 and pos.size == 25
+    truth = {r["h"] for r in removed.select(
+        F.xxhash64(F.lit(DEFAULT_SEED).cast("long"),
+                   "event_id").alias("h")).collect()}
+    assert {int(np.int64(np.uint64(p))) for p in pos.tolist()} == truth

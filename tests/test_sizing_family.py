@@ -239,3 +239,36 @@ def test_sized_scalable_bloom_meets_target(rng):
     slack = 4.0 * math.sqrt(total * (1 - total) / absent.size)
     assert observed <= total + slack
     assert sbf.compound_error_bound() <= total + 1e-12
+
+
+def test_iblt_sizer_matches_for_diff_and_decodes():
+    """suggest_sketch('iblt', max_diff=d) returns the exact geometry
+    IBLT.for_diff(d) builds, constructs a working table, and the sized
+    table decodes a d-key difference (the empirical build-at-suggested-
+    size-meets-target check the other families get)."""
+    from bloomfilter_spark.sketches import IBLT
+    from bloomfilter_spark.sizing import suggest_iblt
+    from bloomfilter_spark.util import splitmix64
+
+    out = suggest_sketch("iblt", max_diff=500)
+    proto = IBLT.for_diff(500)
+    assert out["params"] == {"num_cells": proto.num_cells, "num_hashes": 4}
+    assert out["decode_capacity"] == proto.decode_capacity() >= 500
+    assert out["state_bytes"] == proto.state_nbytes == 24 * proto.num_cells
+    cells, cap, nbytes = suggest_iblt(500)
+    assert (cells, cap, nbytes) == (proto.num_cells,
+                                    proto.decode_capacity(),
+                                    proto.state_nbytes)
+    # built at suggested size, a 500-key difference peels completely
+    built = IBLT(**out["params"])
+    ka = splitmix64(np.arange(1, 301, dtype=np.uint64))
+    kb = splitmix64(np.arange(10**6, 10**6 + 200, dtype=np.uint64))
+    other = IBLT(**out["params"])
+    built.update(ka)
+    other.update(kb)
+    pos, neg, complete = built.subtract(other).decode()
+    assert complete and pos.size == 300 and neg.size == 200
+    with pytest.raises(SizingError):
+        suggest_iblt(0)
+    with pytest.raises(ValueError):
+        suggest_iblt(100, num_hashes=9)

@@ -710,3 +710,74 @@ def test_seed_literal_type_stable_across_magnitudes(spark):
                 df.select(hash_col([F.col("v")], seed).alias("h")).collect()]
         assert got == want, f"seed {seed}: probe {got} != build {want}"
     register_sketch_sql(spark)  # restore the default for later tests
+
+
+def test_sql_iblt_per_key_reconciliation(spark, events):
+    """Per-key snapshot reconciliation composed entirely in ONE SQL
+    projection over two grouped IBLT tables: subtract pair -> exact net
+    via sketch_estimate -> full key listing via iblt_decode_json, checked
+    against exact per-key set differences."""
+    import json
+
+    from bloomfilter_spark.jvm_build import iblt_grouped_build_jvm
+
+    ev = events.where(F.col("user_id").isNotNull())
+    # snapshot B: drop one event_type's rows for 30 users, keep the rest
+    et = ev.select("event_type").distinct().orderBy("event_type").first()[0]
+    dropped_users = [r["user_id"] for r in
+                     ev.where(F.col("event_type") == et)
+                       .select("user_id").distinct()
+                       .orderBy("user_id").limit(30).collect()]
+    ev_b = ev.where(~((F.col("event_type") == et)
+                      & F.col("user_id").isin(dropped_users)))
+
+    ta = iblt_grouped_build_jvm(ev, ["event_type"], ["user_id"],
+                                max_diff=200)
+    tb = iblt_grouped_build_jvm(ev_b, ["event_type"], ["user_id"],
+                                max_diff=200)
+    ta.createOrReplaceTempView("snap_a")
+    tb.createOrReplaceTempView("snap_b")
+    rows = spark.sql("""
+        SELECT a.event_type,
+               sketch_estimate(iblt_subtract_pair(a.sketch, b.sketch))
+                   AS net,
+               iblt_decode_json(iblt_subtract_pair(a.sketch, b.sketch))
+                   AS diff
+        FROM snap_a a JOIN snap_b b USING (event_type)
+    """).collect()
+    assert len(rows) > 1
+    # exact per-key difference ground truth (user sets per event_type)
+    truth = {}
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        truth.setdefault(r["event_type"], set()).add(r["user_id"])
+    truth_b = {}
+    for r in ev_b.select("event_type", "user_id").distinct().collect():
+        truth_b.setdefault(r["event_type"], set()).add(r["user_id"])
+    # hash ground truth through the same hash_col
+    hmap = {r["user_id"]: r["h"] for r in
+            ev.select("user_id").distinct()
+              .withColumn("h", hash_col([F.col("user_id")], DEFAULT_SEED))
+              .collect()}
+    for r in rows:
+        d = json.loads(r["diff"])
+        assert d["complete"] is True
+        only_a = truth[r["event_type"]] - truth_b.get(r["event_type"], set())
+        assert r["net"] == float(len(only_a))
+        assert d["net"] == float(len(only_a))
+        assert set(d["pos"]) == {hmap[u] for u in only_a}
+        assert d["neg"] == []
+        if r["event_type"] == et:
+            assert len(d["pos"]) == 30
+    # type guards: non-IBLT blobs are refused with the family name
+    hb = build_sketch(ev, ["user_id"], lambda: HyperLogLog(10)).to_bytes()
+    spark.createDataFrame([(hb,)], "sketch binary") \
+         .createOrReplaceTempView("not_iblt")
+    with pytest.raises(Exception, match="IBLT"):
+        spark.sql("SELECT iblt_decode_json(sketch) FROM not_iblt").collect()
+    with pytest.raises(Exception, match="IBLT"):
+        spark.sql("SELECT iblt_subtract_pair(sketch, sketch) "
+                  "FROM not_iblt").collect()
+    # NULL propagation
+    assert spark.sql(
+        "SELECT iblt_decode_json(CAST(NULL AS binary)) AS d").first()["d"] \
+        is None
