@@ -154,6 +154,29 @@ def main(argv: list[str]) -> int:
     print(f"hll_daily blobs: family={desc['family']} p={desc['p']} "
           f"state={desc['state_bytes']}B")
 
+    # -- 2g. per-day snapshot drift audit from IBLT digests ---------------
+    # one digest row per day at ingest time; "which conv_ids changed
+    # between any two days?" is then one SQL projection — no rescan, no
+    # corpus join. Here: day 1 vs day 1 with three conv_ids withheld.
+    from bloomfilter_spark.jvm_build import iblt_grouped_build_jvm
+    d0 = t.select(F.lit("full").alias("snap"), "conv_id")
+    victims = [r["conv_id"] for r in
+               t.select("conv_id").distinct().orderBy("conv_id")
+                .limit(3).collect()]
+    d1 = (t.where(~F.col("conv_id").isin(victims))
+           .select(F.lit("drifted").alias("snap"), "conv_id"))
+    iblt_grouped_build_jvm(d0.unionByName(d1), ["snap"], ["conv_id"],
+                           max_diff=256) \
+        .createOrReplaceTempView("snap_digests")
+    drift_row = json.loads(spark.sql("""
+        SELECT iblt_decode_json(iblt_subtract_pair(a.sketch, b.sketch))
+                   AS diff
+        FROM snap_digests a JOIN snap_digests b
+        ON a.snap = 'full' AND b.snap = 'drifted'""").first()["diff"])
+    print(f"snapshot drift: {len(drift_row['pos'])} conv_ids removed, "
+          f"{len(drift_row['neg'])} added "
+          f"(complete={drift_row['complete']})")
+
     # sanity: the SQL answers are coherent (demo doubles as a smoke test)
     assert weekly and all(r["approx_convs"] > 0 for r in weekly)
     assert all(0 < r["rel_std_error"] < 0.05 for r in weekly)
@@ -173,6 +196,9 @@ def main(argv: list[str]) -> int:
     assert abs(folded["approx_convs_p10"] - total) <= \
         5 * folded["rse_p10"] * max(total, 1.0)
     assert desc["family"] == "HyperLogLog"
+    assert drift_row["complete"] is True
+    assert len(drift_row["pos"]) == 3 and drift_row["neg"] == []
+    assert drift_row["net"] == 3.0
     print("OK")
     return 0
 
