@@ -1,6 +1,7 @@
 from .base import Sketch
 from .bloom import BloomFilter
 from .cms import CountMinSketch
+from .ddsketch import DDSketch
 from .counting import CountingBloomFilter
 from .hll import HyperLogLog
 from .iblt import IBLT
@@ -18,7 +19,7 @@ SKETCH_TYPES: dict[int, type] = {
     cls.TYPE_TAG: cls
     for cls in (BloomFilter, HyperLogLog, CountMinSketch, TDigest, KLL,
                 ScalableBloomFilter, ThetaSketch, MisraGries, SampleSketch,
-                CountingBloomFilter, WeightedSampleSketch, IBLT)
+                CountingBloomFilter, WeightedSampleSketch, IBLT, DDSketch)
 }
 
 
@@ -36,5 +37,5 @@ def sketch_from_bytes(buf: bytes) -> Sketch:
 __all__ = ["Sketch", "BloomFilter", "HyperLogLog", "CountMinSketch",
            "TDigest", "KLL", "MisraGries", "ScalableBloomFilter",
            "ThetaSketch", "SampleSketch", "CountingBloomFilter",
-           "WeightedSampleSketch", "IBLT", "theta_intersect",
+           "WeightedSampleSketch", "IBLT", "DDSketch", "theta_intersect",
            "theta_a_not_b", "SKETCH_TYPES", "sketch_from_bytes"]

@@ -1,0 +1,291 @@
+"""DDSketch kernel tests — the relative-VALUE-error quantile family
+(Masson, Rim & Lee, VLDB 2019). The load-bearing claims:
+
+1. |quantile(q) - x_q| <= alpha * |x_q| for every q, deterministically,
+   where x_q = sorted[floor(q*(n-1))] — the paper's guarantee, verified
+   against exact items across alphas / scales / signs.
+2. Counts are exactly additive: partitioned builds, weighted builds, and
+   merges are BYTE-identical to one whole-stream build (uncollapsed).
+3. fold(m) is the exact gamma^m downgrade (ceil(ceil(a)/m) == ceil(a/m)).
+4. Collapse bounds state, conserves count, keeps upper quantiles in bound.
+"""
+
+import numpy as np
+import pytest
+
+from bloomfilter_spark.sketches import DDSketch, sketch_from_bytes
+
+
+def _exact_items(values: np.ndarray, qs: np.ndarray) -> np.ndarray:
+    xs = np.sort(values)
+    return xs[np.floor(qs * (len(xs) - 1)).astype(int)]
+
+
+def test_relative_error_guarantee_across_alphas_and_scales(rng):
+    qs = np.linspace(0.0, 1.0, 201)
+    for alpha in (0.05, 0.01, 0.002):
+        for scale in (1.0, 1e-6, 1e7):
+            v = np.exp(rng.standard_normal(30_000)) * scale
+            s = DDSketch(alpha)
+            s.update(v)
+            est = np.asarray(s.quantile(qs))
+            exact = _exact_items(v, qs)
+            rel = np.abs(est - exact) / np.abs(exact)
+            assert rel.max() <= alpha * (1 + 1e-9), (alpha, scale, rel.max())
+            assert s.value_error_bound() == alpha
+            assert not s.collapsed
+
+
+def test_mixed_sign_and_zero_handling(rng):
+    pos = np.exp(rng.standard_normal(10_000))
+    v = np.concatenate([pos, -pos, np.zeros(5_000)])
+    rng.shuffle(v)
+    s = DDSketch(0.01)
+    s.update(v)
+    assert s.n == len(v) and s.zero_count == 5_000
+    qs = np.linspace(0.0, 1.0, 101)
+    est = np.asarray(s.quantile(qs))
+    exact = _exact_items(v, qs)
+    nz = exact != 0
+    rel = np.abs(est[nz] - exact[nz]) / np.abs(exact[nz])
+    assert rel.max() <= 0.01 * (1 + 1e-9)
+    assert est[~nz].tolist() == [0.0] * (~nz).sum()  # zero bucket is exact
+    # rank: symmetric distribution + zeros -> F(0) covers the zero mass
+    assert s.rank(0.0) == pytest.approx(0.6, abs=0.01)
+    assert s.rank(-np.inf if False else -1e300) == 0.0
+    assert s.rank(1e300) == 1.0
+
+
+def test_nan_and_inf_skipped(rng):
+    v = np.array([1.0, np.nan, 2.0, np.inf, -np.inf, 4.0])
+    s = DDSketch(0.01)
+    s.update(v)
+    assert s.n == 3
+    s.update_weighted(np.array([np.nan, 8.0]), np.array([5, 2]))
+    assert s.n == 5
+
+
+def test_partitioned_and_weighted_builds_byte_equal(rng):
+    v = np.exp(rng.standard_normal(20_000)).round(3)  # force duplicates
+    whole = DDSketch(0.01)
+    whole.update(v)
+    # partitioned build, any chunking
+    m = DDSketch(0.01)
+    for chunk in np.array_split(v, 13):
+        t = DDSketch(0.01)
+        t.update(chunk)
+        m.merge(t)
+    assert m.to_bytes() == whole.to_bytes()
+    # weighted build from the value histogram
+    uniq, cnt = np.unique(v, return_counts=True)
+    w = DDSketch(0.01)
+    w.update_weighted(uniq, cnt)
+    assert w.to_bytes() == whole.to_bytes()
+    # merge algebra: identity, commutativity (byte level)
+    z = DDSketch(0.01)
+    cp = sketch_from_bytes(whole.to_bytes())
+    assert z.merge(cp).to_bytes() == whole.to_bytes()
+    a, b = DDSketch(0.01), DDSketch(0.01)
+    a.update(v[:7_000]); b.update(v[7_000:])
+    ab = sketch_from_bytes(a.to_bytes()).merge(b)
+    ba = sketch_from_bytes(b.to_bytes()).merge(a)
+    assert ab.to_bytes() == ba.to_bytes() == whole.to_bytes()
+
+
+def test_merge_geometry_guard(rng):
+    a, b = DDSketch(0.01), DDSketch(0.02)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        a.merge(b)
+    c = DDSketch(0.01, bucket_limit=64)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        a.merge(c)
+    from bloomfilter_spark.sketches import KLL
+    with pytest.raises(ValueError, match="cannot merge"):
+        a.merge(KLL(64))
+
+
+def test_fold_exact_gamma_power_downgrade(rng):
+    v = np.exp(2.0 * rng.standard_normal(20_000))
+    v = np.concatenate([v, -v[:3_000], np.zeros(100)])
+    s = DDSketch(0.005)
+    s.update(v)
+    for m in (1, 3, 8):
+        f = s.fold(m)
+        g_m = s.gamma ** m
+        assert f.alpha == pytest.approx((g_m - 1) / (g_m + 1), rel=1e-12)
+        assert f.n == s.n and f.zero_count == s.zero_count
+        # exact index mapping: every folded bucket is ceil(i/m)
+        assert np.array_equal(
+            np.unique(-(-s._pos_idx.astype(np.int64) // m)), f._pos_idx)
+        qs = np.linspace(0.0, 1.0, 51)
+        est = np.asarray(f.quantile(qs))
+        exact = _exact_items(v, qs)
+        nz = exact != 0
+        rel = np.abs(est[nz] - exact[nz]) / np.abs(exact[nz])
+        assert rel.max() <= f.alpha * (1 + 1e-9)
+    assert s.fold(1).to_bytes() == s.to_bytes()
+    # fold composition: fold(2) then fold(3) == fold(6) on bucket
+    # CONTENTS (ceil-division composes exactly); the alpha param may
+    # drift by an ulp across the two-step float recompute, so whole-blob
+    # byte equality is only promised for a single fold (docstring)
+    f23, f6 = s.fold(2).fold(3), s.fold(6)
+    assert np.array_equal(f23._pos_idx, f6._pos_idx)
+    assert np.array_equal(f23._pos_cnt, f6._pos_cnt)
+    assert np.array_equal(f23._neg_idx, f6._neg_idx)
+    assert np.array_equal(f23._neg_cnt, f6._neg_cnt)
+    assert (f23.n, f23.zero_count) == (f6.n, f6.zero_count)
+    assert f23.alpha == pytest.approx(f6.alpha, rel=1e-12)
+    # source not mutated
+    before = s.to_bytes()
+    s.fold(4)
+    assert s.to_bytes() == before
+    with pytest.raises(ValueError, match="integer >= 1"):
+        s.fold(0)
+    with pytest.raises(ValueError, match="integer >= 1"):
+        s.fold(2.5)
+
+
+def test_collapse_bounds_state_and_keeps_upper_quantiles(rng):
+    v = np.exp(3.0 * rng.standard_normal(50_000))
+    s = DDSketch(0.005, bucket_limit=64)
+    s.update(v)
+    assert s.collapsed
+    assert s._pos_idx.size <= 64
+    assert s.n == len(v)  # collapse conserves count exactly
+    # the contract: quantiles whose rank lands ABOVE the collapsed mass
+    # (everything spilled into the lowest kept bucket) stay within alpha;
+    # derive the covered region from the sketch itself
+    collapsed_frac = float(s._pos_cnt[0]) / s.n
+    assert collapsed_frac < 1.0  # something genuinely survives uncollapsed
+    qs = np.linspace(collapsed_frac + (1.0 - collapsed_frac) * 0.1, 1.0, 25)
+    est = np.asarray(s.quantile(qs))
+    exact = _exact_items(v, qs)
+    rel = np.abs(est - exact) / exact
+    assert rel.max() <= 0.005 * (1 + 1e-9)
+    # and a quantile inside the collapsed region is answered by the
+    # collapsed bucket's representative (no crash, deterministic),
+    # pessimistic by construction
+    assert s.quantile(collapsed_frac / 2) > 0
+    # collapsed-ness survives the wire and merge
+    r = sketch_from_bytes(s.to_bytes())
+    assert r.collapsed
+    fresh = DDSketch(0.005, bucket_limit=64)
+    fresh.update(v[:10])
+    assert fresh.merge(r).collapsed
+
+
+def test_wire_roundtrip_and_validation(rng):
+    v = np.concatenate([np.exp(rng.standard_normal(5_000)),
+                        -np.exp(rng.standard_normal(2_000)), np.zeros(7)])
+    s = DDSketch(0.02, bucket_limit=512)
+    s.update(v)
+    blob = s.to_bytes()
+    r = sketch_from_bytes(blob)
+    assert isinstance(r, DDSketch) and r.to_bytes() == blob
+    assert r.n == s.n and r.zero_count == 7
+    assert np.asarray(r.quantile([0.1, 0.5, 0.9])).tolist() == \
+        np.asarray(s.quantile([0.1, 0.5, 0.9])).tolist()
+    # params-only zero reconstruction (warehouse factory convention)
+    z = DDSketch.from_bytes(DDSketch(0.02, bucket_limit=512).to_bytes())
+    assert z.n == 0 and z.quantile(0.5) != z.quantile(0.5)  # NaN
+    # constructor validation
+    with pytest.raises(ValueError, match="alpha"):
+        DDSketch(1e-7)
+    with pytest.raises(ValueError, match="alpha"):
+        DDSketch(1.0)
+    with pytest.raises(ValueError, match="bucket_limit"):
+        DDSketch(0.01, bucket_limit=4)
+    with pytest.raises(ValueError, match="counts must be positive"):
+        DDSketch(0.01)._insert_buckets(1, np.array([3]), np.array([0]))
+
+
+def test_empty_and_single_value():
+    s = DDSketch(0.01)
+    assert np.isnan(s.quantile(0.5)) and np.isnan(s.rank(1.0))
+    s.update(np.array([42.0]))
+    assert abs(s.quantile(0.5) - 42.0) <= 0.01 * 42.0
+    assert s.rank(100.0) == 1.0 and s.rank(1.0) == 0.0
+
+
+def test_registry_and_describe_contract():
+    from bloomfilter_spark.sketches import SKETCH_TYPES
+    assert SKETCH_TYPES[DDSketch.TYPE_TAG] is DDSketch
+    assert not DDSketch.HASH_KEYED
+    s = DDSketch(0.01)
+    s.update(np.array([1.0, 2.0, 0.0, -3.0]))
+    # public scalars surfaced by sketch_describe's vars() sweep
+    pub = {k: v for k, v in vars(s).items() if not k.startswith("_")}
+    assert pub == {"alpha": 0.01, "bucket_limit": 2048, "zero_count": 1,
+                   "n": 4, "collapsed": False}
+
+
+# --- Spark integration -----------------------------------------------------
+
+def test_jvm_build_byte_parity_with_kernel(spark, rng):
+    """ddsketch_build_jvm (codegen groupBy(sign, bucket).count) must be
+    byte-identical to the kernel/UDAF build over the same rows —
+    continuous values, mixed signs, zeros, NULLs and NaNs."""
+    from bloomfilter_spark.agg import build_sketch
+    from bloomfilter_spark.jvm_build import ddsketch_build_jvm
+    from bloomfilter_spark.sketches import DDSketch
+
+    vals = np.concatenate([
+        np.exp(rng.standard_normal(8_000)) * 37.0,
+        -np.exp(rng.standard_normal(2_000)),
+        np.zeros(300),
+    ])
+    rows = [(float(x),) for x in vals] + [(None,)] + [(float("nan"),)]
+    df = spark.createDataFrame(rows, "v double").repartition(7)
+
+    jvm = ddsketch_build_jvm(df, "v", alpha=0.01)
+    kern = build_sketch(df, ["v"], lambda: DDSketch(0.01))
+    assert jvm.to_bytes() == kern.to_bytes()
+    assert jvm.n == len(vals) and jvm.zero_count == 300
+
+    # and the estimates obey the alpha bound vs exact items
+    qs = np.linspace(0.0, 1.0, 41)
+    exact = _exact_items(vals, qs)
+    est = np.asarray(jvm.quantile(qs))
+    nz = exact != 0
+    rel = np.abs(est[nz] - exact[nz]) / np.abs(exact[nz])
+    assert rel.max() <= 0.01 * (1 + 1e-9)
+
+
+def test_grouped_jvm_build_parity_and_plan(spark, rng):
+    from bloomfilter_spark.agg import grouped_sketch_table
+    from bloomfilter_spark.jvm_build import ddsketch_grouped_build_jvm
+    from bloomfilter_spark.sketches import DDSketch
+
+    rows = [(f"tool_{int(i) % 5}", float(np.exp(x)))
+            for i, x in enumerate(rng.standard_normal(10_000))]
+    df = spark.createDataFrame(rows, "tool string, lat double").repartition(6)
+
+    got = ddsketch_grouped_build_jvm(df, ["tool"], "lat", alpha=0.02)
+    want = grouped_sketch_table(df, ["tool"], ["lat"],
+                                lambda: DDSketch(0.02))
+    g = {r["tool"]: bytes(r["sketch"]) for r in got.collect()}
+    w = {r["tool"]: bytes(r["sketch"]) for r in want.collect()}
+    assert g == w and len(g) == 5
+
+    # partition invariance: a different layout yields the same bytes
+    g2 = {r["tool"]: bytes(r["sketch"]) for r in
+          ddsketch_grouped_build_jvm(df.repartition(17, "lat"), ["tool"],
+                                     "lat", alpha=0.02).collect()}
+    assert g2 == g
+
+    # plan: the count aggregation runs JVM-side (codegen HashAggregate
+    # below the one Python assembly stage), no Python in the scan/agg
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_and_agg = plan.split("FlatMapGroupsInPandas")[-1]
+    assert "HashAggregate" in scan_and_agg
+    assert "ArrowEvalPython" not in scan_and_agg
+    assert "BatchEvalPython" not in plan
+
+
+def test_max_buckets_guard(spark, rng):
+    from bloomfilter_spark.jvm_build import ddsketch_build_jvm
+    df = spark.createDataFrame(
+        [(float(np.exp(x * 5)),) for x in rng.standard_normal(2_000)],
+        "v double")
+    with pytest.raises(ValueError, match="DDSketch buckets"):
+        ddsketch_build_jvm(df, "v", alpha=0.01, max_buckets=10)
