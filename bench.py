@@ -92,7 +92,9 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from bloomfilter_spark.agg import build_sketch, multi_sketch_build
     from bloomfilter_spark.config import get_spark
-    from bloomfilter_spark.jvm_build import (cms_build_jvm, hll_build_jvm,
+    from bloomfilter_spark.jvm_build import (cms_build_jvm,
+                                             ddsketch_build_jvm,
+                                             hll_build_jvm,
                                              iblt_build_jvm,
                                              mg_build_preagg,
                                              mg_grouped_build_preagg,
@@ -210,6 +212,13 @@ def main() -> None:
         ("build_mg_grouped",
          lambda: mg_grouped_build_preagg(tr, ["tool"], ["conv_id"],
                                          k=64).count()),
+        # JVM-reduced DDSketch (13th family): relative-value-error turn
+        # lengths — the whole build is codegen ceil(log/log gamma) +
+        # groupBy().count(); O(occupied buckets) rows cross the pipe at
+        # ANY value cardinality (no distinct cap, unlike kll_preagg)
+        ("build_ddsketch_jvm",
+         lambda: ddsketch_build_jvm(
+             tr.select(F.length("text").alias("len")), "len", alpha=0.01)),
         ("sig_minhash_1m",
          lambda: minhash_signatures(sub, "doc_id", "text")
                  .write.format("noop").mode("overwrite").save()),

@@ -209,6 +209,35 @@ def suggest_scalable_bloom(total_err_rate: float, tightening: float = 0.5,
     return err0, total_err_rate, bits // 8
 
 
+def suggest_ddsketch(rel_value_error: float,
+                     dynamic_range: float = 1e9
+                     ) -> tuple[float, int, int]:
+    """DDSketch geometry for a target relative VALUE error: alpha is the
+    target itself (the bound is exact by construction — Masson et al.
+    VLDB 2019), so the sizing question is the BUCKET budget: values
+    spanning ``dynamic_range`` = max/min magnitude occupy at most
+    ceil(ln(range)/ln(gamma)) + 1 buckets per sign, gamma =
+    (1+alpha)/(1-alpha). The returned bucket_limit covers that span with
+    a 25% headroom so the collapsing guard never fires inside the
+    declared range (collapse only degrades quantiles below the collapsed
+    mass, but an honest sizing keeps it out of the picture entirely).
+
+    Returns (alpha, bucket_limit, state_bytes); state is 12 bytes per
+    occupied bucket (int32 index + uint64 count) + the fixed header, an
+    UPPER bound — sparse data occupies fewer. The error dual
+    (DDSketch.value_error_bound) reports the same alpha back."""
+    _require_frac("rel_value_error", rel_value_error)
+    if rel_value_error < 1e-6:
+        raise SizingError("rel_value_error below 1e-6 overflows the "
+                          "int32 bucket-index space (ddsketch.py)")
+    if dynamic_range <= 1.0:
+        raise SizingError("dynamic_range must be > 1")
+    gamma = (1.0 + rel_value_error) / (1.0 - rel_value_error)
+    span = math.ceil(math.log(dynamic_range) / math.log(gamma)) + 1
+    limit = max(16, math.ceil(span * 1.25))
+    return rel_value_error, limit, 12 * limit + 58
+
+
 def suggest_iblt(max_diff: int, num_hashes: int = 4) -> tuple[int, float, int]:
     """IBLT cells for decoding a symmetric difference of up to
     ``max_diff`` keys w.h.p.: the Goodrich–Mitzenmacher c_k space rate
@@ -256,6 +285,11 @@ def suggest_sketch(kind: str, **targets) -> dict:
                                               weight)
       mg     eps=                          -> k
       tdigest mid_rank_error=              -> delta
+      ddsketch rel_value_error= [, dynamic_range=] -> alpha/bucket_limit
+                                              (relative VALUE error —
+                                              alpha IS the target; sizing
+                                              picks the bucket budget for
+                                              the declared dynamic range)
       scalable_bloom total_err_rate= [, tightening=, initial_capacity=]
                                            -> err_rate/tightening/
                                               initial_capacity
@@ -321,6 +355,13 @@ def suggest_sketch(kind: str, **targets) -> dict:
         delta, err, nbytes = suggest_tdigest_delta(targets["mid_rank_error"])
         return {"kind": kind, "params": {"delta": delta},
                 "predicted_error": err, "state_bytes": nbytes}
+    if kind == "ddsketch":
+        rng = targets.get("dynamic_range", 1e9)
+        alpha, limit, nbytes = suggest_ddsketch(
+            targets["rel_value_error"], rng)
+        return {"kind": kind,
+                "params": {"alpha": alpha, "bucket_limit": limit},
+                "predicted_error": alpha, "state_bytes": nbytes}
     if kind == "iblt":
         kh = targets.get("num_hashes", 4)
         cells, cap_keys, nbytes = suggest_iblt(targets["max_diff"], kh)

@@ -270,9 +270,10 @@ def theta_jaccard_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
 
 def sketch_rank(sketch: pd.Series, x: pd.Series) -> pd.Series:
     """Estimated CDF at x — the fraction of the sketched stream <= x —
-    the dual of sketch_quantile. KLL blobs answer via ``rank`` (normalized
-    rank error ~1.7/k); t-digest blobs via ``cdf`` (interpolated centroid
-    CDF). Typical use: evaluate a fixed SLO threshold against warehoused
+    the dual of sketch_quantile. KLL and DDSketch blobs answer via
+    ``rank`` (KLL: normalized rank error ~1.7/k; DDSketch: exact over its
+    step distribution, each step within alpha of its bucket's values);
+    t-digest blobs via ``cdf`` (interpolated centroid CDF). Typical use: evaluate a fixed SLO threshold against warehoused
     per-epoch latency sketches ("what fraction of turns finished under
     200 ms this week vs last") without touching raw data."""
     def rk(b, xx):
@@ -283,8 +284,8 @@ def sketch_rank(sketch: pd.Series, x: pd.Series) -> pd.Series:
             return float(sk.rank(float(xx)))
         if hasattr(sk, "cdf"):
             return float(sk.cdf(float(xx)))
-        raise TypeError(f"sketch_rank needs a value sketch (KLL/TDigest), "
-                        f"got {type(sk).__name__}")
+        raise TypeError(f"sketch_rank needs a value sketch "
+                        f"(KLL/TDigest/DDSketch), got {type(sk).__name__}")
     return pd.Series([rk(b, xx) for b, xx in zip(sketch, x)], dtype="object")
 
 
@@ -313,9 +314,9 @@ def sketch_histogram(sketch: pd.Series, lo: pd.Series, hi: pd.Series,
     """Equi-width histogram over [lo, hi) from a value-sketch blob:
     element i is the estimated fraction of the sketched stream in
     [lo + i*w, lo + (i+1)*w), w = (hi-lo)/n_buckets — computed as CDF
-    differences (KLL.rank / TDigest.cdf, one vectorized call over the
-    n+1 edges), so each bucket mass carries the family's published rank
-    error and the array sums exactly to rank(hi) - rank(lo). The
+    differences (KLL.rank / TDigest.cdf / DDSketch.rank, one vectorized
+    call over the n+1 edges), so each bucket mass carries the family's
+    published error and the array sums exactly to rank(hi) - rank(lo). The
     dashboard dual of sketch_quantile/sketch_rank: distribution SHAPE
     from warehoused/streamed sketch rows without touching raw data.
     Mass outside [lo, hi) is deliberately excluded (inspect via
@@ -332,7 +333,8 @@ def sketch_histogram(sketch: pd.Series, lo: pd.Series, hi: pd.Series,
         cdf = getattr(sk, "rank", None) or getattr(sk, "cdf", None)
         if cdf is None:
             raise TypeError(f"sketch_histogram needs a value sketch "
-                            f"(KLL/TDigest), got {type(sk).__name__}")
+                            f"(KLL/TDigest/DDSketch), "
+                            f"got {type(sk).__name__}")
         edges = np.linspace(l, h, n + 1)
         return np.diff(np.asarray(cdf(edges), dtype=np.float64))
     return pd.Series([hist(b, l, h, n) for b, l, h, n in
@@ -396,14 +398,17 @@ def sketch_error_bound(sketch: pd.Series) -> pd.Series:
                               ≤ n/(k+1)) — deterministic, not probabilistic
       KLL / t-digest          normalized RANK error (1.7/k; π/(2δ) at the
                               median) — fixed by geometry
+      DDSketch                relative VALUE error alpha (|answer − exact
+                              quantile| ≤ alpha·|exact|) — deterministic,
+                              valid over uncollapsed mass
 
     Units differ by family on purpose — each is the bound that family's
     kernel tests validate; `sketch_describe` gives the family when a
     column is mixed. NULL blob → NULL."""
     from .sketches import (BloomFilter, CountingBloomFilter, CountMinSketch,
-                           HyperLogLog, KLL, MisraGries, SampleSketch,
-                           ScalableBloomFilter, TDigest, ThetaSketch,
-                           WeightedSampleSketch)
+                           DDSketch, HyperLogLog, KLL, MisraGries,
+                           SampleSketch, ScalableBloomFilter, TDigest,
+                           ThetaSketch, WeightedSampleSketch)
 
     def bound(b):
         if b is None:
@@ -422,6 +427,8 @@ def sketch_error_bound(sketch: pd.Series) -> pd.Series:
             return float(sk.rank_error_bound())
         if isinstance(sk, TDigest):
             return float(sk.rank_error_bound())
+        if isinstance(sk, DDSketch):
+            return float(sk.value_error_bound())
         raise TypeError(f"sketch_error_bound: no bound formula for "
                         f"{type(sk).__name__}")
     return sketch.map(bound)
@@ -472,7 +479,7 @@ def sketch_fold(sketch: pd.Series, target: pd.Series) -> pd.Series:
     """Geometry downgrade of any foldable blob to ``target``, the family's
     primary size parameter: HLL precision p, Bloom num_bits, theta / MG /
     KLL k, t-digest delta, CMS width (depth kept — cms_fold controls
-    both). The warehouse escape hatch for geometry migrations: two tables
+    both), DDSketch integer gamma-power coarsening factor m. The warehouse escape hatch for geometry migrations: two tables
     built at different sizes merge after folding the finer one down —
     exactly for Bloom/HLL/CMS-plain/theta (byte-identical to a direct
     build at the target; kernel fold() docstrings prove each case), with

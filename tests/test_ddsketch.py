@@ -12,6 +12,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from bloomfilter_spark.sketches import DDSketch, sketch_from_bytes
 
@@ -289,3 +290,98 @@ def test_max_buckets_guard(spark, rng):
         "v double")
     with pytest.raises(ValueError, match="DDSketch buckets"):
         ddsketch_build_jvm(df, "v", alpha=0.01, max_buckets=10)
+
+
+def test_sql_surface_over_ddsketch_blobs(spark, rng):
+    """The generic SQL functions dispatch to DDSketch: quantile / rank /
+    histogram / error bound / describe / fold / GROUP-BY sketch_merge —
+    each equal to the kernel API on the same blobs."""
+    import json
+
+    from bloomfilter_spark.jvm_build import ddsketch_grouped_build_jvm
+    from bloomfilter_spark.sketches import DDSketch, sketch_from_bytes
+    from bloomfilter_spark.sql import register_sketch_sql
+
+    register_sketch_sql(spark)
+    rows = [(f"tool_{int(i) % 4}", f"d{int(i) % 3}", float(np.exp(x) * 50))
+            for i, x in enumerate(rng.standard_normal(6_000))]
+    df = spark.createDataFrame(rows, "tool string, day string, lat double")
+    tbl = ddsketch_grouped_build_jvm(df, ["tool", "day"], "lat", alpha=0.01)
+    tbl.createOrReplaceTempView("dd_by_tool_day")
+
+    got = spark.sql("""
+        SELECT tool, day,
+               sketch_quantile(sketch, 0.99) AS p99,
+               sketch_rank(sketch, 50.0)     AS under_50,
+               sketch_error_bound(sketch)    AS bound,
+               sketch_describe(sketch)       AS d
+        FROM dd_by_tool_day""").collect()
+    assert len(got) == 12
+    blobs = {(r["tool"], r["day"]): bytes(r["sketch"])
+             for r in tbl.collect()}
+    for r in got:
+        sk = sketch_from_bytes(blobs[(r["tool"], r["day"])])
+        assert r["p99"] == float(sk.quantile(0.99))
+        assert r["under_50"] == float(sk.rank(50.0))
+        assert r["bound"] == 0.01
+        assert json.loads(r["d"])["family"] == "DDSketch"
+
+    # GROUP BY re-aggregation: merging per-day blobs == one per-tool build
+    merged = {r["tool"]: bytes(r["m"]) for r in spark.sql(
+        "SELECT tool, sketch_merge(sketch) AS m FROM dd_by_tool_day "
+        "GROUP BY tool").collect()}
+    whole = {r["tool"]: bytes(r["sketch"]) for r in
+             ddsketch_grouped_build_jvm(df, ["tool"], "lat",
+                                        alpha=0.01).collect()}
+    assert merged == whole
+
+    # fold from SQL == kernel fold
+    folded = spark.sql("SELECT tool, day, sketch_fold(sketch, 3) AS f "
+                       "FROM dd_by_tool_day").collect()
+    for r in folded:
+        kern = sketch_from_bytes(blobs[(r["tool"], r["day"])]).fold(3)
+        assert bytes(r["f"]) == kern.to_bytes()
+
+    # histogram masses = CDF differences
+    h = spark.sql("SELECT sketch_histogram(sketch, 10.0, 200.0, 4) AS h, "
+                  "sketch AS s FROM dd_by_tool_day LIMIT 1").first()
+    sk = sketch_from_bytes(bytes(h["s"]))
+    edges = np.linspace(10.0, 200.0, 5)
+    want = np.diff(np.asarray(sk.rank(edges)))
+    assert np.allclose(np.asarray(h["h"]), want)
+
+
+def test_streaming_stateful_quantile_with_ddsketch_factory(spark, tmp_path,
+                                                           rng):
+    """stateful_grouped_quantile(factory=DDSketch): the streamed state is
+    order/chunk-invariant (exactly additive counts), so the final
+    emission's estimate EQUALS a batch DDSketch build over the full
+    history — not just within-bound."""
+    from bloomfilter_spark.jvm_build import ddsketch_build_jvm
+    from bloomfilter_spark.sketches import DDSketch
+    from bloomfilter_spark.streaming import stateful_grouped_quantile
+
+    rows = [("t0" if i % 3 else "t1", float(np.exp(x)))
+            for i, x in enumerate(rng.standard_normal(4_000))]
+    df = spark.createDataFrame(rows, "tool string, lat double")
+    src = str(tmp_path / "dd_src")
+    df.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful_grouped_quantile(stream, "tool", "lat",
+                                    factory=lambda: DDSketch(0.01),
+                                    quantiles=(0.5, 0.99))
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("dd_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = spark.sql("""
+        SELECT tool, q, est, n_updates FROM (
+          SELECT *, row_number() OVER (PARTITION BY tool, q
+                                       ORDER BY n_updates DESC) AS rn
+          FROM dd_stream) WHERE rn = 1""").collect()
+    assert {r["tool"] for r in res} == {"t0", "t1"}
+    for r in res:
+        batch = ddsketch_build_jvm(df.where(F.col("tool") == r["tool"]),
+                                   "lat", alpha=0.01)
+        assert r["n_updates"] == batch.n
+        assert r["est"] == float(batch.quantile(r["q"]))

@@ -813,7 +813,7 @@ def test_mg_serialization_roundtrip_and_errors(rng):
 
 def test_wire_exhaustive_prefix_and_flip_fuzz(rng):
     """The strongest form of the wire-integrity claim, verified by brute
-    force on small sketches of all 12 families: EVERY strict prefix of a
+    force on small sketches of all 13 families: EVERY strict prefix of a
     blob and EVERY sampled single-byte flip (header bytes exhaustively,
     body positions sampled) raises — nothing parses to silently different
     state. Since v4 the header sits inside the CRC, so tag/plen flips are
@@ -853,6 +853,11 @@ def test_wire_exhaustive_prefix_and_flip_fuzz(rng):
     ib = IBLT(1 << 12, 4); ib.update(h[:40]); sketches.append(ib)  # sparse
     ib2 = IBLT(128, 4); ib2.update(h); ib2.delete(h[:500])
     sketches.append(ib2)  # dense, mixed-sign cells
+    from bloomfilter_spark.sketches.ddsketch import DDSketch
+    dd = DDSketch(0.02)
+    dd.update(np.concatenate([np.exp(vals), -np.exp(vals[:300]),
+                              np.zeros(5)]))
+    sketches.append(dd)  # both stores + zero bucket
 
     for sk in sketches:
         cls = type(sk)

@@ -96,12 +96,14 @@ def test_dispatcher_params_construct_real_sketches():
         "weighted_sample": dict(rel_std_error=0.02, avg_payload_bytes=40),
         "mg": dict(eps=0.01),
         "tdigest": dict(mid_rank_error=0.01),
+        "ddsketch": dict(rel_value_error=0.01, dynamic_range=1e6),
     }
-    from bloomfilter_spark.sketches import SampleSketch, WeightedSampleSketch
+    from bloomfilter_spark.sketches import (DDSketch, SampleSketch,
+                                            WeightedSampleSketch)
     classes = {"bloom": BloomFilter, "hll": HyperLogLog,
                "cms": CountMinSketch, "kll": KLL, "theta": ThetaSketch,
                "sample": SampleSketch, "weighted_sample": WeightedSampleSketch,
-               "mg": MisraGries, "tdigest": TDigest}
+               "mg": MisraGries, "tdigest": TDigest, "ddsketch": DDSketch}
     for kind, targets in cases.items():
         out = suggest_sketch(kind, **targets)
         sk = classes[kind](**out["params"])  # kwargs really construct
@@ -272,3 +274,31 @@ def test_iblt_sizer_matches_for_diff_and_decodes():
         suggest_iblt(0)
     with pytest.raises(ValueError):
         suggest_iblt(100, num_hashes=9)
+
+
+def test_sized_ddsketch_meets_target(rng):
+    """A DDSketch built at the suggested geometry answers every quantile
+    within the target relative value error over the declared dynamic
+    range, WITHOUT collapsing (the sizing's 25% headroom claim)."""
+    from bloomfilter_spark.sketches import DDSketch
+    from bloomfilter_spark.sizing import suggest_ddsketch
+
+    target, drange = 0.02, 1e6
+    alpha, limit, nbytes = suggest_ddsketch(target, dynamic_range=drange)
+    assert alpha == target
+    # values spanning exactly the declared range
+    v = np.exp(rng.uniform(0.0, np.log(drange), 40_000))
+    sk = DDSketch(alpha, bucket_limit=limit)
+    sk.update(v)
+    assert not sk.collapsed          # headroom held
+    assert sk.state_nbytes <= nbytes  # budget is an upper bound
+    qs = np.linspace(0.0, 1.0, 101)
+    xs = np.sort(v)
+    exact = xs[np.floor(qs * (len(xs) - 1)).astype(int)]
+    rel = np.abs(np.asarray(sk.quantile(qs)) - exact) / exact
+    assert rel.max() <= target * (1 + 1e-9)
+    # validation
+    with pytest.raises(SizingError):
+        suggest_ddsketch(1e-7)
+    with pytest.raises(SizingError):
+        suggest_ddsketch(0.01, dynamic_range=0.5)

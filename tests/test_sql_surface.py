@@ -437,7 +437,7 @@ def test_sql_sketch_describe_all_families(spark, lineitem, events):
     import json
 
     from bloomfilter_spark.sketches import (IBLT, CountingBloomFilter,
-                                            MisraGries, TDigest)
+                                            DDSketch, MisraGries, TDigest)
 
     ev = events.where(F.col("user_id").isNotNull())
     vals = lineitem.select(F.col("l_quantity").alias("v"))
@@ -457,6 +457,7 @@ def test_sql_sketch_describe_all_families(spark, lineitem, events):
             ev, ["user_id"], lambda: CountingBloomFilter(1 << 14, 5)),
         "IBLT": build_sketch(ev.select("user_id").distinct(), ["user_id"],
                              lambda: IBLT(1 << 12, 4)),
+        "DDSketch": build_sketch(vals, ["v"], lambda: DDSketch(0.01)),
     }
     spark.createDataFrame([(fam, b.to_bytes()) for fam, b in blobs.items()],
                           "fam string, sketch binary") \
@@ -474,6 +475,9 @@ def test_sql_sketch_describe_all_families(spark, lineitem, events):
     assert got["HyperLogLog"]["p"] == 12
     assert got["ThetaSketch"]["k"] == 256
     assert got["MisraGries"]["k"] == 8
+    assert got["DDSketch"]["alpha"] == 0.01
+    assert got["DDSketch"]["bucket_limit"] == 2048
+    assert got["DDSketch"]["n"] == vals.count()
     assert got["BloomFilter"]["num_bits"] == BloomFilter.for_capacity(
         10_000, 0.01).num_bits
     # NULL blob -> NULL description (not an error)

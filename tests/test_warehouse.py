@@ -466,6 +466,7 @@ def test_verify_sketch_table_all_families(spark, tmp_path):
     from bloomfilter_spark.sketches.theta import ThetaSketch
     from bloomfilter_spark.sketches.bloom import BloomFilter
     from bloomfilter_spark.sketches.iblt import IBLT
+    from bloomfilter_spark.sketches.ddsketch import DDSketch
     from bloomfilter_spark.sketches.sample import SampleSketch
     from bloomfilter_spark.sketches.wsample import WeightedSampleSketch
     from bloomfilter_spark.warehouse import verify_sketch_table
@@ -486,6 +487,7 @@ def test_verify_sketch_table_all_families(spark, tmp_path):
         "sample": lambda: SampleSketch(32),
         "weighted_sample": lambda: WeightedSampleSketch(32),
         "iblt": lambda: IBLT(256, 4),
+        "ddsketch": lambda: DDSketch(0.01, bucket_limit=128),
     }
     for name, fac in factories.items():
         rows = []
