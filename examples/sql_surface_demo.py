@@ -21,7 +21,10 @@ The engine's flagship usage pattern over the north-rule transcript shape
          sketch_estimate over a weighted bottom-k sample table);
        - a geometry migration: fold the p=12 daily HLLs to p=10 and
          merge (sketch_fold — byte-exact downgrade);
-       - warehouse-column audit via sketch_describe.
+       - warehouse-column audit via sketch_describe;
+       - per-day snapshot drift audit via IBLT digest subtraction;
+       - per-tool p99 turn length with a RELATIVE-VALUE guarantee
+         (DDSketch: sketch_quantile + sketch_error_bound in value units).
 
 At 10^12 turns the step-1 scan is the only corpus pass; the SQL layer
 operates on O(days) rows. Run: ``python examples/sql_surface_demo.py
@@ -177,6 +180,26 @@ def main(argv: list[str]) -> int:
           f"{len(drift_row['neg'])} added "
           f"(complete={drift_row['complete']})")
 
+    # -- 2h. per-tool p99 with a relative-VALUE guarantee (DDSketch) ------
+    # the SLO form of the quantile question: the reported p99 is within
+    # sketch_error_bound (= alpha, value units) of the exact rank item,
+    # deterministically — KLL's bound is in RANK units, t-digest has no
+    # hard bound. Build is pure codegen (groupBy(log-bucket).count()).
+    from bloomfilter_spark.jvm_build import ddsketch_grouped_build_jvm
+    ddsketch_grouped_build_jvm(
+        t.where(F.col("tool").isNotNull()), ["tool"], "turn_len",
+        alpha=0.01).createOrReplaceTempView("dd_by_tool")
+    slo = spark.sql("""
+        SELECT tool,
+               sketch_quantile(sketch, 0.99) AS p99_len,
+               sketch_error_bound(sketch)    AS rel_value_err,
+               sketch_rank(sketch, 100.0)    AS frac_under_100
+        FROM dd_by_tool ORDER BY p99_len DESC LIMIT 3""").collect()
+    for r in slo:
+        print(f"{r['tool']}: p99 turn_len ~{r['p99_len']:.0f} "
+              f"(±{100 * r['rel_value_err']:.0f}% of the exact item, "
+              f"guaranteed), {100 * r['frac_under_100']:.1f}% under 100")
+
     # sanity: the SQL answers are coherent (demo doubles as a smoke test)
     assert weekly and all(r["approx_convs"] > 0 for r in weekly)
     assert all(0 < r["rel_std_error"] < 0.05 for r in weekly)
@@ -199,6 +222,9 @@ def main(argv: list[str]) -> int:
     assert drift_row["complete"] is True
     assert len(drift_row["pos"]) == 3 and drift_row["neg"] == []
     assert drift_row["net"] == 3.0
+    assert slo and all(r["rel_value_err"] == 0.01 for r in slo)
+    assert all(0 < r["frac_under_100"] <= 1 for r in slo)
+    assert all(r["p99_len"] > 0 for r in slo)
     print("OK")
     return 0
 
