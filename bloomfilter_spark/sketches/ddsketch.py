@@ -312,6 +312,30 @@ class DDSketch(Sketch):
         out = cum[idx] / cum[-1]
         return out if np.ndim(x) else float(out[0])
 
+    def ks_distance(self, other: "DDSketch") -> float:
+        """Two-sample Kolmogorov–Smirnov statistic between the two
+        sketched distributions — the drift signal over warehoused
+        latency sketches. Both sketch CDFs are right-continuous step
+        functions jumping only at bucket representatives, so the sup is
+        attained at one of the union's jump points and is computed
+        EXACTLY w.r.t. the sketches' step distributions; geometries may
+        differ (rank evaluates at arbitrary points). Vs the true-sample
+        KS the distortion is the mass sitting within relative alpha of
+        the crossing points (each value is within alpha of its bucket's
+        representative), vanishing as alpha -> 0. Empty vs non-empty is
+        maximal drift (1.0); two empties are identical (0.0) — the KLL
+        convention."""
+        v1, _ = self._items()
+        v2, _ = other._items()
+        if v1.size == 0 and v2.size == 0:
+            return 0.0
+        if v1.size == 0 or v2.size == 0:
+            return 1.0
+        pts = np.union1d(v1, v2)
+        r1 = np.asarray(self.rank(pts))
+        r2 = np.asarray(other.rank(pts))
+        return float(np.abs(r1 - r2).max())
+
     def value_error_bound(self) -> float:
         """Published guarantee: |returned - exact quantile| <=
         alpha * |exact quantile| (relative VALUE error — contrast

@@ -309,6 +309,32 @@ def kll_ks_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([ks(x, y) for x, y in zip(a, b)], dtype="object")
 
 
+def sketch_ks_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Two-sample KS drift statistic between any two value-sketch blobs
+    of the SAME family (KLL or DDSketch — each family's kernel
+    ks_distance evaluates the sup over its step CDFs exactly; see the
+    kernel docstrings for the error statements). The family-generic form
+    of kll_ks_distance: DDSketch pairs may even differ in alpha (rank
+    evaluates at arbitrary points); mixed families raise — their step
+    supports encode different approximations, so a cross-family sup is
+    not a drift measurement."""
+
+    def ks(x, y):
+        if x is None or y is None:
+            return None
+        sa, sb = _parse(bytes(x)), _parse(bytes(y))
+        if type(sa) is not type(sb):
+            raise TypeError(
+                f"sketch_ks_distance needs two blobs of the same family, "
+                f"got {type(sa).__name__} vs {type(sb).__name__}")
+        if not hasattr(sa, "ks_distance"):
+            raise TypeError(
+                f"sketch_ks_distance needs a value sketch with a CDF "
+                f"(KLL/DDSketch), got {type(sa).__name__}")
+        return float(sa.ks_distance(sb))
+    return pd.Series([ks(x, y) for x, y in zip(a, b)], dtype="object")
+
+
 def sketch_histogram(sketch: pd.Series, lo: pd.Series, hi: pd.Series,
                      n_buckets: pd.Series) -> pd.Series:
     """Equi-width histogram over [lo, hi) from a value-sketch blob:
@@ -685,6 +711,7 @@ SQL_FUNCTIONS = {
     "sketch_describe": (sketch_describe, "string"),
     "sketch_error_bound": (sketch_error_bound, "double"),
     "kll_ks_distance": (kll_ks_distance, "double"),
+    "sketch_ks_distance": (sketch_ks_distance, "double"),
     "cms_inner_product": (cms_inner_product, "long"),
     "cms_inner_product_bound": (cms_inner_product_bound, "double"),
     "sketch_merge_pair": (sketch_merge_pair, "binary"),

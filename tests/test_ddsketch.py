@@ -385,3 +385,58 @@ def test_streaming_stateful_quantile_with_ddsketch_factory(spark, tmp_path,
                                    "lat", alpha=0.01)
         assert r["n_updates"] == batch.n
         assert r["est"] == float(batch.quantile(r["q"]))
+
+
+def test_ks_distance_kernel_and_sql(spark, rng):
+    """DDSketch two-sample KS: ~0 for two halves of one distribution,
+    large under a scale shift, exact conventions for empties; the
+    family-generic SQL function equals the kernel and rejects mixed or
+    non-CDF families."""
+    from bloomfilter_spark.sketches import DDSketch, KLL
+    from bloomfilter_spark.sql import register_sketch_sql
+
+    base = np.exp(rng.standard_normal(30_000))
+    a, b = DDSketch(0.01), DDSketch(0.01)
+    a.update(base[:15_000])
+    b.update(base[15_000:])
+    same = a.ks_distance(b)
+    assert same < 0.03  # two halves of one distribution
+    c = DDSketch(0.01)
+    c.update(base[:15_000] * 4.0)  # scale shift
+    assert a.ks_distance(c) > 0.5
+    # cross-geometry pair still evaluates (rank at arbitrary points)
+    d = DDSketch(0.05)
+    d.update(base[15_000:])
+    assert a.ks_distance(d) < 0.06
+    # empty conventions (KLL's)
+    e = DDSketch(0.01)
+    assert e.ks_distance(DDSketch(0.01)) == 0.0
+    assert e.ks_distance(a) == 1.0 and a.ks_distance(e) == 1.0
+
+    register_sketch_sql(spark)
+    kll = KLL(200)
+    kll.update(base)
+    spark.createDataFrame(
+        [(a.to_bytes(), b.to_bytes(), c.to_bytes(), kll.to_bytes())],
+        "a binary, b binary, c binary, k binary"
+    ).createOrReplaceTempView("ks_t")
+    row = spark.sql("SELECT sketch_ks_distance(a, b) AS same, "
+                    "sketch_ks_distance(a, c) AS shifted, "
+                    "sketch_ks_distance(a, CAST(NULL AS binary)) AS n "
+                    "FROM ks_t").first()
+    assert row["same"] == same
+    assert row["shifted"] == a.ks_distance(c)
+    assert row["n"] is None
+    # KLL pairs also dispatch (kernel equality with kll_ks_distance)
+    row2 = spark.sql("SELECT sketch_ks_distance(k, k) AS kk, "
+                     "kll_ks_distance(k, k) AS old FROM ks_t").first()
+    assert row2["kk"] == row2["old"] == 0.0
+    with pytest.raises(Exception, match="same family"):
+        spark.sql("SELECT sketch_ks_distance(a, k) FROM ks_t").collect()
+    from bloomfilter_spark.agg import build_sketch  # noqa: F401
+    from bloomfilter_spark.sketches import HyperLogLog
+    h = HyperLogLog(10)
+    spark.createDataFrame([(h.to_bytes(),)], "h binary") \
+         .createOrReplaceTempView("ks_bad_t")
+    with pytest.raises(Exception, match="value sketch"):
+        spark.sql("SELECT sketch_ks_distance(h, h) FROM ks_bad_t").collect()
