@@ -210,22 +210,28 @@ def hll_grouped_build_jvm(df: DataFrame, keys, cols, p: int = 14,
 
 def multi_sketch_build_jvm(df: DataFrame, specs: dict,
                            seed: int = DEFAULT_SEED) -> dict:
-    """Build a FAMILY of HLL/CMS sketches in ONE scan and ONE shuffle,
-    entirely JVM-side — bit-identical to the individual hll_build_jvm /
-    cms_build_jvm results (tested).
+    """Build a FAMILY of HLL/CMS/DDSketch sketches in ONE scan and ONE
+    shuffle, entirely JVM-side — bit-identical to the individual
+    hll_build_jvm / cms_build_jvm / ddsketch_build_jvm results (tested).
 
-    ``specs``: {name: ("hll", cols, p) | ("cms", cols, eps, delta)}.
+    ``specs``: {name: ("hll", cols, p) | ("cms", cols, eps, delta)
+                      | ("ddsketch", col, alpha[, bucket_limit])}.
 
     Every row explodes into its tagged cell updates — (tag, cell, value)
-    for the HLL register minima plus d (tag, cell) pairs per CMS — and a
-    single groupBy(tag, cell) computes min(value) AND count(*); each
-    sketch reads its own aggregate. Map-side combine bounds the shuffle by
-    cells-touched-per-task and at most sum(2^p + d*w) rows reach Python,
-    whatever n is. At 10^12 rows this is the family build: the (wide,
-    string-heavy) transcript scan happens once, and no per-row data ever
-    crosses the Arrow pipe. NULL keys skip only their spec (null struct
-    elements are filtered after the explode)."""
+    for the HLL register minima, d (tag, cell) pairs per CMS, one
+    sign-and-bucket-encoded (tag, cell) per DDSketch value (cell =
+    bucket*4 + {0:pos, 1:neg, 2:zero}, so the zero bucket never collides
+    with bucket index 0) — and a single groupBy(tag, cell) computes
+    min(value) AND count(*); each sketch reads its own aggregate.
+    Map-side combine bounds the shuffle by cells-touched-per-task and at
+    most sum(2^p + d*w + occupied-buckets) rows reach Python, whatever n
+    is. At 10^12 rows this is the family build: the (wide, string-heavy)
+    transcript scan happens once, and no per-row data ever crosses the
+    Arrow pipe. NULL keys skip only their spec (null struct elements are
+    filtered after the explode); DDSketch additionally skips NaN/inf
+    values, its kernel domain rule."""
     from .sketches.cms import CountMinSketch
+    from .sketches.ddsketch import DDSketch
     spark = df.sparkSession
     names = list(specs)
     metas = []
@@ -264,6 +270,23 @@ def multi_sketch_build_jvm(df: DataFrame, specs: dict,
                         F.expr(f"{(j - 1) * w}L + {col}").alias("c"),
                         F.lit(0).cast("long").alias("v"))))
                 metas.append(("cms", w, d))
+            elif kind == "ddsketch":
+                col = spec[1]
+                alpha = spec[2]
+                limit = spec[3] if len(spec) > 3 else 2048
+                proto = DDSketch(alpha, limit)  # validates up front
+                c = _cols([col])[0].cast("double")
+                finite = (c.isNotNull() & ~F.isnan(c)
+                          & (F.abs(c) != F.lit(float("inf"))))
+                idx = F.when(c == 0, F.lit(0).cast("long")).otherwise(
+                    F.ceil(F.log(F.abs(c)) / F.lit(proto._log_gamma)))
+                code = (F.when(c > 0, F.lit(0)).when(c < 0, F.lit(1))
+                         .otherwise(F.lit(2)).cast("long"))
+                structs.append(F.when(finite, F.struct(
+                    F.lit(tag).alias("t"),
+                    (idx * F.lit(4) + code).alias("c"),
+                    F.lit(0).cast("long").alias("v"))))
+                metas.append(("ddsketch", alpha, limit))
             else:
                 raise ValueError(f"unknown family spec kind {kind!r}")
         cells = (base.select(F.explode(F.array(*structs)).alias("p"))
@@ -282,6 +305,14 @@ def multi_sketch_build_jvm(df: DataFrame, specs: dict,
                 rest = sub["mv"].to_numpy(dtype=np.int64).view(U64) ^ U64(1 << 63)
                 rho = np.minimum(clz64(rest) + 1, 64 - a + 1).astype(np.uint8)
                 sk.registers[sub["c"].to_numpy(dtype=np.int64)] = rho
+        elif kind == "ddsketch":
+            c = sub["c"].to_numpy(dtype=np.int64)
+            code = np.mod(c, 4)          # positive for negative c too
+            bidx = (c - code) // 4       # floor division: exact decode
+            sk = _ddsketch_assemble(
+                a, b,
+                np.where(code == 2, 0, np.where(code == 1, -1, 1)),
+                bidx, sub["n"].to_numpy(dtype=np.int64))
         else:
             w, d = a, b
             sk = CountMinSketch(width=w, depth=d)

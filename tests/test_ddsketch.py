@@ -440,3 +440,34 @@ def test_ks_distance_kernel_and_sql(spark, rng):
          .createOrReplaceTempView("ks_bad_t")
     with pytest.raises(Exception, match="value sketch"):
         spark.sql("SELECT sketch_ks_distance(h, h) FROM ks_bad_t").collect()
+
+
+def test_multi_sketch_family_build_includes_ddsketch(spark, rng):
+    """The one-scan family build's 'ddsketch' kind is byte-identical to
+    the standalone ddsketch_build_jvm (and the HLL/CMS members stay
+    byte-identical to theirs) — one corpus pass builds all three."""
+    from bloomfilter_spark.jvm_build import (cms_build_jvm,
+                                             ddsketch_build_jvm,
+                                             hll_build_jvm,
+                                             multi_sketch_build_jvm)
+
+    vals = np.concatenate([np.exp(rng.standard_normal(5_000)),
+                           -np.exp(rng.standard_normal(1_000)),
+                           np.zeros(50)])
+    rows = [(f"u{int(i) % 500}", f"t{int(i) % 7}", float(x))
+            for i, x in enumerate(vals)] + [("u0", "t0", None),
+                                            ("u0", "t0", float("nan"))]
+    df = spark.createDataFrame(rows, "user string, typ string, v double") \
+              .repartition(5)
+    fam = multi_sketch_build_jvm(df, {
+        "hll_u": ("hll", ["user"], 12),
+        "cms_t": ("cms", ["typ"], 1e-3, 1e-2),
+        "dd_v": ("ddsketch", "v", 0.01),
+    })
+    assert fam["dd_v"].to_bytes() == \
+        ddsketch_build_jvm(df, "v", alpha=0.01).to_bytes()
+    assert fam["dd_v"].n == len(vals) and fam["dd_v"].zero_count == 50
+    assert fam["hll_u"].to_bytes() == \
+        hll_build_jvm(df, ["user"], p=12).to_bytes()
+    assert fam["cms_t"].to_bytes() == \
+        cms_build_jvm(df, ["typ"], eps=1e-3, delta=1e-2).to_bytes()
