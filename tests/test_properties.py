@@ -279,3 +279,81 @@ def test_scalable_bloom_merge_superset(xs, ys):
     b.update(_u64(ys))
     a.merge(b)
     assert a.contains(_u64(xs)).all() and a.contains(_u64(ys)).all()
+
+
+# --- DDSketch (13th family: relative-value-error quantiles) ----------------
+
+finite_vals = st.lists(
+    st.floats(min_value=-1e12, max_value=1e12,
+              allow_nan=False, allow_infinity=False),
+    min_size=0, max_size=400)
+
+
+@settings(max_examples=50, deadline=None)
+@given(finite_vals, st.lists(st.integers(0, 50), max_size=6))
+def test_ddsketch_chunking_invariance(vs, sizes):
+    """Any partition of the input into update batches / merged partials
+    yields a byte-identical sketch (the counts are exactly additive) —
+    prop_rechunked_eq for the value-sketch domain."""
+    from bloomfilter_spark.sketches import DDSketch
+    one = DDSketch(0.01)
+    one.update(np.array(vs, dtype=np.float64))
+    merged = DDSketch(0.01)
+    for chunk in _chunks(vs, sizes):
+        part = DDSketch(0.01)
+        part.update(np.array(chunk, dtype=np.float64))
+        merged.merge(part)
+    assert merged.to_bytes() == one.to_bytes()
+
+
+@settings(max_examples=50, deadline=None)
+@given(finite_vals.filter(lambda v: len(v) > 0),
+       st.floats(min_value=0.001, max_value=0.2),
+       st.floats(min_value=0.0, max_value=1.0))
+def test_ddsketch_relative_error_guarantee(vs, alpha, q):
+    """For ANY finite data, alpha and q: |quantile(q) - x_q| <=
+    alpha * |x_q| with x_q the exact rank item — the family's defining
+    deterministic guarantee (Masson et al. VLDB 2019, Thm 1)."""
+    from bloomfilter_spark.sketches import DDSketch
+    s = DDSketch(alpha)
+    v = np.array(vs, dtype=np.float64)
+    s.update(v)
+    xs = np.sort(v)
+    exact = xs[int(np.floor(q * (len(xs) - 1)))]
+    est = s.quantile(q)
+    # equality is attained when a value sits exactly on a bucket's upper
+    # edge (hypothesis finds e.g. v=1.5 at alpha=0.2, where gamma=1.5),
+    # so allow ulp-scale headroom on the tight bound
+    assert abs(est - exact) <= alpha * abs(exact) * (1 + 1e-9) + 1e-300
+
+
+@settings(max_examples=50, deadline=None)
+@given(finite_vals, st.floats(min_value=0.001, max_value=0.2),
+       st.integers(16, 64))
+def test_ddsketch_serialization_roundtrip(vs, alpha, limit):
+    """to_bytes/from_bytes is the identity on state, including collapsed
+    flags and both stores, at any geometry."""
+    from bloomfilter_spark.sketches import DDSketch, sketch_from_bytes
+    s = DDSketch(alpha, bucket_limit=limit)
+    s.update(np.array(vs, dtype=np.float64))
+    r = sketch_from_bytes(s.to_bytes())
+    assert r.to_bytes() == s.to_bytes()
+    assert r.n == s.n and r.zero_count == s.zero_count
+    assert r.collapsed == s.collapsed
+
+
+@settings(max_examples=40, deadline=None)
+@given(finite_vals, finite_vals, finite_vals)
+def test_ddsketch_merge_assoc_comm_identity(a, b, c):
+    from bloomfilter_spark.sketches import DDSketch
+
+    def mk(vals):
+        s = DDSketch(0.02)
+        s.update(np.array(vals, dtype=np.float64))
+        return s
+
+    left = mk(a).merge(mk(b)).merge(mk(c))
+    right = mk(b).merge(mk(c)).merge(mk(a))
+    assert left.to_bytes() == right.to_bytes()
+    z = DDSketch(0.02)
+    assert z.merge(mk(a)).to_bytes() == mk(a).to_bytes()
