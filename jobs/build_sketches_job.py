@@ -36,6 +36,9 @@ def main(argv=None) -> int:
                     help="expected distinct keys; derived by counting if absent")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--hll-p", type=int, default=14)
+    ap.add_argument("--dd-alpha", type=float, default=0.01,
+                    help="relative value error of the per-tool turn-length"
+                         " quantile table")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession, functions as F
@@ -94,6 +97,22 @@ def main(argv=None) -> int:
                       keys=["tool"], factory=lambda: MisraGries(k=mg_k))
     mg_keys = spark.read.parquet(
         f"{args.checkpoint_dir}/mg_tool_convs/data").count()
+
+    # per-tool turn-length DDSketch table: latency-SLO quantiles with the
+    # relative-VALUE-error guarantee, answered later from SQL
+    # (sketch_quantile / sketch_error_bound) without re-scanning; the
+    # whole build is codegen groupBy(log-bucket).count()
+    from bloomfilter_spark.jvm_build import ddsketch_grouped_build_jvm
+    from bloomfilter_spark.sketches import DDSketch
+    dd_alpha = args.dd_alpha
+    dd_table = ddsketch_grouped_build_jvm(
+        spark.read.parquet(args.input).where(F.col("tool").isNotNull())
+             .withColumn("__len", F.length("text").cast("double")),
+        ["tool"], "__len", alpha=dd_alpha)
+    save_sketch_table(dd_table, f"{args.checkpoint_dir}/dd_tool_turnlen",
+                      keys=["tool"], factory=lambda: DDSketch(dd_alpha))
+    dd_keys = spark.read.parquet(
+        f"{args.checkpoint_dir}/dd_tool_turnlen/data").count()
     elapsed = time.time() - t0
 
     rows = sum(e["rows"] for e in read_lineage(f"{args.checkpoint_dir}/bloom"))
@@ -106,6 +125,7 @@ def main(argv=None) -> int:
         "hll_distinct_convs": round(hll.estimate(), 1),
         "cms_total": cms.total,
         "mg_tool_keys": mg_keys,
+        "dd_tool_keys": dd_keys,
     }))
     spark.stop()
     return 0
