@@ -516,6 +516,72 @@ def stateful_grouped_cms(stream_df: DataFrame, key_col: str, item_col: str,
                                           "update", GroupStateTimeout.NoTimeout))
 
 
+def stateful_grouped_ddsketch(stream_df: DataFrame, key_col: str,
+                              value_col: str, alpha: float = 0.01,
+                              bucket_limit: int = 2048,
+                              quantiles=(0.5, 0.99)) -> DataFrame:
+    """Per-key running DDSketch over a stream, emitting the MERGEABLE
+    blob (the blob-emitting pair of `stateful_grouped_quantile`, like
+    `stateful_grouped_cms` is for frequencies): downstream jobs load the
+    per-key blobs for any-quantile SLO queries with the relative-VALUE
+    guarantee (|answer - exact rank item| <= alpha*|item|), merge them
+    across keys/epochs through the SQL surface, or drift-compare epochs
+    via `sketch_ks_distance`. Output per updated key per batch:
+    (key, sketch binary, n_updates, per requested quantile q<q> columns).
+
+    State folds each batch-group as (unique value, count) weighted
+    updates — per DISTINCT value, not per row. DDSketch counts are
+    exactly additive and chunk/order-invariant, so the final streamed
+    state is BYTE-IDENTICAL to a batch `ddsketch_build_jvm` /
+    `build_sketch` over the same rows at the same geometry (asserted by
+    a to_bytes-equality test) — provided the state never collapses
+    (uncollapsed is the sized-correctly regime; suggest_ddsketch's
+    headroom exists for exactly this). NaN/inf/NULL values are dropped,
+    the kernel domain rule. Watermark-compatible."""
+    import numpy as np
+
+    from ..sketches.ddsketch import DDSketch
+
+    DDSketch(alpha, bucket_limit)  # validate geometry before tasks run
+    qs = [float(q) for q in quantiles]
+    fields = [T.StructField(key_col, T.StringType()),
+              T.StructField("sketch", T.BinaryType()),
+              T.StructField("n_updates", T.LongType())]
+    # collision-free column names for any q in [0, 1]: 0.99 -> q0_99
+    qnames = [f"q{str(q).replace('.', '_')}" for q in qs]
+    fields += [T.StructField(nm, T.DoubleType()) for nm in qnames]
+    out_schema = T.StructType(fields)
+    state_schema = T.StructType([
+        T.StructField("dd", T.BinaryType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            sk = DDSketch.from_bytes(bytes(blob))
+        else:
+            sk = DDSketch(alpha, bucket_limit)
+        for pdf in pdfs:
+            v = pdf["__v"].to_numpy(dtype=np.float64)
+            uniq, inv = np.unique(v, return_inverse=True)
+            sk.update_weighted(uniq, np.bincount(inv).astype(np.int64))
+        blob = sk.to_bytes()
+        state.update((blob,))
+        row = {key_col: [key[0]], "sketch": [blob], "n_updates": [sk.n]}
+        for nm, q in zip(qnames, qs):
+            row[nm] = [float(sk.quantile(q))]
+        yield pd.DataFrame(row)
+
+    v = F.col(value_col).cast("double")
+    vals = (stream_df.where(v.isNotNull() & ~F.isnan(v)
+                            & (F.abs(v) != F.lit(float("inf"))))
+            .select(F.col(key_col).cast("string").alias(key_col),
+                    v.alias("__v")))
+    return (vals.groupBy(key_col)
+                .applyInPandasWithState(fn, out_schema, state_schema,
+                                        "update", GroupStateTimeout.NoTimeout))
+
+
 def stateful_grouped_iblt(stream_df: DataFrame, key_col: str, item_col: str,
                           max_diff: int = 1024, num_hashes: int = 4,
                           seed: int = DEFAULT_SEED) -> DataFrame:

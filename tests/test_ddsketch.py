@@ -471,3 +471,41 @@ def test_multi_sketch_family_build_includes_ddsketch(spark, rng):
         hll_build_jvm(df, ["user"], p=12).to_bytes()
     assert fam["cms_t"].to_bytes() == \
         cms_build_jvm(df, ["typ"], eps=1e-3, delta=1e-2).to_bytes()
+
+
+def test_stateful_grouped_ddsketch_blob_equals_batch(spark, tmp_path, rng):
+    """The blob-emitting streaming operator: per-key streamed DDSketch
+    state is BYTE-IDENTICAL to the batch build over the full history
+    (counts exactly additive, chunk/order-invariant), and the emitted
+    quantile columns equal the kernel's answers on that blob."""
+    from bloomfilter_spark.jvm_build import ddsketch_build_jvm
+    from bloomfilter_spark.sketches import DDSketch
+    from bloomfilter_spark.streaming import stateful_grouped_ddsketch
+
+    rows = [("t0" if i % 3 else "t1", float(np.exp(x) * 10))
+            for i, x in enumerate(rng.standard_normal(5_000))]
+    rows += [("t0", float("nan")), ("t1", None)]
+    df = spark.createDataFrame(rows, "tool string, lat double")
+    src = str(tmp_path / "dds_src")
+    df.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful_grouped_ddsketch(stream, "tool", "lat", alpha=0.01,
+                                    quantiles=(0.5, 0.99))
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("dds_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = spark.sql("""
+        SELECT tool, sketch, n_updates, q0_5, q0_99 FROM (
+          SELECT *, row_number() OVER (PARTITION BY tool
+                                       ORDER BY n_updates DESC) AS rn
+          FROM dds_stream) WHERE rn = 1""").collect()
+    assert {r["tool"] for r in res} == {"t0", "t1"}
+    for r in res:
+        batch = ddsketch_build_jvm(df.where(F.col("tool") == r["tool"]),
+                                   "lat", alpha=0.01)
+        assert bytes(r["sketch"]) == batch.to_bytes()
+        assert r["n_updates"] == batch.n
+        sk = DDSketch.from_bytes(bytes(r["sketch"]))
+        assert r["q0_5"] == float(sk.quantile(0.5))
+        assert r["q0_99"] == float(sk.quantile(0.99))
