@@ -858,6 +858,10 @@ def test_wire_exhaustive_prefix_and_flip_fuzz(rng):
     dd.update(np.concatenate([np.exp(vals), -np.exp(vals[:300]),
                               np.zeros(5)]))
     sketches.append(dd)  # both stores + zero bucket
+    dd2 = DDSketch(0.002, bucket_limit=16)
+    dd2.update(np.exp(3.0 * vals))
+    assert dd2.collapsed
+    sketches.append(dd2)  # collapsed flag set on the wire
 
     for sk in sketches:
         cls = type(sk)
