@@ -209,7 +209,8 @@ def hll_grouped_build_jvm(df: DataFrame, keys, cols, p: int = 14,
 # --------------------------------------------------------------------------
 
 def multi_sketch_build_jvm(df: DataFrame, specs: dict,
-                           seed: int = DEFAULT_SEED) -> dict:
+                           seed: int = DEFAULT_SEED,
+                           max_buckets: int = 4_000_000) -> dict:
     """Build a FAMILY of HLL/CMS/DDSketch sketches in ONE scan and ONE
     shuffle, entirely JVM-side — bit-identical to the individual
     hll_build_jvm / cms_build_jvm / ddsketch_build_jvm results (tested).
@@ -235,6 +236,12 @@ def multi_sketch_build_jvm(df: DataFrame, specs: dict,
     spark = df.sparkSession
     names = list(specs)
     metas = []
+    # driver-collect budget: HLL/CMS cell counts are bounded by geometry;
+    # each ddsketch spec can occupy up to its data's bucket span, so it
+    # contributes ``max_buckets`` (the same guard ddsketch_build_jvm
+    # applies) — the collect is capped and raises instead of OOMing the
+    # driver on an extreme-alpha spec over a wide-range column
+    cell_budget = 0
     with _wrap_arithmetic(spark):
         base = df
         structs = []
@@ -250,6 +257,7 @@ def multi_sketch_build_jvm(df: DataFrame, specs: dict,
                 structs.append(F.when(_notnull(cs), F.struct(
                     F.lit(tag).alias("t"), reg.alias("c"), key.alias("v"))))
                 metas.append(("hll", p, None))
+                cell_budget += 1 << p
             elif kind == "cms":
                 _, cols, eps, delta = spec
                 proto = CountMinSketch(eps=eps, delta=delta)
@@ -270,30 +278,35 @@ def multi_sketch_build_jvm(df: DataFrame, specs: dict,
                         F.expr(f"{(j - 1) * w}L + {col}").alias("c"),
                         F.lit(0).cast("long").alias("v"))))
                 metas.append(("cms", w, d))
+                cell_budget += w * d
             elif kind == "ddsketch":
                 col = spec[1]
                 alpha = spec[2]
                 limit = spec[3] if len(spec) > 3 else 2048
                 proto = DDSketch(alpha, limit)  # validates up front
                 c = _cols([col])[0].cast("double")
-                finite = (c.isNotNull() & ~F.isnan(c)
-                          & (F.abs(c) != F.lit(float("inf"))))
-                idx = F.when(c == 0, F.lit(0).cast("long")).otherwise(
-                    F.ceil(F.log(F.abs(c)) / F.lit(proto._log_gamma)))
-                code = (F.when(c > 0, F.lit(0)).when(c < 0, F.lit(1))
+                finite, sgn, idx = _ddsketch_exprs(c, proto._log_gamma)
+                code = (F.when(sgn == 1, F.lit(0)).when(sgn == -1, F.lit(1))
                          .otherwise(F.lit(2)).cast("long"))
                 structs.append(F.when(finite, F.struct(
                     F.lit(tag).alias("t"),
                     (idx * F.lit(4) + code).alias("c"),
                     F.lit(0).cast("long").alias("v"))))
                 metas.append(("ddsketch", alpha, limit))
+                cell_budget += max_buckets
             else:
                 raise ValueError(f"unknown family spec kind {kind!r}")
         cells = (base.select(F.explode(F.array(*structs)).alias("p"))
                      .where(F.col("p").isNotNull())
                      .groupBy("p.t", "p.c")
                      .agg(F.min("p.v").alias("mv"), F.count("*").alias("n"))
+                     .limit(cell_budget + 1)
                      .toPandas())
+    if len(cells) > cell_budget:
+        raise ValueError(
+            f"family build occupies > {cell_budget} aggregate cells — a "
+            f"ddsketch spec's bucket span exceeds max_buckets="
+            f"{max_buckets}; raise max_buckets or coarsen its alpha")
 
     out = {}
     for tag, name in enumerate(names):
@@ -1299,20 +1312,31 @@ def mg_grouped_build_preagg(df: DataFrame, keys, cols, k: int = 256,
     return out
 
 
-def _ddsketch_cells(df: DataFrame, col, log_gamma: float):
-    """(sign, bucket-index) cell projection for the DDSketch builds: one
-    codegen expression per row — sign in {-1, 0, 1} and
-    idx = ceil(ln(|v|) / ln(gamma)) (0 for the zero bucket; Spark's
-    `ceil(double)` returns LONG). NaN/NULL/+-inf rows are filtered, the
+def _ddsketch_exprs(c: Column, log_gamma: float
+                    ) -> tuple[Column, Column, Column]:
+    """THE DDSketch domain + bucketing expressions — the single source of
+    truth for every JVM-side build (standalone, grouped, one-scan family,
+    streaming filter), so a change to the domain rule or the index math
+    cannot diverge one path from the kernel's byte-parity contract.
+    Returns (finite-predicate, sign in {-1,0,1}, idx =
+    ceil(ln(|v|)/ln(gamma)); 0 for the zero bucket; Spark's
+    `ceil(double)` returns LONG). NaN/NULL/+-inf fail the predicate, the
     same domain rule as DDSketch.update. A value within 1 ulp of a bucket
     boundary may bucket one off vs the numpy kernel (Math.log vs libm);
     both neighbors' representatives are within alpha of it, so estimates
     are unaffected (sketches/ddsketch.py bucket_index docstring)."""
-    c = _cols([col])[0].cast("double")
     finite = c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
     sgn = F.when(c > 0, F.lit(1)).when(c < 0, F.lit(-1)).otherwise(F.lit(0))
     idx = F.when(c == 0, F.lit(0).cast("long")).otherwise(
         F.ceil(F.log(F.abs(c)) / F.lit(log_gamma)))
+    return finite, sgn, idx
+
+
+def _ddsketch_cells(df: DataFrame, col, log_gamma: float):
+    """(sign, bucket-index) cell projection over the filtered rows — the
+    standalone/grouped builds' form of _ddsketch_exprs."""
+    c = _cols([col])[0].cast("double")
+    finite, sgn, idx = _ddsketch_exprs(c, log_gamma)
     return df.where(finite), sgn.alias("__s"), idx.alias("__i")
 
 

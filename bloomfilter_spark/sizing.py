@@ -210,8 +210,8 @@ def suggest_scalable_bloom(total_err_rate: float, tightening: float = 0.5,
 
 
 def suggest_ddsketch(rel_value_error: float,
-                     dynamic_range: float = 1e9
-                     ) -> tuple[float, int, int]:
+                     dynamic_range: float = 1e9,
+                     signed: bool = False) -> tuple[float, int, int]:
     """DDSketch geometry for a target relative VALUE error: alpha is the
     target itself (the bound is exact by construction — Masson et al.
     VLDB 2019), so the sizing question is the BUCKET budget: values
@@ -224,7 +224,11 @@ def suggest_ddsketch(rel_value_error: float,
 
     Returns (alpha, bucket_limit, state_bytes); state is 12 bytes per
     occupied bucket (int32 index + uint64 count) + the fixed header, an
-    UPPER bound — sparse data occupies fewer. The error dual
+    UPPER bound — sparse data occupies fewer. ``bucket_limit`` caps EACH
+    sign's store, so data carrying both signs (deltas, signed scores —
+    not the plain-latency case) holds up to two full stores: pass
+    ``signed=True`` to budget state_bytes for both (the limit itself is
+    per-store and unchanged). The error dual
     (DDSketch.value_error_bound) reports the same alpha back."""
     _require_frac("rel_value_error", rel_value_error)
     if rel_value_error < 1e-6:
@@ -235,7 +239,8 @@ def suggest_ddsketch(rel_value_error: float,
     gamma = (1.0 + rel_value_error) / (1.0 - rel_value_error)
     span = math.ceil(math.log(dynamic_range) / math.log(gamma)) + 1
     limit = max(16, math.ceil(span * 1.25))
-    return rel_value_error, limit, 12 * limit + 58
+    stores = 2 if signed else 1
+    return rel_value_error, limit, stores * 12 * limit + 58
 
 
 def suggest_iblt(max_diff: int, num_hashes: int = 4) -> tuple[int, float, int]:
@@ -358,7 +363,8 @@ def suggest_sketch(kind: str, **targets) -> dict:
     if kind == "ddsketch":
         rng = targets.get("dynamic_range", 1e9)
         alpha, limit, nbytes = suggest_ddsketch(
-            targets["rel_value_error"], rng)
+            targets["rel_value_error"], rng,
+            signed=bool(targets.get("signed", False)))
         return {"kind": kind,
                 "params": {"alpha": alpha, "bucket_limit": limit},
                 "predicted_error": alpha, "state_bytes": nbytes}

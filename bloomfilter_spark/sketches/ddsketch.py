@@ -181,6 +181,10 @@ class DDSketch(Sketch):
         if not np.all(np.equal(np.mod(w, 1), 0)):
             raise ValueError("DDSketch weights must be integral (counts)")
         w = w.astype(np.int64)
+        if np.any(w < 0):
+            raise ValueError("DDSketch weights must be non-negative counts "
+                             "(negative weight is a caller sign bug, not a "
+                             "deletion — this sketch cannot delete)")
         keep = np.isfinite(v) & (w > 0)
         v, w = v[keep], w[keep]
         if v.size == 0:

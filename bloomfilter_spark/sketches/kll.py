@@ -119,6 +119,10 @@ class KLL(Sketch):
         if not np.all(np.equal(np.mod(w, 1), 0)):
             raise ValueError("KLL weights must be integral (counts)")
         w = w.astype(np.int64)
+        if np.any(w < 0):
+            raise ValueError("KLL weights must be non-negative counts "
+                             "(a negative weight is a caller sign bug; "
+                             "zero-weight rows are dropped)")
         keep = ~np.isnan(v) & (w > 0)
         v, w = v[keep], w[keep]
         if v.size == 0:

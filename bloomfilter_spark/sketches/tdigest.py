@@ -88,6 +88,10 @@ class TDigest(Sketch):
         build path: see jvm_build.quantile_build_preagg."""
         v = np.ascontiguousarray(values, dtype=np.float64)
         w = np.asarray(weights, dtype=np.float64)
+        if np.any(w < 0):
+            raise ValueError("t-digest weights must be non-negative "
+                             "(a negative weight is a caller sign bug; "
+                             "zero-weight rows are dropped)")
         keep = ~np.isnan(v) & (w > 0)
         v, w = v[keep], w[keep]
         if v.size == 0:

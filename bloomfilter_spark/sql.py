@@ -273,7 +273,8 @@ def sketch_rank(sketch: pd.Series, x: pd.Series) -> pd.Series:
     the dual of sketch_quantile. KLL and DDSketch blobs answer via
     ``rank`` (KLL: normalized rank error ~1.7/k; DDSketch: exact over its
     step distribution, each step within alpha of its bucket's values);
-    t-digest blobs via ``cdf`` (interpolated centroid CDF). Typical use: evaluate a fixed SLO threshold against warehoused
+    t-digest blobs via ``cdf`` (interpolated centroid CDF). Typical
+    use: evaluate a fixed SLO threshold against warehoused
     per-epoch latency sketches ("what fraction of turns finished under
     200 ms this week vs last") without touching raw data."""
     def rk(b, xx):
@@ -289,24 +290,40 @@ def sketch_rank(sketch: pd.Series, x: pd.Series) -> pd.Series:
     return pd.Series([rk(b, xx) for b, xx in zip(sketch, x)], dtype="object")
 
 
+def _ks_pair(x, y, require: type | None = None,
+             fname: str = "sketch_ks_distance"):
+    """Shared KS dispatch: parse both blobs, enforce same family (and
+    optionally an exact required class), evaluate the kernel's
+    ks_distance. One code path for kll_ks_distance and the generic
+    sketch_ks_distance so their behavior cannot drift apart."""
+    if x is None or y is None:
+        return None
+    sa, sb = _parse(bytes(x)), _parse(bytes(y))
+    if require is not None:
+        for s in (sa, sb):
+            if not isinstance(s, require):
+                raise TypeError(f"{fname} needs {require.__name__} blobs, "
+                                f"got {type(s).__name__}")
+    if type(sa) is not type(sb):
+        raise TypeError(f"{fname} needs two blobs of the same family, "
+                        f"got {type(sa).__name__} vs {type(sb).__name__}")
+    if not hasattr(sa, "ks_distance"):
+        raise TypeError(f"{fname} needs a value sketch with a CDF "
+                        f"(KLL/DDSketch), got {type(sa).__name__}")
+    return float(sa.ks_distance(sb))
+
+
 def kll_ks_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     """Two-sample Kolmogorov–Smirnov statistic between two KLL blobs
     (sup_x |F_a(x) - F_b(x)|, evaluated exactly over the sketch CDFs —
     see sketches.kll.KLL.ks_distance). The distribution-drift signal in
     pure SQL over warehoused/streamed quantile sketches; error vs the
-    true-sample KS <= the sum of the two sketches' rank error bounds."""
+    true-sample KS <= the sum of the two sketches' rank error bounds.
+    Strictly KLL-typed (name contract); `sketch_ks_distance` is the
+    family-generic form — both share one dispatch path (_ks_pair)."""
     from .sketches.kll import KLL
-
-    def ks(x, y):
-        if x is None or y is None:
-            return None
-        sa, sb = _parse(bytes(x)), _parse(bytes(y))
-        for s in (sa, sb):
-            if not isinstance(s, KLL):
-                raise TypeError(f"kll_ks_distance needs KLL blobs, got "
-                                f"{type(s).__name__}")
-        return float(sa.ks_distance(sb))
-    return pd.Series([ks(x, y) for x, y in zip(a, b)], dtype="object")
+    return pd.Series([_ks_pair(x, y, require=KLL, fname="kll_ks_distance")
+                      for x, y in zip(a, b)], dtype="object")
 
 
 def sketch_ks_distance(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -319,20 +336,8 @@ def sketch_ks_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     supports encode different approximations, so a cross-family sup is
     not a drift measurement."""
 
-    def ks(x, y):
-        if x is None or y is None:
-            return None
-        sa, sb = _parse(bytes(x)), _parse(bytes(y))
-        if type(sa) is not type(sb):
-            raise TypeError(
-                f"sketch_ks_distance needs two blobs of the same family, "
-                f"got {type(sa).__name__} vs {type(sb).__name__}")
-        if not hasattr(sa, "ks_distance"):
-            raise TypeError(
-                f"sketch_ks_distance needs a value sketch with a CDF "
-                f"(KLL/DDSketch), got {type(sa).__name__}")
-        return float(sa.ks_distance(sb))
-    return pd.Series([ks(x, y) for x, y in zip(a, b)], dtype="object")
+    return pd.Series([_ks_pair(x, y) for x, y in zip(a, b)],
+                     dtype="object")
 
 
 def sketch_histogram(sketch: pd.Series, lo: pd.Series, hi: pd.Series,
@@ -505,7 +510,8 @@ def sketch_fold(sketch: pd.Series, target: pd.Series) -> pd.Series:
     """Geometry downgrade of any foldable blob to ``target``, the family's
     primary size parameter: HLL precision p, Bloom num_bits, theta / MG /
     KLL k, t-digest delta, CMS width (depth kept — cms_fold controls
-    both), DDSketch integer gamma-power coarsening factor m. The warehouse escape hatch for geometry migrations: two tables
+    both), DDSketch integer gamma-power coarsening factor m. The
+    warehouse escape hatch for geometry migrations: two tables
     built at different sizes merge after folding the finer one down —
     exactly for Bloom/HLL/CMS-plain/theta (byte-identical to a direct
     build at the target; kernel fold() docstrings prove each case), with

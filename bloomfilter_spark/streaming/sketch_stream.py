@@ -572,9 +572,10 @@ def stateful_grouped_ddsketch(stream_df: DataFrame, key_col: str,
             row[nm] = [float(sk.quantile(q))]
         yield pd.DataFrame(row)
 
+    from ..jvm_build import _ddsketch_exprs
     v = F.col(value_col).cast("double")
-    vals = (stream_df.where(v.isNotNull() & ~F.isnan(v)
-                            & (F.abs(v) != F.lit(float("inf"))))
+    finite, _, _ = _ddsketch_exprs(v, 1.0)  # predicate only; idx unused
+    vals = (stream_df.where(finite)
             .select(F.col(key_col).cast("string").alias(key_col),
                     v.alias("__v")))
     return (vals.groupBy(key_col)

@@ -509,3 +509,32 @@ def test_stateful_grouped_ddsketch_blob_equals_batch(spark, tmp_path, rng):
         sk = DDSketch.from_bytes(bytes(r["sketch"]))
         assert r["q0_5"] == float(sk.quantile(0.5))
         assert r["q0_99"] == float(sk.quantile(0.99))
+
+
+def test_family_build_cell_budget_guard(spark, rng):
+    """multi_sketch_build_jvm's collect is budget-capped: a ddsketch spec
+    whose occupied-bucket span exceeds max_buckets raises with resize
+    guidance instead of OOMing the driver (review fix — the standalone
+    builder already had this guard)."""
+    from bloomfilter_spark.jvm_build import multi_sketch_build_jvm
+    df = spark.createDataFrame(
+        [(f"u{i}", float(np.exp(x * 5)))
+         for i, x in enumerate(rng.standard_normal(2_000))],
+        "user string, v double")
+    with pytest.raises(ValueError, match="max_buckets"):
+        multi_sketch_build_jvm(df, {
+            "hll_u": ("hll", ["user"], 10),
+            "dd_v": ("ddsketch", "v", 0.01),
+        }, max_buckets=10)
+
+
+def test_negative_weights_raise_across_value_sketches():
+    """update_weighted raises on negative weights for every value sketch
+    (review fix: previously silently dropped, while the pre-bucketed
+    _insert_buckets path raised — two contracts for one invalid input).
+    Zero weights are still dropped (legit pre-agg output)."""
+    from bloomfilter_spark.sketches import DDSketch, KLL, TDigest
+    for sk in (DDSketch(0.01), KLL(64), TDigest(50)):
+        with pytest.raises(ValueError, match="negative|non-negative"):
+            sk.update_weighted(np.array([1.0, 2.0]), np.array([3, -1]))
+        sk.update_weighted(np.array([1.0, 2.0]), np.array([3, 0]))  # ok

@@ -297,6 +297,16 @@ def test_sized_ddsketch_meets_target(rng):
     exact = xs[np.floor(qs * (len(xs) - 1)).astype(int)]
     rel = np.abs(np.asarray(sk.quantile(qs)) - exact) / exact
     assert rel.max() <= target * (1 + 1e-9)
+    # signed data fills BOTH stores: the budget doubles (review fix) and
+    # a mixed-sign corpus spanning the range stays within it uncollapsed
+    a2, l2, nb2 = suggest_ddsketch(target, dynamic_range=drange, signed=True)
+    assert l2 == limit and nb2 == 2 * 12 * limit + 58
+    sk2 = DDSketch(a2, bucket_limit=l2)
+    sk2.update(np.concatenate([v, -v]))
+    assert not sk2.collapsed and sk2.state_nbytes <= nb2
+    assert suggest_sketch("ddsketch", rel_value_error=target,
+                          dynamic_range=drange,
+                          signed=True)["state_bytes"] == nb2
     # validation
     with pytest.raises(SizingError):
         suggest_ddsketch(1e-7)
