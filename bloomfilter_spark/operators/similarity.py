@@ -443,3 +443,41 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, queries: np.ndarray,
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (local.withColumn("__rn", F.row_number().over(w))
                  .where(F.col("__rn") <= k).drop("__rn"))
+
+
+def embedding_principal_directions(df: DataFrame, vec_col: str,
+                                   ell: int = 64, k: int | None = None):
+    """Top singular directions of an embedding column via a distributed
+    Frequent Directions build (sketches/fd.py): one mapInPandas pass
+    folds each partition's rows into an ell-row matrix sketch, the O(P)
+    partial blobs (ell x d float64 each — KiBs) merge on the driver, and
+    the result answers covariance-level questions with Liberty's
+    deterministic bound ||A^T A - B^T B||_2 <= ||A||_F^2 / ell.
+
+    The embedding-space diagnostic pass a curation pipeline runs before
+    trusting a similarity index: spectrum decay / collapsed-space checks
+    (effective rank), PCA preconditioning for IVF geometry — all from
+    ONE corpus scan with O(ell*d) driver traffic, where the exact
+    alternative accumulates a d x d Gram per partition (d^2 >> ell*d for
+    modern embedding widths) or ships every vector.
+
+    Returns (sketch, singular_values[:k], directions[:k] as (k, d)).
+    NULL vectors are skipped; ragged dimensions raise (the sketch pins d
+    on first row)."""
+    from ..sketches.fd import FrequentDirections
+
+    def partials(it: Iterable[pd.DataFrame]):
+        sk = FrequentDirections(ell)
+        for pdf in it:
+            vecs = pdf[vec_col].dropna()
+            if len(vecs):
+                sk.update(_as_matrix(vecs).astype(np.float64))
+        yield pd.DataFrame({"sketch": [sk.to_bytes()]})
+
+    rows = (df.select(vec_col).where(F.col(vec_col).isNotNull())
+              .mapInPandas(partials, schema="sketch binary").collect())
+    out = FrequentDirections(ell)
+    for r in rows:  # O(partitions) blobs, each <= ell*d float64
+        out.merge(FrequentDirections.from_bytes(bytes(r["sketch"])))
+    sig, vt = out.singular_directions(k)
+    return out, sig, vt

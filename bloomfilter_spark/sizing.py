@@ -243,6 +243,22 @@ def suggest_ddsketch(rel_value_error: float,
     return rel_value_error, limit, stores * 12 * limit + 58
 
 
+def suggest_fd(fnorm2_fraction: float, d: int) -> tuple[int, float, int]:
+    """Frequent Directions buffer rows for a target covariance error
+    expressed as a fraction of the stream's total Frobenius mass:
+    Liberty's bound is ||A^T A - B^T B||_2 <= ||A||_F^2 / ell, so
+    ell = ceil(1/fraction) guarantees the requested fraction
+    deterministically (no delta). Returns (ell, predicted_fraction,
+    state_bytes = ell * d * 8 for the serialized buffer + header) —
+    the d x d exact-Gram alternative costs d*d*8 per partial, so the
+    sketch wins whenever ell < d."""
+    _require_frac("fnorm2_fraction", fnorm2_fraction)
+    if d < 1:
+        raise SizingError("d must be >= 1")
+    ell = max(2, math.ceil(1.0 / fnorm2_fraction))
+    return ell, 1.0 / ell, ell * d * 8 + 40
+
+
 def suggest_iblt(max_diff: int, num_hashes: int = 4) -> tuple[int, float, int]:
     """IBLT cells for decoding a symmetric difference of up to
     ``max_diff`` keys w.h.p.: the Goodrich–Mitzenmacher c_k space rate
@@ -290,6 +306,10 @@ def suggest_sketch(kind: str, **targets) -> dict:
                                               weight)
       mg     eps=                          -> k
       tdigest mid_rank_error=              -> delta
+      fd     fnorm2_fraction=, d=          -> ell (Frequent Directions:
+                                              deterministic spectral
+                                              covariance error as a
+                                              fraction of ||A||_F^2)
       ddsketch rel_value_error= [, dynamic_range=] -> alpha/bucket_limit
                                               (relative VALUE error —
                                               alpha IS the target; sizing
@@ -368,6 +388,11 @@ def suggest_sketch(kind: str, **targets) -> dict:
         return {"kind": kind,
                 "params": {"alpha": alpha, "bucket_limit": limit},
                 "predicted_error": alpha, "state_bytes": nbytes}
+    if kind == "fd":
+        ell, frac, nbytes = suggest_fd(targets["fnorm2_fraction"],
+                                       targets["d"])
+        return {"kind": kind, "params": {"ell": ell, "d": targets["d"]},
+                "predicted_error": frac, "state_bytes": nbytes}
     if kind == "iblt":
         kh = targets.get("num_hashes", 4)
         cells, cap_keys, nbytes = suggest_iblt(targets["max_diff"], kh)

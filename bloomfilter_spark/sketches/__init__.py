@@ -2,6 +2,7 @@ from .base import Sketch
 from .bloom import BloomFilter
 from .cms import CountMinSketch
 from .ddsketch import DDSketch
+from .fd import FrequentDirections
 from .counting import CountingBloomFilter
 from .hll import HyperLogLog
 from .iblt import IBLT
@@ -19,7 +20,8 @@ SKETCH_TYPES: dict[int, type] = {
     cls.TYPE_TAG: cls
     for cls in (BloomFilter, HyperLogLog, CountMinSketch, TDigest, KLL,
                 ScalableBloomFilter, ThetaSketch, MisraGries, SampleSketch,
-                CountingBloomFilter, WeightedSampleSketch, IBLT, DDSketch)
+                CountingBloomFilter, WeightedSampleSketch, IBLT, DDSketch,
+                FrequentDirections)
 }
 
 
@@ -37,5 +39,6 @@ def sketch_from_bytes(buf: bytes) -> Sketch:
 __all__ = ["Sketch", "BloomFilter", "HyperLogLog", "CountMinSketch",
            "TDigest", "KLL", "MisraGries", "ScalableBloomFilter",
            "ThetaSketch", "SampleSketch", "CountingBloomFilter",
-           "WeightedSampleSketch", "IBLT", "DDSketch", "theta_intersect",
+           "WeightedSampleSketch", "IBLT", "DDSketch", "FrequentDirections",
+           "theta_intersect",
            "theta_a_not_b", "SKETCH_TYPES", "sketch_from_bytes"]

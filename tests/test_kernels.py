@@ -813,7 +813,7 @@ def test_mg_serialization_roundtrip_and_errors(rng):
 
 def test_wire_exhaustive_prefix_and_flip_fuzz(rng):
     """The strongest form of the wire-integrity claim, verified by brute
-    force on small sketches of all 13 families: EVERY strict prefix of a
+    force on small sketches of all 14 families: EVERY strict prefix of a
     blob and EVERY sampled single-byte flip (header bytes exhaustively,
     body positions sampled) raises — nothing parses to silently different
     state. Since v4 the header sits inside the CRC, so tag/plen flips are
@@ -862,6 +862,10 @@ def test_wire_exhaustive_prefix_and_flip_fuzz(rng):
     dd2.update(np.exp(3.0 * vals))
     assert dd2.collapsed
     sketches.append(dd2)  # collapsed flag set on the wire
+    from bloomfilter_spark.sketches.fd import FrequentDirections
+    fd = FrequentDirections(ell=8)
+    fd.update(vals[:200].reshape(20, 10))
+    sketches.append(fd)  # matrix sketch: float payload, params-gated
 
     for sk in sketches:
         cls = type(sk)

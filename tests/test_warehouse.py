@@ -467,6 +467,7 @@ def test_verify_sketch_table_all_families(spark, tmp_path):
     from bloomfilter_spark.sketches.bloom import BloomFilter
     from bloomfilter_spark.sketches.iblt import IBLT
     from bloomfilter_spark.sketches.ddsketch import DDSketch
+    from bloomfilter_spark.sketches.fd import FrequentDirections
     from bloomfilter_spark.sketches.sample import SampleSketch
     from bloomfilter_spark.sketches.wsample import WeightedSampleSketch
     from bloomfilter_spark.warehouse import verify_sketch_table
@@ -488,6 +489,7 @@ def test_verify_sketch_table_all_families(spark, tmp_path):
         "weighted_sample": lambda: WeightedSampleSketch(32),
         "iblt": lambda: IBLT(256, 4),
         "ddsketch": lambda: DDSketch(0.01, bucket_limit=128),
+        "fd": lambda: FrequentDirections(ell=8, d=10),
     }
     for name, fac in factories.items():
         rows = []
@@ -497,6 +499,8 @@ def test_verify_sketch_table_all_families(spark, tmp_path):
             if name == "weighted_sample":
                 sk.update(hh, (hh % np.uint64(31)).astype(np.float64) + 1.0,
                           [b"x"] * len(hh))
+            elif name == "fd":
+                sk.update(v[i::4][:90].reshape(-1, 10))  # matrix rows
             else:
                 sk.update(v[i::4] if not sk.HASH_KEYED else hh)
             rows.append((f"k{i}", sk.to_bytes()))
