@@ -91,6 +91,8 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
     from bloomfilter_spark.agg import build_sketch, multi_sketch_build
+    from bloomfilter_spark.operators.similarity import (
+        embedding_principal_directions)
     from bloomfilter_spark.config import get_spark
     from bloomfilter_spark.jvm_build import (cms_build_jvm,
                                              ddsketch_build_jvm,
@@ -219,6 +221,13 @@ def main() -> None:
         ("build_ddsketch_jvm",
          lambda: ddsketch_build_jvm(
              tr.select(F.length("text").alias("len")), "len", alpha=0.01)),
+        # Frequent Directions over the embeddings table (14th family):
+        # per-partition matrix-sketch partials, O(ell*d) driver traffic —
+        # the embedding-spectrum diagnostic pass
+        ("fd_embedding_dirs",
+         lambda: embedding_principal_directions(
+             spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+             "embedding", ell=64, k=8)),
         ("sig_minhash_1m",
          lambda: minhash_signatures(sub, "doc_id", "text")
                  .write.format("noop").mode("overwrite").save()),
