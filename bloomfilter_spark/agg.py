@@ -171,8 +171,18 @@ def sketch_df(df: DataFrame, cols, factory: Callable[[], Sketch],
     # still allocates and (worst case) ships the dense state
     partial_bytes = proto.state_nbytes
     if partial_bytes > (4 << 20):
-        target = df.sparkSession.sparkContext.defaultParallelism
-        prepped = prepped.coalesce(target)
+        p = df.sparkSession.sparkContext.defaultParallelism
+        # Each partial ships O(state) bytes REGARDLESS of its row count,
+        # so the merge stage's input is partial_count * state — fewer,
+        # bigger build tasks cut it linearly (measured on the 16 MB-state
+        # bench bloom: 32 -> 16 partials took the whole build from ~5.5 s
+        # to ~3.9 s; 8 and 4 partials were flat from there, so scan
+        # parallelism is kept instead). Bound the fan-in to ~256 MB of
+        # partials, floored at p/4 tasks so a big cluster's scan still
+        # spreads; beyond 4x merge_partitions the two-level merge below
+        # takes over (unchanged).
+        target = max(p // 4, min(p, (256 << 20) // partial_bytes))
+        prepped = prepped.coalesce(max(target, 1))
     partials = build_partials(prepped, factory)
     if two_level == "auto":
         two_level = prepped.rdd.getNumPartitions() > 4 * merge_partitions
@@ -214,13 +224,20 @@ def multi_sketch_build(df: DataFrame, specs: dict[str, tuple],
     every kernel updates from the same batch.
 
     NULL semantics per spec are preserved (rows with a NULL key are
-    skipped for that spec only) via a validity flag column — a NULL long
-    must never reach pandas, where it would become lossy float64.
+    skipped for that spec only) via ONE packed validity bitmask column —
+    a NULL long must never reach pandas, where it would become lossy
+    float64, and shipping one long instead of a boolean per spec keeps
+    the Arrow pipe at (specs + 1) columns per row instead of 2x specs
+    (the pipe is the dominant cost of this path at any scale).
     """
     names = list(specs)
+    if len(names) > 63:
+        raise ValueError("multi_sketch_build packs spec validity into one "
+                         "long bitmask: at most 63 specs per call")
     protos = {n: specs[n][1]() for n in names}
     proj: list[Column] = []
-    for n in names:
+    mask: Column | None = None
+    for i, n in enumerate(names):
         cs = _cols(specs[n][0])
         notnull = cs[0].isNotNull()
         for c in cs[1:]:
@@ -233,21 +250,27 @@ def multi_sketch_build(df: DataFrame, specs: dict[str, tuple],
             v = cs[0].cast("double")
         fill = F.lit(0).cast("long") if protos[n].HASH_KEYED else F.lit(0.0)
         proj.append(F.coalesce(v, fill).alias(f"__v_{n}"))
-        proj.append(notnull.alias(f"__ok_{n}"))
+        bit = F.when(notnull, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        mask = bit if mask is None else mask.bitwiseOR(bit)
+    proj.append(mask.alias("__mask"))
     prepped = df.select(*proj)
     factories = {n: specs[n][1] for n in names}
     hash_keyed = {n: protos[n].HASH_KEYED for n in names}
+    full_mask = (1 << len(names)) - 1
 
     def partials(it: Iterable[pd.DataFrame]):
         sks = {n: factories[n]() for n in names}
         for pdf in it:
-            for n in names:
-                ok = pdf[f"__ok_{n}"].to_numpy()
+            m = pdf["__mask"].to_numpy()
+            all_ok = bool((m == full_mask).all())
+            for i, n in enumerate(names):
                 raw = pdf[f"__v_{n}"].to_numpy()
+                if not all_ok:
+                    raw = raw[(m >> i) & 1 == 1]
                 if hash_keyed[n]:
-                    sks[n].update(to_u64(raw[ok]))
+                    sks[n].update(to_u64(raw))
                 else:
-                    sks[n].update(np.asarray(raw[ok], dtype=np.float64))
+                    sks[n].update(np.asarray(raw, dtype=np.float64))
         yield pd.DataFrame({"name": names,
                             "sketch": [sks[n].to_bytes() for n in names]})
 

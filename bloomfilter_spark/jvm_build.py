@@ -654,15 +654,20 @@ def theta_build_jvm(df: DataFrame, cols, k: int = 4096,
     reach the driver whatever n is. Unsigned hash order is signed order
     after flipping the sign bit (same trick as hll_build_jvm).
 
-    ``expected_n``: optional rough distinct-count hint. When given, rows
-    are pre-filtered to hashes below ~8·(k+1)/expected_n of the hash space
+    ``expected_n``: optional rough distinct-count hint. Rows are
+    pre-filtered to hashes below ~8·(k+1)/expected_n of the hash space
     *before* the dedup shuffle, so the shuffle carries ~8k rows instead of
     every distinct hash (the difference between an 8 GB and a 64 KB
     exchange at 10^9 distinct keys). Safe for any hint quality: the result
     is accepted only if k+1 survivors prove the true theta lies below the
     pre-filter threshold; otherwise (hint too high by >8x) the build
     silently falls back to one unfiltered pass. Byte-identical either way
-    (tested)."""
+    (tested). When no hint is given the build now speculates with
+    expected_n = 2^20 (r6): any corpus with >= 2^17 distinct keys accepts
+    the filtered pass (its dedup shuffle shrinks by n/2^20), and a
+    smaller corpus pays one extra filtered scan whose dedup is tiny by
+    the same bound — cheap exactly when the fallback full pass is also
+    cheap."""
     from .sketches.theta import ThetaSketch, _THETA_MAX
     sk = ThetaSketch(k)  # validates k
     cs = _cols(cols)
@@ -675,6 +680,8 @@ def theta_build_jvm(df: DataFrame, cols, k: int = 4096,
         return np.sort(arr)
 
     arr = None
+    if expected_n is None:
+        expected_n = 1 << 20  # speculative default; wrong guesses fall back
     if expected_n and expected_n > 0:
         thr_u = min((1 << 64) - 1,
                     ((k + 1) * 8 * (1 << 64)) // max(int(expected_n), 1))

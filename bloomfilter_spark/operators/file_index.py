@@ -68,8 +68,19 @@ def build_file_bloom_index(spark: SparkSession, path: str,
     from ..agg import grouped_sketch_table
 
     src = spark.read.parquet(*files) if files else spark.read.parquet(path)
-    df = src.withColumn("__file", F.input_file_name())
-    counts = df.groupBy("__file").agg(F.count("*").alias("n_rows"))
+    # group on an 8-byte hash of the file name, not the name itself: the
+    # grouping column rides EVERY row through the build's Arrow pipe and
+    # pandas groupby, and a ~100-byte path string per row was the
+    # dominant transfer cost of the whole build (measured r6: ~85% of the
+    # per-row bytes). The (fkey -> file) mapping is recovered from the
+    # row-count aggregate, which scans file names once per FILE, not per
+    # row. A 64-bit collision would only MERGE two files' filters — false
+    # positives for each name, never a false negative — and at any real
+    # file count the probability is ~|files|^2 / 2^64.
+    df = src.withColumn("__fkey", F.xxhash64(F.input_file_name()))
+    counts = (src.withColumn("__file", F.input_file_name())
+                 .groupBy("__file").agg(F.count("*").alias("n_rows"))
+                 .withColumn("__fkey", F.xxhash64(F.col("__file"))))
     max_n = counts.agg(F.max("n_rows")).first()[0]
     if max_n is None:
         raise ValueError(f"no rows under {path}: nothing to index")
@@ -81,7 +92,7 @@ def build_file_bloom_index(spark: SparkSession, path: str,
     # rows of one file are contiguous in scan partitions, so the build
     # skips the phase-1 shuffle entirely (pre_partitioned): partials fold
     # per scan task, the only exchange carries per-(task, file) partials
-    tbl = grouped_sketch_table(df, ["__file"], list(cols),
+    tbl = grouped_sketch_table(df, ["__fkey"], list(cols),
                                lambda: BloomFilter(m, k), seed=seed,
                                salt=salt, pre_partitioned=True)
     # the index is self-describing: key_types records the indexed columns'
@@ -89,7 +100,7 @@ def build_file_bloom_index(spark: SparkSession, path: str,
     # is type-sensitive — an int probe against a long-keyed index would
     # silently prune every file, violating zero-false-negatives)
     key_types = ",".join(src.schema[c].dataType.simpleString() for c in cols)
-    return (tbl.join(counts, "__file")
+    return (tbl.join(counts, "__fkey")
                .withColumnRenamed("__file", "file")
                .withColumn("key_types", F.lit(key_types))
                .select("file", "n_rows", "key_types", "sketch"))

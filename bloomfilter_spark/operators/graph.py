@@ -66,20 +66,73 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _is_star_forest(e: DataFrame) -> bool:
-    """Exact fixpoint test: a canonical edge set is a star forest iff no
-    node appears both as a member (u) and as a root (v) — members all
-    point directly at their star's root, which (u > v canonical form +
-    connectivity preservation, Kiveris et al. §3) is the component
-    minimum. Detecting the fixpoint THIS way ends the loop one full
-    large-star/small-star round earlier than comparing successive edge
-    sets (the fixpoint recomputation those need), and an input that is
-    already a forest — the common near-dup case of disjoint A~B pairs —
-    converges with ZERO rounds. Cost: one self semi-join on the (already
-    checkpointed) edge set per round, vs ~4 shuffles for the round it
-    replaces."""
-    return (e.select("v")
-             .join(e.select(F.col("u").alias("v")), "v", "left_semi")
-             .isEmpty())
+    """Exact fixpoint test: a canonical edge set is a star forest iff
+    (a) no node appears both as a member (u) and as a root (v) — members
+    all point directly at their star's root, which (u > v canonical form
+    + connectivity preservation, Kiveris et al. §3) is the component
+    minimum — AND (b) every member points at exactly ONE root. Condition
+    (b) is load-bearing: an edge set like {(5,1),(5,2)} satisfies (a)
+    alone, so the weaker test declared it converged and node 5 was
+    emitted in TWO components (found and regression-tested this round);
+    at the true fixpoint the edge set is the distinct (node, component
+    minimum) relation, so both conditions hold. Detecting the fixpoint
+    this way ends the loop one full large-star/small-star round earlier
+    than comparing successive edge sets, and an input that is already a
+    star forest — the common near-dup case of disjoint A~B pairs —
+    converges with ZERO rounds. Both conditions run in ONE job and ONE
+    map-side-combined aggregation: endpoints are exploded with role
+    counters, grouped by node, and a node violates iff it is a member
+    more than once or both a member and a root (measured cheaper than
+    the semi-join + aggregate pair it replaces)."""
+    roles = (e.select(F.col("u").alias("n"), F.lit(1).alias("cu"),
+                      F.lit(0).alias("cv"))
+              .unionByName(e.select(F.col("v").alias("n"),
+                                    F.lit(0).alias("cu"),
+                                    F.lit(1).alias("cv"))))
+    viol = (roles.groupBy("n")
+                 .agg(F.sum("cu").alias("u"), F.sum("cv").alias("v"))
+                 .where((F.col("u") > 1)
+                        | ((F.col("u") > 0) & (F.col("v") > 0))))
+    return viol.isEmpty()
+
+
+def _cc_round(e: DataFrame) -> DataFrame:
+    """One large-star + small-star round over a CANONICAL (u > v,
+    distinct, non-self-loop) edge set; the output is again canonical —
+    algebraically identical to ``_canonical(_small_star(_large_star(e)))``
+    with the redundant work stripped (measured: the fused round plans 6
+    exchanges instead of 9):
+
+    * large star joins only the swapped half of the neighbor list — the
+      rows with v > u are exactly ``swap(e)`` under canonical form, so
+      the probe side is |e| rows, not 2|e| (the groupBy-min still reads
+      both directions);
+    * large-star output is already canonical (emitted (v, m) has
+      v > u >= m) and distinct, so small star's leading ``_canonical``
+      — a full extra exchange — is dropped;
+    * small star's self-pair rows (u -> m) are emitted straight from the
+      groupBy-min result (one row per u) instead of unioning a distinct
+      self-pair table into the join input (another exchange dropped);
+    * small-star output is already canonical (every emission (x, m) has
+      x > m), so the outer ``_canonical`` exchange is dropped too.
+
+    ``_large_star`` / ``_small_star`` keep the literal per-operator
+    formulation; equivalence of the fused round is pinned by
+    test_graph.py::test_fused_round_matches_reference."""
+    swap = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    nbrs = e.unionByName(swap)
+    mins = (nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("m")))
+    ls = (swap.join(mins, "u")
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .distinct())
+    mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+    pairs = (ls.join(mins2, "u")
+               .where(F.col("v") != F.col("m"))
+               .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    selfp = (mins2.where(F.col("u") != F.col("m"))
+                  .select("u", F.col("m").alias("v")))
+    return pairs.unionByName(selfp).distinct()
 
 
 def _cc_state_path(checkpoint_dir: str, rnd: int) -> str:
@@ -196,46 +249,70 @@ def connected_components(edges: DataFrame, src: str = "src",
         raise ValueError("checkpoint_every must be >= 1")
     if keep_checkpoints < 1:
         raise ValueError("keep_checkpoints must be >= 1")
+    spark = edges.sparkSession
     e = _canonical(edges.select(F.col(src).alias("u"),
                                 F.col(dst).alias("v")))
     start_round = 0
-    input_edges = None
     if checkpoint_dir is not None:
         input_edges = e.count()
-        resumed = _cc_resume(edges.sparkSession, checkpoint_dir, input_edges)
+        resumed = _cc_resume(spark, checkpoint_dir, input_edges)
         if resumed is not None:
             start_round, e = resumed
-    e = e.localCheckpoint(eager=True)
-    if not _is_star_forest(e):  # already-forest input: zero rounds
-        for it in range(start_round, max_iter):
-            if _probe is not None:
-                _probe(it)
-            e = _canonical(_small_star(_large_star(e))).localCheckpoint(
-                eager=True)
-            if checkpoint_dir is not None and (it + 1) % checkpoint_every == 0:
-                _cc_checkpoint(e, checkpoint_dir, it, input_edges,
-                               keep_checkpoints)
-            if _is_star_forest(e):
-                break
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} "
-                "rounds (needs O(log^2 n)); raise max_iter")
-    # Converged star forest: edges are (member, root), member > root. A
-    # node absent as a member is a component root -> labels itself.
+        e = e.localCheckpoint(eager=True)
+    else:
+        e = e.localCheckpoint(eager=True)
+        input_edges = e.count()
+    # Scale-adaptive round partitioning (guide §2.2): each round is 6
+    # exchanges over the CURRENT edge set, which at bench/local sizes is a
+    # few MB — pinning them to the session's global shuffle partitioning
+    # spends more wall-clock on task scheduling than on the data (measured:
+    # 2.19 s -> 1.13 s per round at 1M edges, 32 -> 8 reduce tasks), while
+    # AQE's coalescing with parallelismFirst=true never shrinks below the
+    # core count (and with parallelismFirst=false it collapses these
+    # latency-sensitive iterative shuffles to ONE task — measured 2x
+    # slower). So the loop derives its partition count from the input
+    # size — ~2 MB of edge rows per reduce task, floored at 1, capped at
+    # 4x the cluster's core count so a 10^10-edge graph still fans out
+    # (160 GB / cap(4x cores) stays ~40 MB/task at 1000 cores) — and
+    # scopes it to this loop via session conf (restored in finally; the
+    # same scoped-conf pattern as jvm_build's WGL window).
+    target_bytes = int(os.environ.get("SPARK_GRAFT_CC_PARTITION_BYTES",
+                                      str(2 << 20)))
+    n_parts = min(max((input_edges * 32) // target_bytes, 1),
+                  4 * spark.sparkContext.defaultParallelism)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        if not _is_star_forest(e):  # already-forest input: zero rounds
+            for it in range(start_round, max_iter):
+                if _probe is not None:
+                    _probe(it)
+                e = _cc_round(e).localCheckpoint(eager=True)
+                if checkpoint_dir is not None and \
+                        (it + 1) % checkpoint_every == 0:
+                    _cc_checkpoint(e, checkpoint_dir, it, input_edges,
+                                   keep_checkpoints)
+                if _is_star_forest(e):
+                    break
+            else:
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_iter} "
+                    "rounds (needs O(log^2 n)); raise max_iter")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    # Converged star forest: edges are (member, root), member > root; a
+    # root labels itself. The node set is INVARIANT through star rounds
+    # (every node incident to a real edge either emits or is emitted to
+    # in both stars — see test_fused_round_matches_reference's shapes +
+    # test_cc_partition_invariance for the self-loop-only exclusion), so
+    # members ∪ roots IS the full incident-node set: the previous
+    # endpoints-distinct + semi-join + left-join re-derivation of the
+    # same set cost 3 extra exchanges over the raw input.
     members = e.select(F.col("u").alias("node"),
                        F.col("v").alias("component"))
-    nodes = (edges.select(F.col(src).alias("node"))
-                  .unionByName(edges.select(F.col(dst).alias("node")))
-                  .where(F.col("node").isNotNull()).distinct())
-    # restrict to nodes with a real (non-self-loop) edge
-    incident = (members.select("node")
-                .unionByName(members.select(F.col("component")
-                                            .alias("node"))).distinct())
-    return (nodes.join(incident, "node", "left_semi")
-                 .join(members, "node", "left")
-                 .select("node", F.coalesce("component", "node")
-                         .alias("component")))
+    roots = (e.select("v").distinct()
+              .select(F.col("v").alias("node"), F.col("v").alias("component")))
+    return members.unionByName(roots)
 
 
 def dedup_near_duplicates(df: DataFrame, pairs: DataFrame, id_col: str,

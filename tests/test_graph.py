@@ -101,6 +101,48 @@ def test_cc_forest_input_zero_rounds(spark):
                    **{i + 1000: i for i in range(50)}}
 
 
+def test_cc_multi_root_member_not_declared_converged(spark):
+    """Regression (r6): {(5,1),(5,2)} satisfies 'no node is both member
+    and root' but is NOT a star forest — node 5 points at two roots. The
+    weaker fixpoint test declared it converged and emitted node 5 in TWO
+    components; the strengthened test must run a round and produce the
+    exact single-component labels, one row per node."""
+    df = spark.createDataFrame([(5, 1), (5, 2)], "src long, dst long")
+    out = connected_components(df)
+    assert out.count() == 3  # exactly one row per node
+    assert _labels(out) == {1: 1, 2: 1, 5: 1}
+    # same shape mid-graph: two disjoint double-root members + noise
+    edges = [(9, 3), (9, 4), (30, 10), (30, 20), (40, 41)]
+    df2 = spark.createDataFrame(edges, "src long, dst long")
+    got = _labels(connected_components(df2))
+    assert got == _union_find_labels(edges)
+
+
+def test_fused_round_matches_reference(spark):
+    """_cc_round is the fused form of
+    _canonical(_small_star(_large_star(e))); both must produce the same
+    edge SET on canonical inputs of every shape (random, chain, star,
+    double-root)."""
+    import numpy as np
+    from bloomfilter_spark.operators.graph import (_canonical, _cc_round,
+                                                   _large_star, _small_star)
+    rng = np.random.default_rng(7)
+    cases = [
+        [(int(a), int(b)) for a, b in rng.integers(0, 60, size=(150, 2))],
+        [(i, i + 1) for i in range(40)],
+        [(0, i) for i in range(1, 30)],
+        [(5, 1), (5, 2)],
+        [(2, 1)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "u long, v long")
+        e = _canonical(df)
+        ref = {(r["u"], r["v"]) for r in
+               _canonical(_small_star(_large_star(e))).collect()}
+        got = {(r["u"], r["v"]) for r in _cc_round(e).collect()}
+        assert got == ref, edges
+
+
 def test_cc_max_iter_raises(spark):
     edges = [(i, i + 1) for i in range(64)]
     df = spark.createDataFrame(edges, "src long, dst long")
