@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from .config import DEFAULT_MERGE_PARTITIONS, DEFAULT_SEED
 from .sketches.base import Sketch
-from .util import to_u64
+from .util import U64, to_u64
 
 SKETCH_SCHEMA = "sketch binary"
 
@@ -146,6 +146,57 @@ def merge_partials_df(partials: DataFrame, factory: Callable[[], Sketch],
     return partials.repartition(num_partitions).mapInPandas(fn, schema=SKETCH_SCHEMA)
 
 
+def _bloom_chunked_sketch_df(prepped: DataFrame, factory: Callable[[], Sketch],
+                             proto) -> DataFrame:
+    """Big-state Bloom merge with the OR parallelized by WORD RANGE.
+
+    The generic merge ships every partial's whole state to ONE task
+    (partials x state bytes through a single shuffle stream + Arrow pipe
+    — measured ~3 s of the 16 MB-state bench build). Here each build
+    task emits its state as ~2 MB word-range chunks, a groupBy(chunk)
+    ORs every range in parallel, and the final task reassembles ONE
+    state's bytes instead of partials x state. Bitwise OR is
+    associative/commutative per word, so the result is byte-identical
+    to the serial merge (pinned by the existing byte-parity tests)."""
+    n_chunks = max(1, min(64, proto.state_nbytes // (2 << 20)))
+    n_words = proto.words.size
+    bounds = [n_words * c // n_chunks for c in range(n_chunks + 1)]
+
+    def partials(it: Iterable[pd.DataFrame]):
+        sk = factory()
+        for pdf in it:
+            sk.update(_batch_values(pdf, True))
+        words = sk.words.astype("<u8", copy=False)
+        yield pd.DataFrame({
+            "chunk": list(range(n_chunks)),
+            "words": [words[bounds[c]:bounds[c + 1]].tobytes()
+                      for c in range(n_chunks)]})
+
+    def or_chunks(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = np.frombuffer(pdf["words"].iloc[0], dtype="<u8").copy()
+        for buf in pdf["words"].iloc[1:]:
+            np.bitwise_or(out, np.frombuffer(buf, dtype="<u8"), out=out)
+        return pd.DataFrame({"chunk": [int(pdf["chunk"].iloc[0])],
+                             "words": [out.tobytes()]})
+
+    def assemble(it: Iterable[pd.DataFrame]):
+        chunks: dict[int, bytes] = {}
+        for pdf in it:
+            for c, buf in zip(pdf["chunk"], pdf["words"]):
+                chunks[int(c)] = bytes(buf)
+        sk = factory()
+        if chunks:
+            sk.words = np.frombuffer(
+                b"".join(chunks[c] for c in sorted(chunks)),
+                dtype="<u8").astype(U64)
+        yield pd.DataFrame({"sketch": [sk.to_bytes()]})
+
+    parts = prepped.mapInPandas(partials, schema="chunk int, words binary")
+    ored = parts.groupBy("chunk").applyInPandas(
+        or_chunks, schema="chunk int, words binary")
+    return ored.repartition(1).mapInPandas(assemble, schema=SKETCH_SCHEMA)
+
+
 def sketch_df(df: DataFrame, cols, factory: Callable[[], Sketch],
               seed: int = DEFAULT_SEED, weight_col=None,
               merge_partitions: int = DEFAULT_MERGE_PARTITIONS,
@@ -183,6 +234,9 @@ def sketch_df(df: DataFrame, cols, factory: Callable[[], Sketch],
         # takes over (unchanged).
         target = max(p // 4, min(p, (256 << 20) // partial_bytes))
         prepped = prepped.coalesce(max(target, 1))
+        from .sketches.bloom import BloomFilter
+        if type(proto) is BloomFilter:
+            return _bloom_chunked_sketch_df(prepped, factory, proto)
     partials = build_partials(prepped, factory)
     if two_level == "auto":
         two_level = prepped.rdd.getNumPartitions() > 4 * merge_partitions

@@ -67,7 +67,17 @@ def build_reference_ngram_bloom(ref_df: DataFrame, text_col: str,
              .select(F.explode(word_ngram_hashes(text_col, n, seed))
                      .alias("__g")))
     if capacity is None:
-        capacity = grams.count()
+        # the counting pass and the build both need every gram hash;
+        # persist so the O(words x n) codegen n-gram hashing runs once
+        # (cache holds 8 B/gram, freed before returning)
+        grams = grams.persist()
+        try:
+            capacity = grams.count()
+            m, k = suggest_sizing(max(capacity, 1), fpr)
+            return build_sketch(grams, ["__g"], lambda: BloomFilter(m, k),
+                                prehashed=True)
+        finally:
+            grams.unpersist()
     m, k = suggest_sizing(max(capacity, 1), fpr)
     return build_sketch(grams, ["__g"], lambda: BloomFilter(m, k),
                         prehashed=True)
