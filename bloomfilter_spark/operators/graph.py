@@ -100,7 +100,7 @@ def _cc_round(e: DataFrame) -> DataFrame:
     """One large-star + small-star round over a CANONICAL (u > v,
     distinct, non-self-loop) edge set; the output is again canonical —
     algebraically identical to ``_canonical(_small_star(_large_star(e)))``
-    with the redundant work stripped (measured: the fused round plans 6
+    with the redundant work stripped (measured: the fused round plans 5
     exchanges instead of 9):
 
     * large star joins only the swapped half of the neighbor list — the
@@ -108,8 +108,9 @@ def _cc_round(e: DataFrame) -> DataFrame:
       the probe side is |e| rows, not 2|e| (the groupBy-min still reads
       both directions);
     * large-star output is already canonical (emitted (v, m) has
-      v > u >= m) and distinct, so small star's leading ``_canonical``
-      — a full extra exchange — is dropped;
+      v > u >= m), so small star's leading ``_canonical`` — a full
+      extra exchange — is dropped, and its own dedup exchange is
+      skipped too (see the inline note at ``ls``);
     * small star's self-pair rows (u -> m) are emitted straight from the
       groupBy-min result (one row per u) instead of unioning a distinct
       self-pair table into the join input (another exchange dropped);
@@ -123,9 +124,13 @@ def _cc_round(e: DataFrame) -> DataFrame:
     nbrs = e.unionByName(swap)
     mins = (nbrs.groupBy("u").agg(F.min("v").alias("mv"))
                 .select("u", F.least("u", "mv").alias("m")))
+    # no distinct on ls: duplicates are bounded by |e| (one row per swap
+    # row), min/groupBy are duplicate-insensitive, and the round's final
+    # distinct collapses them — an exchange per round for at best a 2x
+    # shrink of the small-star inputs measured net-negative (~0.5-1 s on
+    # the 1M-edge bench loop)
     ls = (swap.join(mins, "u")
-              .select(F.col("v").alias("u"), F.col("m").alias("v"))
-              .distinct())
+              .select(F.col("v").alias("u"), F.col("m").alias("v")))
     mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
     pairs = (ls.join(mins2, "u")
                .where(F.col("v") != F.col("m"))
@@ -284,16 +289,28 @@ def connected_components(edges: DataFrame, src: str = "src",
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:
         if not _is_star_forest(e):  # already-forest input: zero rounds
+            # Count-gated convergence detection: a fixpoint implies a
+            # stable edge count, so the star-forest check (its own job,
+            # ~1/3 of a round's cost) runs only when the count repeats —
+            # the count itself is the job that materializes the round's
+            # lazy localCheckpoint, so a round normally costs ONE job.
+            # If the forest appears in a count-changing round, the next
+            # round maps it to itself (fixpoint), the count repeats, and
+            # the check fires one round late — bounded overshoot, same
+            # labels either way.
+            prev_n = input_edges
             for it in range(start_round, max_iter):
                 if _probe is not None:
                     _probe(it)
-                e = _cc_round(e).localCheckpoint(eager=True)
+                e = _cc_round(e).localCheckpoint(eager=False)
+                n_e = e.count()  # materializes the checkpoint
                 if checkpoint_dir is not None and \
                         (it + 1) % checkpoint_every == 0:
                     _cc_checkpoint(e, checkpoint_dir, it, input_edges,
                                    keep_checkpoints)
-                if _is_star_forest(e):
+                if n_e == prev_n and _is_star_forest(e):
                     break
+                prev_n = n_e
             else:
                 raise RuntimeError(
                     f"connected_components did not converge in {max_iter} "

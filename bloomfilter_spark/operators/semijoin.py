@@ -25,9 +25,17 @@ def build_key_bloom(df: DataFrame, cols, fpr: float = DEFAULT_FPR,
 
     Like the reference's easyList (Easy.hs:41-52) this needs the capacity;
     pass it to avoid the extra counting pass (the reference walks its list
-    twice as well — documented trade-off, SURVEY.md §7 hard parts (e))."""
+    twice as well — documented trade-off, SURVEY.md §7 hard parts (e)).
+
+    The automatic sizing pass counts ROWS, not distinct keys (r6): the
+    row count is an upper bound on the key count, and oversizing a Bloom
+    only LOWERS its realized FPR — while the distinct() the old sizing
+    pass paid is a full shuffle of the dim side at warehouse scale (the
+    very cost this operator exists to avoid). Callers with heavily
+    duplicated dim keys should pass ``capacity`` (or accept the lower
+    FPR at the memory cost the broadcast-budget warning polices)."""
     if capacity is None:
-        capacity = df.select(cols if isinstance(cols, str) else list(cols)).distinct().count()
+        capacity = df.select(cols if isinstance(cols, str) else list(cols)).count()
     m, k = suggest_sizing(max(capacity, 1), fpr)
     from ..easy import _warn_if_beyond_broadcast
     _warn_if_beyond_broadcast(m)  # that regime wants sharded_bloom_semi_join
