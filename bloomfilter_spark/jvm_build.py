@@ -890,9 +890,16 @@ def _wsample_rank_col(hf_col: Column, w_col: Column) -> Column:
     XOR-shifted signed hash, term-for-term the kernel's wsample._rank
     (flipped int64 -> double, + 2^63, * 2^-64, floored at 2^-64). Only
     the ORDERING of this column is consumed JVM-side — the packer
-    recomputes ranks in numpy from the exact (hash, weight) pairs, so
-    a <=1-ulp libm divergence between Math.log and numpy cannot reach
-    the serialized state."""
+    recomputes ranks in numpy from the exact (hash, weight) pairs, so a
+    <=1-ulp Math.log/libm divergence cannot alter any RETAINED entry's
+    stored rank. Boundary caveat (round-5 ADVICE, documented like
+    ddsketch.bucket_index's): when two ranks straddle the k+1 selection
+    cut within <=1 ulp, the JVM ordering may select a different (k+1)-th
+    row than the kernel build would, changing tau and which single
+    boundary entry is retained — byte-parity with the kernel build is
+    exact except at such ulp-degenerate cuts (never observed across the
+    parity suite's corpora; the estimator's guarantees are unaffected
+    either way)."""
     u = F.greatest((hf_col.cast("double") + F.lit(float(1 << 63)))
                    * F.lit(2.0 ** -64), F.lit(2.0 ** -64))
     return -F.log(u) / w_col

@@ -189,7 +189,25 @@ class FrequentDirections(Sketch):
         ell, d, n, fn2, rows = struct.unpack("<IIQdI", params)
         s = cls(ell, d or None)
         if not payload:
-            return s  # params-only zero reconstruction (house convention)
+            # Empty payload covers TWO states (r6 fix, round-5 ADVICE): the
+            # params-only zero sketch (n == 0, house convention) AND a real
+            # sketch whose shrink zeroed every buffer row — the latter must
+            # keep its accumulated n / Frobenius mass, or the roundtripped
+            # blob claims an exact Gram (cov_error_bound() == 0) while the
+            # true spectral error is fn2/ell, and merges lose the mass.
+            if n:
+                if d == 0 or rows != 0:
+                    raise ValueError(
+                        f"FrequentDirections blob inconsistent (n={n}, "
+                        f"d={d}, rows={rows}, empty payload) — corrupt blob")
+                if not (np.isfinite(fn2) and fn2 >= 0):
+                    raise ValueError(
+                        "FrequentDirections total_fnorm2 not finite and "
+                        "non-negative — corrupt blob")
+                s.n = int(n)
+                s.total_fnorm2 = float(fn2)
+                s._buf = np.zeros((2 * ell, d), dtype=np.float64)
+            return s
         if d == 0 or rows > ell:
             raise ValueError(
                 f"FrequentDirections blob inconsistent (d={d}, rows={rows}, "

@@ -298,11 +298,18 @@ def stateful_grouped_weighted_sample(stream_df: DataFrame, key_col: str,
                             "approx_total_weight": [sk.estimate()],
                             "n_updates": [n]})
 
-    hashed = (stream_df.where(F.col(value_col).isNotNull())
+    # invalid-weight rows are filtered HERE, not in the kernel (r6 fix,
+    # round-5 ADVICE): the kernel silently drops NULL/NaN/<=0 weights,
+    # so letting them cross the Arrow pipe made n_updates (len(pdf))
+    # overcount rows actually absorbed — unlike the batch path
+    # (_wsample_dedup), which applies the same predicate in codegen
+    wc = F.col(weight_col).cast("double")
+    hashed = (stream_df.where(F.col(value_col).isNotNull()
+                              & wc.isNotNull() & ~F.isnan(wc) & (wc > 0))
               .select(F.col(key_col).cast("string").alias(key_col),
                       F.xxhash64(F.lit(seed).cast("long"),
                                  F.col(value_col)).alias("__h"),
-                      F.col(weight_col).cast("double").alias("__w"),
+                      wc.alias("__w"),
                       F.coalesce(F.col(payload_col).cast("binary"),
                                  F.lit(b"")).alias("__pl")))
     return (hashed.groupBy(key_col)

@@ -127,6 +127,33 @@ def test_wire_roundtrip_and_validation(rng):
     assert sketch_from_bytes(FrequentDirections(5).to_bytes()).ell == 5
 
 
+def test_empty_buffer_roundtrip_keeps_mass(rng):
+    """Regression (r6, round-5 ADVICE): a REAL sketch whose shrink zeroed
+    every buffer row serializes with an empty payload — the roundtrip
+    must keep n and the Frobenius mass (the blob otherwise claimed an
+    exact Gram, cov_error_bound() == 0, and merges lost the mass)."""
+    ell = 8
+    fd = FrequentDirections(ell)
+    fd.update(np.eye(2 * ell))  # 2*ell orthonormal rows: shrink zeroes all
+    assert fd.buffer().shape[0] == 0 and fd.n == 2 * ell
+    assert fd.cov_error_bound() > 0
+    r = FrequentDirections.from_bytes(fd.to_bytes())
+    assert r.n == fd.n
+    assert r.total_fnorm2 == fd.total_fnorm2
+    assert r.cov_error_bound() == fd.cov_error_bound()
+    assert r.d == fd.d and r.buffer().shape[0] == 0
+    # the deserialized blob merges without losing the accumulated mass
+    other = FrequentDirections(ell)
+    other.update(rng.standard_normal((5, 2 * ell)))
+    before = other.total_fnorm2
+    merged = other.merge(r)
+    assert merged.n == 5 + 2 * ell
+    assert merged.total_fnorm2 == pytest.approx(before + fd.total_fnorm2)
+    # n == 0 keeps the pure params-only zero convention
+    z = FrequentDirections.from_bytes(FrequentDirections(ell).to_bytes())
+    assert z.n == 0 and z.total_fnorm2 == 0.0
+
+
 def test_registry_and_sizing():
     from bloomfilter_spark.sketches import SKETCH_TYPES
     from bloomfilter_spark.sizing import SizingError, suggest_fd, suggest_sketch
