@@ -109,7 +109,13 @@ def get_spark(app_name: str = "bloomfilter_spark", cores: int | None = None,
         # (check_oracle PASS lines); the bar carries no information in
         # headless runs
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 4x the old 65536: fewer per-batch crossings on the narrow
+        # int64/double columns the sketch kernels consume (measured r6:
+        # family one-scan ~-10%, minhash/simhash ~-12% across interleaved
+        # arms). Wide rows stay safe because Spark 4 additionally caps
+        # batches at spark.sql.execution.arrow.maxBytesPerBatch (64 MB
+        # default), which governs before the record cap for big payloads.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
     )
     iceberg_warehouse = iceberg_warehouse or os.environ.get(
         "SPARK_GRAFT_ICEBERG_WAREHOUSE")
