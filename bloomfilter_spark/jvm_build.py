@@ -686,10 +686,12 @@ def theta_build_jvm(df: DataFrame, cols, k: int = 4096,
         # (the acceptance bound for the 2^20 guess): for a small input
         # the filtered pass would always fall back, costing one extra
         # (cheap, but job-latency) pass for nothing — measured +0.3 s on
-        # q40's two ~150-distinct-user builds. sizeInBytes is free (no
-        # job) and only gates the HINT, never correctness.
+        # q40's two ~150-distinct-user builds. The ANALYZED plan's
+        # sizeInBytes is used (no job, ~0.6 ms; optimizedPlan() would run
+        # the optimizer eagerly, measured 35 ms/call) and only gates the
+        # HINT, never correctness.
         try:
-            size = int(df._jdf.queryExecution().optimizedPlan()
+            size = int(df._jdf.queryExecution().analyzed()
                        .stats().sizeInBytes())
         except Exception:  # noqa: BLE001 - py4j/plan-stats unavailable
             size = 0
