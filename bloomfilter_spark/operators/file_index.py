@@ -81,6 +81,12 @@ def build_file_bloom_index(spark: SparkSession, path: str,
     counts = (src.withColumn("__file", F.input_file_name())
                  .groupBy("__file").agg(F.count("*").alias("n_rows"))
                  .withColumn("__fkey", F.xxhash64(F.col("__file"))))
+    # the counts aggregate is consumed twice (sizing max below + the
+    # final join): persist its O(files) rows so the second consumer does
+    # not re-scan the table (one full scan saved per build; the caller
+    # releases it by unpersisting the returned index or letting the
+    # executor cache age it out — it is |files| rows of (path, long))
+    counts = counts.persist()
     max_n = counts.agg(F.max("n_rows")).first()[0]
     if max_n is None:
         raise ValueError(f"no rows under {path}: nothing to index")
