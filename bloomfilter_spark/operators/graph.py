@@ -255,18 +255,37 @@ def connected_components(edges: DataFrame, src: str = "src",
     if keep_checkpoints < 1:
         raise ValueError("keep_checkpoints must be >= 1")
     spark = edges.sparkSession
-    e = _canonical(edges.select(F.col(src).alias("u"),
-                                F.col(dst).alias("v")))
-    start_round = 0
-    if checkpoint_dir is not None:
-        input_edges = e.count()
-        resumed = _cc_resume(spark, checkpoint_dir, input_edges)
-        if resumed is not None:
-            start_round, e = resumed
-        e = e.localCheckpoint(eager=True)
-    else:
-        e = e.localCheckpoint(eager=True)
-        input_edges = e.count()
+    target_bytes = int(os.environ.get("SPARK_GRAFT_CC_PARTITION_BYTES",
+                                      str(2 << 20)))
+    sp_cap = 4 * spark.sparkContext.defaultParallelism
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    # the INITIAL canonicalize-distinct is itself an exchange over the
+    # edge set: size it from the optimizer's free bytes estimate (exact
+    # partitioning is re-derived from the measured edge count right
+    # after; a bad estimate only mis-sizes this one exchange)
+    try:
+        est_bytes = int(edges._jdf.queryExecution().analyzed()
+                        .stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 - py4j/plan-stats unavailable
+        est_bytes = 0
+    if est_bytes > 0:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(min(max(est_bytes // target_bytes, 1), sp_cap)))
+    try:
+        e = _canonical(edges.select(F.col(src).alias("u"),
+                                    F.col(dst).alias("v")))
+        start_round = 0
+        if checkpoint_dir is not None:
+            input_edges = e.count()
+            resumed = _cc_resume(spark, checkpoint_dir, input_edges)
+            if resumed is not None:
+                start_round, e = resumed
+            e = e.localCheckpoint(eager=True)
+        else:
+            e = e.localCheckpoint(eager=True)
+            input_edges = e.count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     # Scale-adaptive round partitioning (guide §2.2): each round is 6
     # exchanges over the CURRENT edge set, which at bench/local sizes is a
     # few MB — pinning them to the session's global shuffle partitioning
@@ -281,11 +300,7 @@ def connected_components(edges: DataFrame, src: str = "src",
     # (160 GB / cap(4x cores) stays ~40 MB/task at 1000 cores) — and
     # scopes it to this loop via session conf (restored in finally; the
     # same scoped-conf pattern as jvm_build's WGL window).
-    target_bytes = int(os.environ.get("SPARK_GRAFT_CC_PARTITION_BYTES",
-                                      str(2 << 20)))
-    n_parts = min(max((input_edges * 32) // target_bytes, 1),
-                  4 * spark.sparkContext.defaultParallelism)
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    n_parts = min(max((input_edges * 32) // target_bytes, 1), sp_cap)
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:
         if not _is_star_forest(e):  # already-forest input: zero rounds
